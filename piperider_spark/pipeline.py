@@ -1,0 +1,200 @@
+"""End-to-end transcript quality-filter pipeline.
+
+spark-submit entry (north rule): read transcripts → signals (pandas UDFs) →
+heuristic rules (native exprs + one lag window) → keep/drop + reasons →
+scrub → write decisions / scrubbed text / per-bucket metrics + lineage rows,
+resumable from the lineage table.
+
+Scale design (SURVEY.md §3.1 "Spark rebuild lifecycle"):
+* One logical plan per bucket-wave; Catalyst fuses the signal UDF projection,
+  rule expressions, and scrub into a minimal number of stages. The only wide
+  exchange is the (conv_id, turn_idx) window shuffle for duplicate-turn.
+* Skew: conversations are Zipf-skewed. Work is partitioned by
+  ``bucket = pmod(xxhash64(conv_id), n_buckets)`` — a salted, uniform
+  re-keying of conv space (all turns of a conv stay together, buckets are
+  balanced in expectation) — plus AQE skew handling for the residual tail.
+* Lineage/resume: each completed bucket writes one lineage row (run_id,
+  bucket, counts, wall ms). A restarted run anti-joins finished buckets and
+  only processes the remainder — the Iceberg-snapshot checkpoint model of
+  SURVEY.md §2.9 expressed over parquet in this sandbox.
+* At 10^12 turns: n_buckets scales to ~10^4; each wave is an independent
+  job over ~10^8 turns, bounded memory, restartable at bucket granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from piperider_spark.rules.heuristics import apply_rules
+from piperider_spark.rules.spec import DEFAULT_SPEC, RuleSpec
+from piperider_spark.scrub.udf import scrub_col
+from piperider_spark.signals.udfs import with_signals
+
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def build_decisions(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
+    """The core logical plan: signals → rules → keep/reasons → scrubbed text.
+
+    Row-local everything except the duplicate-turn lag window; scrub runs
+    only on kept rows (short-circuit: dropped turns don't pay the UDF).
+    """
+    sig = with_signals(df)
+    ruled = apply_rules(sig, spec)
+    return ruled.withColumn(
+        "text_scrubbed",
+        F.when(F.col("keep"), scrub_col("text")).otherwise(F.lit(None).cast("string")),
+    )
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    n_buckets: int
+    buckets_processed: int
+    buckets_skipped: int
+    decisions_path: str
+    metrics_path: str
+    lineage_path: str
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    spec: RuleSpec = DEFAULT_SPEC,
+    n_buckets: int = 16,
+    run_id: str | None = None,
+    resume: bool = True,
+    wave_buckets: int = 8,
+) -> PipelineResult:
+    """Execute (or resume) the filter job over a transcripts parquet/dir.
+
+    Outputs under ``output_dir``:
+      decisions/   conv_id, turn_idx, role, ts, keep, reasons, lang, ppl,
+                   text_scrubbed — partitioned by bucket
+      metrics/     per-bucket PipeRider-style profile rows (JSON-ish columns)
+      lineage/     one row per completed (run, bucket)
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    run_id = run_id or uuid.uuid4().hex[:12]
+    decisions_path = os.path.join(output_dir, "decisions")
+    metrics_path = os.path.join(output_dir, "metrics")
+    lineage_path = os.path.join(output_dir, "lineage")
+
+    src = spark.read.parquet(input_path).withColumn("bucket", _bucket_col(n_buckets))
+
+    done: set[int] = set()
+    if resume and os.path.isdir(lineage_path):
+        try:
+            done = {
+                r["bucket"]
+                for r in spark.read.parquet(lineage_path).select("bucket").distinct().collect()
+            }
+        except Exception:
+            done = set()
+
+    todo = [b for b in range(n_buckets) if b not in done]
+    processed = 0
+    # Process pending buckets in waves: ONE job per wave (not per bucket — a
+    # per-bucket loop would rescan the input n_buckets times). The wave size
+    # bounds how much work a crash can lose; lineage commits per wave.
+    for w in range(0, len(todo), max(wave_buckets, 1)):
+        wave = todo[w : w + max(wave_buckets, 1)]
+        t0 = time.time()
+        part = src.where(F.col("bucket").isin(wave))
+        decided = build_decisions(part, spec)
+
+        out_cols = [
+            "bucket", "conv_id", "turn_idx", "role", "ts",
+            "keep", "reasons", "lang", "ppl", "text_scrubbed",
+        ]
+        (
+            decided.select(*out_cols)
+            .repartition("bucket")
+            .sortWithinPartitions("conv_id", "turn_idx")  # stable north-rule ordering
+            .write.mode("overwrite")  # dynamic: replaces only this wave's buckets
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(decisions_path)
+        )
+
+        # per-bucket metrics: PipeRider's run.json per partition (SURVEY §7.1
+        # item 5) — one groupBy(bucket) over the wave (partial agg map-side)
+        reason_aggs = [
+            F.sum(F.col(f"r_{name}").cast("long")).alias(f"n_{name}")
+            for name in spec.reason_order
+        ]
+        (
+            decided.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                F.count_distinct("conv_id").alias("n_convs"),
+                F.min("ts").alias("ts_min"),
+                F.max("ts").alias("ts_max"),
+                *reason_aggs,
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .write.mode("append")
+            .parquet(metrics_path)
+        )
+
+        elapsed = int((time.time() - t0) * 1000)
+        lineage_rows = spark.createDataFrame(
+            [(run_id, b, elapsed) for b in wave],
+            "run_id string, bucket int, elapsed_ms long",
+        )
+        lineage_rows.write.mode("append").parquet(lineage_path)
+        processed += len(wave)
+
+    return PipelineResult(
+        run_id=run_id,
+        n_buckets=n_buckets,
+        buckets_processed=processed,
+        buckets_skipped=len(done),
+        decisions_path=decisions_path,
+        metrics_path=metrics_path,
+        lineage_path=lineage_path,
+    )
+
+
+def run_pipeline_single_pass(spark: SparkSession, input_path: str, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
+    """One-job variant (no checkpointing) used by the bench harness: the
+    whole table through build_decisions, returning the decided DataFrame."""
+    return build_decisions(spark.read.parquet(input_path), spec)
+
+
+def main() -> None:  # pragma: no cover — spark-submit entry
+    import argparse
+
+    from piperider_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="transcript quality-filter pipeline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args()
+
+    spark = get_spark("piperider_spark.pipeline")
+    res = run_pipeline(
+        spark, args.input, args.output, n_buckets=args.buckets, resume=not args.no_resume
+    )
+    print(json.dumps(res.__dict__))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

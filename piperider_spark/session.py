@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference keeps one cached SQLAlchemy engine per database
+(/root/reference/piperider_cli/datasource/__init__.py:92-104); here the
+equivalent is one SparkSession per process, configured for the execution
+profile this engine targets:
+
+* AQE on (skew-join splitting + partition coalescing at runtime),
+* Arrow on (all Python crossings are vectorized pandas/Arrow UDFs),
+* shuffle partitions sized to the local core count (on a real cluster this
+  is set to ~2-3x total executor cores via spark-submit conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "piperider_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` may be an int (→ ``local[n]``) or a full master string. When a
+    session already exists it is returned as-is (Spark's singleton model);
+    callers that need a specific parallelism (the bench harness) must stop
+    the existing session first.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = cores if isinstance(cores, str) and cores.startswith("local") else f"local[{cores}]"
+    if shuffle_partitions is None:
+        inner = master[len("local[") : -1] if master.startswith("local[") else ""
+        n = int(inner) if inner.isdigit() else (os.cpu_count() or 8)
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # NB: keep the local heap moderate — JVM heaps >~12g measurably stall
+        # the first big collection in this sandbox (first-touch page zeroing);
+        # on a real cluster executor memory is set via spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

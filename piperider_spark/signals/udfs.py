@@ -1,0 +1,45 @@
+"""Spark pandas-UDF wrappers for the model signals.
+
+One Arrow batch in → one numpy-vectorized pass → one batch out. The scorer
+state (stopword regexes, bigram log-prob table) is module-level, i.e. built
+once per executor Python worker — the same lifecycle a real fastText /
+KenLM model file would have (lazy per-executor load), per SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from piperider_spark.signals.core import detect_lang_batch, perplexity_batch
+
+
+@pandas_udf(StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    return detect_lang_batch(texts)
+
+
+@pandas_udf(DoubleType())
+def perplexity_udf(texts: pd.Series) -> pd.Series:
+    return perplexity_batch(texts)
+
+
+def lang_id_col(text: Column | str = "text") -> Column:
+    return lang_id_udf(F.col(text) if isinstance(text, str) else text)
+
+
+def perplexity_col(text: Column | str = "text") -> Column:
+    return perplexity_udf(F.col(text) if isinstance(text, str) else text)
+
+
+def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach lang + ppl columns in one projection (one python-worker stage)."""
+    return df.withColumns(
+        {
+            "lang": lang_id_col(text_col),
+            "ppl": perplexity_col(text_col),
+        }
+    )

@@ -1,0 +1,106 @@
+"""End-to-end pipeline vs pure-pandas oracle.
+
+BASELINE.json gate: keep/drop F1 >= 0.99 vs oracle labels; scrubbed text
+byte-exact per turn under stable (conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from piperider_spark.datagen import generate_transcripts
+from piperider_spark.oracle import oracle_labels
+from piperider_spark.pipeline import build_decisions, run_pipeline
+
+N_TURNS = 4000
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf() -> pd.DataFrame:
+    return generate_transcripts(N_TURNS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, transcripts_pdf) -> pd.DataFrame:
+    df = spark.createDataFrame(transcripts_pdf)
+    out = build_decisions(df).select(
+        "conv_id", "turn_idx", "keep", "reasons", "text_scrubbed", "lang", "ppl"
+    )
+    return (
+        out.toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle_result(transcripts_pdf) -> pd.DataFrame:
+    return oracle_labels(transcripts_pdf).reset_index(drop=True)
+
+
+def test_row_alignment(spark_result, oracle_result):
+    assert len(spark_result) == len(oracle_result) > 0
+    assert (spark_result["conv_id"].values == oracle_result["conv_id"].values).all()
+    assert (spark_result["turn_idx"].values == oracle_result["turn_idx"].values).all()
+
+
+def test_keep_f1(spark_result, oracle_result):
+    pred = spark_result["keep"].to_numpy()
+    truth = oracle_result["keep"].to_numpy()
+    tp = (pred & truth).sum()
+    fp = (pred & ~truth).sum()
+    fn = (~pred & truth).sum()
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    assert f1 >= 0.99, f"F1={f1:.4f} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_reasons_exact(spark_result, oracle_result):
+    mism = [
+        (i, list(s), list(o))
+        for i, (s, o) in enumerate(zip(spark_result["reasons"], oracle_result["reasons"]))
+        if list(s) != list(o)
+    ]
+    assert not mism, f"{len(mism)} reason mismatches; first 5: {mism[:5]}"
+
+
+def test_scrub_byte_exact(spark_result, oracle_result):
+    # oracle scrubs every non-null text; spark scrubs only kept rows — compare on kept
+    kept = spark_result["keep"].to_numpy() & oracle_result["keep"].to_numpy()
+    s = spark_result.loc[kept, "text_scrubbed"]
+    o = oracle_result.loc[kept, "text_scrubbed"]
+    bad = [(a, b) for a, b in zip(s, o) if a != b]
+    assert not bad, f"{len(bad)} scrub mismatches; first 3: {bad[:3]}"
+
+
+def test_lang_and_ppl_match(spark_result, oracle_result):
+    assert (spark_result["lang"].values == oracle_result["lang"].values).all()
+    import numpy as np
+
+    assert np.allclose(spark_result["ppl"].astype(float), oracle_result["ppl"].astype(float), atol=1e-9)
+
+
+def test_resume(spark, transcripts_pdf, tmp_path_factory):
+    base = tmp_path_factory.mktemp("pipe")
+    inp = str(base / "transcripts.parquet")
+    out = str(base / "out")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp)
+
+    r1 = run_pipeline(spark, inp, out, n_buckets=4)
+    assert r1.buckets_processed == 4 and r1.buckets_skipped == 0
+    # resume: everything already done
+    r2 = run_pipeline(spark, inp, out, n_buckets=4)
+    assert r2.buckets_processed == 0 and r2.buckets_skipped == 4
+
+    dec = spark.read.parquet(r1.decisions_path)
+    assert dec.count() == len(transcripts_pdf)
+    met = spark.read.parquet(r1.metrics_path).toPandas()
+    assert met["n_turns"].sum() == len(transcripts_pdf)
+    assert set(met["bucket"]) == {0, 1, 2, 3}
