@@ -1,0 +1,539 @@
+"""Column profiler: PipeRider's metrics engine rebuilt as fused Spark jobs.
+
+The reference emits 4-5 SQL statements *per column* (combined aggregates,
+non-duplicates, top-k, histogram, quantiles — piperider_cli/profiler/
+profiler.py:765-1030) and fans them out over a 5-thread pool. Spark lets us
+do radically better at scale — this module profiles an entire table in
+THREE jobs, regardless of column count:
+
+  job 1  one ``df.agg(...)`` computing every per-column aggregate (counts,
+         min/max/avg/sum/stddev, flag counts, length stats, exact
+         percentile_disc quantiles) in a single scan — manual aggregate
+         fusion taken to its limit (reference does this per column at
+         profiler.py:827-852; Catalyst gives partial aggregation free).
+  job 2  one exploded ``groupBy(col_idx, value)`` over all profiled columns
+         → distinct / non-duplicates / top-k from one shuffle (reference:
+         profile_non_duplicate profiler.py:1731-1758 + profile_topk
+         profiler.py:1620-1643, two statements per column).
+  job 3  one exploded ``groupBy(col_idx, bucket)`` computing every numeric /
+         length / datetime histogram at once (reference: profile_histogram
+         profiler.py:1646-1728 + datetime grains profiler.py:1370-1489,
+         one statement per column).
+
+At 100 TB the dominant cost is the scan; 3 scans total vs 4-5 scans/column
+is the difference between feasible and not. Metric semantics (bucket math,
+label formatting, valids/invalids algebra, percentile_disc) replicate the
+reference exactly — golden-value fixtures from the reference's own test
+suite assert the numbers.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from piperider_spark.profiler.formatting import format_float, json_safe, percentage
+
+HISTOGRAM_NUM_BUCKET = 50  # reference: profiler.py:27
+TOPK_K = 50  # reference: profiler.py:1620
+
+
+@dataclass
+class ProfilerConfig:
+    limit: int = 0                 # row-limit sampling (profiler.py:720-731)
+    duplicate_rows: bool = False   # off by default, "time costing" (docs/config.md:29-35)
+    approx: bool = False           # opt-in approx distinct/quantiles for 10^12-row scale
+
+
+def classify_type(dt: T.DataType) -> tuple[str, bool]:
+    """Map a Spark type to the reference's six generic types
+    (profiler.py:567-615). Returns (generic_type, is_integer)."""
+    if isinstance(dt, T.StringType):
+        return "string", False
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer", True
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "numeric", False
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "datetime", False
+    if isinstance(dt, T.BooleanType):
+        return "boolean", False
+    return "other", False
+
+
+# ---------------------------------------------------------------------------
+# job 1: fused aggregate exprs
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.05, 0.25, 0.50, 0.75, 0.95)
+_QKEYS = ("p5", "p25", "p50", "p75", "p95")
+
+
+def _agg_exprs(col: str, generic: str, approx: bool) -> list:
+    c = F.col(col)
+    q = F.col(col)  # quantile target
+    exprs = [F.count(c).alias(f"{col}::non_nulls")]
+    if generic == "string":
+        ln = F.length(c)
+        exprs += [
+            F.count_if(ln == 0).alias(f"{col}::zero_length"),
+            F.avg(ln).alias(f"{col}::avg"),
+            F.min(ln).alias(f"{col}::min"),
+            F.max(ln).alias(f"{col}::max"),
+            F.stddev(ln).alias(f"{col}::stddev"),
+        ]
+    elif generic in ("integer", "numeric"):
+        exprs += [
+            F.count_if(c == 0).alias(f"{col}::zeros"),
+            F.count_if(c < 0).alias(f"{col}::negatives"),
+            F.sum(c.cast("double")).alias(f"{col}::sum"),
+            F.avg(c).alias(f"{col}::avg"),
+            F.min(c).alias(f"{col}::min"),
+            F.max(c).alias(f"{col}::max"),
+            F.stddev(c.cast("double")).alias(f"{col}::stddev"),
+        ]
+        if approx:
+            exprs += [
+                F.percentile_approx(q, list(_QUANTILES), 10000).alias(f"{col}::quantiles")
+            ]
+        else:
+            # exact discrete percentiles — the reference's default branch
+            # (percentile_disc WITHIN GROUP, profiler.py:1184-1186)
+            exprs += [
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY `{col}`)"
+                ).alias(f"{col}::{k}")
+                for k, p in zip(_QKEYS, _QUANTILES)
+            ]
+    elif generic == "datetime":
+        exprs += [F.min(c).alias(f"{col}::min"), F.max(c).alias(f"{col}::max")]
+    elif generic == "boolean":
+        exprs += [F.count_if(c == F.lit(True)).alias(f"{col}::trues")]
+    return exprs
+
+
+# ---------------------------------------------------------------------------
+# job 2: fused value counts (distinct / non-duplicates / top-k)
+# ---------------------------------------------------------------------------
+
+
+def _value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One exploded groupBy over the stringified values of every profiled
+    column. Stringification (cast to string) is injective per Spark type, so
+    group cardinalities equal those on the raw values; the reference
+    stringifies top-k values anyway (profiler.py:1636-1638)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("p")
+    ).select("p.ci", "p.v").where(F.col("v").isNotNull())
+    return pairs.groupBy("ci", "v").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# job 3: fused histograms
+# ---------------------------------------------------------------------------
+
+
+def _numeric_bucket_plan(vmin: float, vmax: float, is_integer: bool) -> tuple[float, int]:
+    """Interval + bucket-count rule, replicated from profiler.py:1655-1663."""
+    nb = HISTOGRAM_NUM_BUCKET
+    if is_integer:
+        interval = math.ceil((vmax - vmin) / nb) if vmax > vmin else 1
+        nb = math.ceil((vmax - vmin + 1) / interval)
+    else:
+        interval = (vmax - vmin) / nb if vmax > vmin else 1
+    return interval, nb
+
+
+def _numeric_bucket_expr(c, vmin: float, interval: float, nb: int):
+    """Arithmetic bucket assignment consistent with the reference's CASE
+    cascade (smallest i with c < min + interval*(i+1); last bucket gets
+    +interval/100 slack — profiler.py:1665-1670), with float boundary
+    correction so division rounding can't shift a value across a bound."""
+    pos = (c.cast("double") - F.lit(float(vmin))) / F.lit(float(interval))
+    b = F.floor(pos)
+    lower = F.lit(float(vmin)) + F.lit(float(interval)) * b.cast("double")
+    upper = F.lit(float(vmin)) + F.lit(float(interval)) * (b + 1).cast("double")
+    b = (
+        F.when(c.cast("double") < lower, b - 1)
+        .when(c.cast("double") >= upper, b + 1)
+        .otherwise(b)
+    )
+    last_bound = F.lit(float(vmin) + float(interval) * nb + float(interval) / 100)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("long"))
+        .when(b < 0, F.lit(0))
+        .when(b >= nb, F.when(c.cast("double") < last_bound, F.lit(nb - 1)))
+        .otherwise(b)
+    )
+
+
+def _numeric_histogram_shell(vmin, vmax, interval: float, nb: int, is_integer: bool) -> dict:
+    """Labels / bin_edges, replicated from profiler.py:1690-1716."""
+    labels, counts, bin_edges = [], [], []
+    for i in range(nb):
+        if is_integer:
+            start = vmin + i * interval
+            end = vmin + (i + 1) * interval
+            label = f"{start}" if interval == 1 else f"{start} _ {end}"
+        else:
+            if interval >= 1:
+                start = vmin + i * interval
+                end = vmin + (i + 1) * interval
+            else:
+                start = vmin + i / (1 / interval)
+                end = vmin + (i + 1) / (1 / interval)
+            label = f"{format_float(start)} _ {format_float(end)}"
+        labels.append(label)
+        counts.append(0)
+        bin_edges.append(start)
+        if i == nb - 1:
+            bin_edges.append(end)
+    return {"labels": labels, "counts": counts, "bin_edges": bin_edges}
+
+
+def _relativedelta():
+    from dateutil.relativedelta import relativedelta
+
+    return relativedelta
+
+
+def _datetime_bucket_plan(vmin, vmax) -> dict:
+    """Grain choice + edges, replicating profiler.py:1421-1454: yearly above
+    4 years (interval = ceil(years/50)), monthly above 60 days, else daily."""
+    relativedelta = _relativedelta()
+    if isinstance(vmin, datetime):
+        vmin_d, vmax_d = vmin.date(), vmax.date() if isinstance(vmax, datetime) else vmax
+    else:
+        vmin_d, vmax_d = vmin, vmax
+    if isinstance(vmax, datetime):
+        vmax_d = vmax.date()
+    days_delta = (vmax_d - vmin_d).days
+
+    if days_delta > 365 * 4:
+        grain = "yearly"
+        dmin = date(vmin_d.year, 1, 1)
+        dmax = date(vmax_d.year, 1, 1) + relativedelta(years=+1) if vmax_d.year < 3000 else date(3000, 1, 1)
+        k = math.ceil((dmax.year - dmin.year) / HISTOGRAM_NUM_BUCKET)
+        interval = relativedelta(years=+k)
+        nb = math.ceil((dmax.year - dmin.year) / k)
+    elif days_delta > 60:
+        grain = "monthly"
+        interval = relativedelta(months=+1)
+        dmin = date(vmin_d.year, vmin_d.month, 1)
+        dmax = date(vmax_d.year, vmax_d.month, 1) + interval if vmax_d.year < 3000 else date(3000, 1, 1)
+        period = relativedelta(dmax, dmin)
+        nb = period.years * 12 + period.months
+    else:
+        grain = "daily"
+        interval = relativedelta(days=+1)
+        dmin = vmin_d
+        dmax = vmax_d + interval if vmax_d.year < 3000 else date(3000, 1, 1)
+        nb = (dmax - dmin).days
+    return {"grain": grain, "dmin": dmin, "interval": interval, "nb": nb}
+
+
+def _datetime_bucket_expr(c, plan: dict):
+    """Native bucket index per grain — replaces the reference's driver-side
+    truncated-date→bin loop (profiler.py:1467-1487) with an O(1) expression."""
+    d = c.cast("date")
+    dmin = plan["dmin"]
+    if plan["grain"] == "yearly":
+        k = plan["interval"].years
+        b = F.floor((F.year(d) - F.lit(dmin.year)) / F.lit(k))
+    elif plan["grain"] == "monthly":
+        b = (F.year(d) - F.lit(dmin.year)) * 12 + (F.month(d) - F.lit(dmin.month))
+    else:
+        b = F.datediff(d, F.lit(dmin))
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
+        F.least(F.greatest(b.cast("long"), F.lit(0)), F.lit(plan["nb"] - 1))
+    )
+
+
+def _datetime_histogram_shell(plan: dict) -> dict:
+    labels, counts, bin_edges = [], [], []
+    dmin, interval, nb = plan["dmin"], plan["interval"], plan["nb"]
+    for i in range(nb):
+        labels.append(f"{dmin + i * interval} - {dmin + (i + 1) * interval}")
+        bin_edges.append(str(dmin + i * interval))
+        counts.append(0)
+    bin_edges.append(str(dmin + nb * interval))
+    return {"labels": labels, "counts": counts, "bin_edges": bin_edges}
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+
+def _iso(v) -> str | None:
+    if v is None:
+        return None
+    return v.isoformat()
+
+
+class Profiler:
+    def __init__(self, config: ProfilerConfig | None = None):
+        self.config = config or ProfilerConfig()
+
+    def profile_table(self, df: DataFrame, table_name: str) -> dict[str, Any]:
+        cfg = self.config
+        row_count = df.count()
+        samples, samples_p = row_count, 1
+        if cfg.limit and row_count > cfg.limit > 0:
+            df = df.limit(cfg.limit)
+            samples = cfg.limit
+            samples_p = percentage(cfg.limit, row_count)
+
+        fields = [(f.name, *classify_type(f.dataType)) for f in df.schema.fields]
+
+        # ---- job 1: one fused aggregation over every column --------------
+        agg_exprs = [F.count(F.lit(1)).alias("::total")]
+        for name, generic, _is_int in fields:
+            agg_exprs += _agg_exprs(name, generic, cfg.approx)
+        row = df.agg(*agg_exprs).collect()[0].asDict()
+        total = row["::total"]
+
+        def rv(col, key):
+            return json_safe(row.get(f"{col}::{key}"))
+
+        # ---- job 2: fused value counts ------------------------------------
+        vc_cols = [name for name, generic, _ in fields if generic != "other"]
+        topk_cols = {
+            name for name, generic, is_int in fields if generic == "string" or is_int
+        }
+        uniq: dict[str, tuple[int, int]] = {}
+        topk: dict[str, dict] = {}
+        if vc_cols and total:
+            vc = _value_counts(df, vc_cols).persist()
+            try:
+                for r in (
+                    vc.groupBy("ci")
+                    .agg(
+                        F.count(F.lit(1)).alias("distinct"),
+                        F.count_if(F.col("cnt") == 1).alias("non_dup"),
+                    )
+                    .collect()
+                ):
+                    uniq[vc_cols[r["ci"]]] = (r["distinct"], r["non_dup"])
+                w = Window.partitionBy("ci").orderBy(F.desc("cnt"), F.asc("v"))
+                for r in (
+                    vc.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= TOPK_K)
+                    .orderBy("ci", "rn")
+                    .collect()
+                ):
+                    name = vc_cols[r["ci"]]
+                    if name in topk_cols:
+                        entry = topk.setdefault(name, {"values": [], "counts": []})
+                        entry["values"].append(r["v"])
+                        entry["counts"].append(r["cnt"])
+            finally:
+                vc.unpersist()
+
+        # ---- job 3: fused histograms --------------------------------------
+        hist_specs: list[tuple[str, str, Any, dict]] = []  # (col, kind, expr, shell)
+        for name, generic, is_int in fields:
+            valids = row[f"{name}::non_nulls"]
+            if not valids:
+                continue
+            c = F.col(name)
+            if generic in ("integer", "numeric"):
+                vmin, vmax = rv(name, "min"), rv(name, "max")
+                if vmin is None or not (math.isfinite(vmin) and math.isfinite(vmax)):
+                    continue
+                interval, nb = _numeric_bucket_plan(vmin, vmax, is_int)
+                shell = _numeric_histogram_shell(vmin, vmax, interval, nb, is_int)
+                hist_specs.append(
+                    (name, "histogram", _numeric_bucket_expr(c, vmin, interval, nb), shell)
+                )
+            elif generic == "string":
+                lmin, lmax = rv(name, "min"), rv(name, "max")
+                if lmin is None:
+                    continue
+                interval, nb = _numeric_bucket_plan(lmin, lmax, True)
+                shell = _numeric_histogram_shell(lmin, lmax, interval, nb, True)
+                hist_specs.append(
+                    (name, "histogram", _numeric_bucket_expr(F.length(c), lmin, interval, nb), shell)
+                )
+            elif generic == "datetime":
+                vmin, vmax = row.get(f"{name}::min"), row.get(f"{name}::max")
+                if vmin is None or vmax is None:
+                    continue
+                plan = _datetime_bucket_plan(vmin, vmax)
+                shell = _datetime_histogram_shell(plan)
+                shell["grain"] = plan["grain"]
+                hist_specs.append((name, "histogram", _datetime_bucket_expr(c, plan), shell))
+
+        if hist_specs and total:
+            pairs = df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(i).alias("ci"), e.alias("b"))
+                            for i, (_n, _k, e, _s) in enumerate(hist_specs)
+                        ]
+                    )
+                ).alias("p")
+            ).select("p.ci", "p.b").where(F.col("b").isNotNull())
+            for r in pairs.groupBy("ci", "b").agg(F.count(F.lit(1)).alias("cnt")).collect():
+                shell = hist_specs[r["ci"]][3]
+                if 0 <= r["b"] < len(shell["counts"]):
+                    shell["counts"][int(r["b"])] += r["cnt"]
+
+        hist_by_col = {name: shell for name, _k, _e, shell in hist_specs}
+
+        # ---- assemble column dicts (reference result shape) ---------------
+        columns: dict[str, dict] = {}
+        for pos, f in enumerate(df.schema.fields):
+            name, (generic, is_int) = f.name, classify_type(f.dataType)
+            non_nulls = row[f"{name}::non_nulls"]
+            nulls = total - non_nulls
+            valids = non_nulls  # typed schema ⇒ invalids ≡ 0 (docs/metrics.md:52)
+            col: dict[str, Any] = {
+                "name": name,
+                "type": generic,
+                "schema_type": f.dataType.simpleString().upper(),
+                # column total = full table row_count; samples = rows the
+                # metrics actually saw after the limit (profiler.py:481-488,
+                # 662-663); percentage denominators use the sample count.
+                "total": row_count,
+                "samples": total,
+                "samples_p": samples_p,
+                "non_nulls": non_nulls,
+                "non_nulls_p": percentage(non_nulls, total),
+                "nulls": nulls,
+                "nulls_p": percentage(nulls, total),
+                "valids": valids,
+                "valids_p": percentage(valids, total),
+                "invalids": 0,
+                "invalids_p": 0,
+            }
+            if generic != "other":
+                distinct, non_dup = uniq.get(name, (0, 0))
+                duplicates = valids - non_dup
+                col.update(
+                    {
+                        "distinct": distinct,
+                        "distinct_p": percentage(distinct, valids),
+                        "duplicates": duplicates,
+                        "duplicates_p": percentage(duplicates, valids),
+                        "non_duplicates": non_dup,
+                        "non_duplicates_p": percentage(non_dup, valids),
+                    }
+                )
+            if generic == "string":
+                zero_length = row[f"{name}::zero_length"]
+                non_zero_length = valids - zero_length
+                col.update(
+                    {
+                        "zero_length": zero_length,
+                        "zero_length_p": percentage(zero_length, total),
+                        "non_zero_length": non_zero_length,
+                        "non_zero_length_p": percentage(non_zero_length, total),
+                        "min": rv(name, "min"),
+                        "min_length": rv(name, "min"),
+                        "max": rv(name, "max"),
+                        "max_length": rv(name, "max"),
+                        "avg": rv(name, "avg"),
+                        "avg_length": rv(name, "avg"),
+                        "stddev": rv(name, "stddev"),
+                        "stddev_length": rv(name, "stddev"),
+                        "topk": topk.get(name) if valids else None,
+                        "histogram": hist_by_col.get(name) if valids else None,
+                        "histogram_length": hist_by_col.get(name) if valids else None,
+                    }
+                )
+            elif generic in ("integer", "numeric"):
+                zeros = row[f"{name}::zeros"]
+                negatives = row[f"{name}::negatives"]
+                col.update(
+                    {
+                        "zeros": zeros,
+                        "zeros_p": percentage(zeros, total),
+                        "negatives": negatives,
+                        "negatives_p": percentage(negatives, total),
+                        "positives": valids - zeros - negatives,
+                        "positives_p": percentage(valids - zeros - negatives, total),
+                        "min": rv(name, "min"),
+                        "max": rv(name, "max"),
+                        "sum": rv(name, "sum"),
+                        "avg": rv(name, "avg"),
+                        "stddev": rv(name, "stddev"),
+                        "histogram": hist_by_col.get(name) if valids else None,
+                    }
+                )
+                if self.config.approx:
+                    qs = row.get(f"{name}::quantiles")
+                    for k, v in zip(_QKEYS, qs or [None] * 5):
+                        col[k] = json_safe(v)
+                else:
+                    for k in _QKEYS:
+                        col[k] = rv(name, k)
+                if is_int:
+                    col["topk"] = topk.get(name) if valids else None
+            elif generic == "datetime":
+                col.update(
+                    {
+                        "min": _iso(row.get(f"{name}::min")),
+                        "max": _iso(row.get(f"{name}::max")),
+                        "histogram": hist_by_col.get(name) if valids else None,
+                    }
+                )
+            elif generic == "boolean":
+                trues = row[f"{name}::trues"]
+                col.update(
+                    {
+                        "trues": trues,
+                        "trues_p": percentage(trues, total),
+                        "falses": valids - trues,
+                        "falses_p": percentage(valids - trues, total),
+                    }
+                )
+            columns[name] = col
+
+        result: dict[str, Any] = {
+            "name": table_name,
+            "row_count": row_count,
+            "samples": samples,
+            "samples_p": samples_p,
+            "col_count": len(fields),
+            "columns": columns,
+        }
+
+        if cfg.duplicate_rows:
+            result.update(self._duplicate_rows(df, samples))
+        return result
+
+    def _duplicate_rows(self, df: DataFrame, samples: int) -> dict:
+        """Table-level duplicate_rows: GROUP BY all columns HAVING count>1 →
+        SUM(count) (reference: profiler.py:499-543; the generic branch — the
+        Snowflake hash(*) shortcut maps to Catalyst's internal hashing)."""
+        dup = (
+            df.groupBy(*df.columns)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .agg(F.sum("cnt"))
+            .collect()[0][0]
+        )
+        dup = dup or 0
+        return {"duplicate_rows": dup, "duplicate_rows_p": percentage(dup, samples)}
+
+
+def profile_table(df: DataFrame, table_name: str, config: ProfilerConfig | None = None) -> dict:
+    return Profiler(config).profile_table(df, table_name)

@@ -1,0 +1,71 @@
+"""Run-report assembly + JSON sink.
+
+Mirrors the reference's run.json writer: the report dict validates against
+/root/reference/piperider_cli/profiler/schema.json (tables → columns →
+metrics), Nones stripped and NaN/Inf stringified exactly like
+runner.py:283-306, datasource/metadata decoration like runner.py:331-341,
+`latest` symlink like runner.py:256-273.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from piperider_spark.profiler.core import Profiler, ProfilerConfig
+
+
+def clean_nulls(value: Any) -> Any:
+    """Recursively drop None dict entries and stringify non-finite floats
+    (the reference's _clean_nulls + NaN handling, runner.py:283-306)."""
+    if isinstance(value, dict):
+        return {k: clean_nulls(v) for k, v in value.items() if v is not None}
+    if isinstance(value, list):
+        return [clean_nulls(v) for v in value]
+    if isinstance(value, float) and not math.isfinite(value):
+        return str(value)
+    return value
+
+
+def build_run_report(
+    tables: dict[str, DataFrame],
+    datasource_name: str = "spark",
+    config: ProfilerConfig | None = None,
+    created_at: str | None = None,
+) -> dict:
+    """Profile every table and assemble the reference-shaped report."""
+    profiler = Profiler(config)
+    created_at = created_at or datetime.now(timezone.utc).isoformat()
+    report = {
+        "id": f"run-{abs(hash(created_at)) % 10**10}",
+        "created_at": created_at,
+        "datasource": {"name": datasource_name, "type": "spark"},
+        "tables": {},
+    }
+    for name, df in tables.items():
+        report["tables"][name] = profiler.profile_table(df, name)
+    return clean_nulls(report)
+
+
+def write_run_json(report: dict, output_dir: str) -> str:
+    """Write run.json under a timestamped dir + refresh the `latest` symlink
+    (reference layout: runner.py:256-273, 688-692)."""
+    stamp = report.get("created_at", "run").replace(":", "").replace("+", "Z")[:17]
+    run_dir = os.path.join(output_dir, stamp)
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, "run.json")
+    with open(path, "w") as f:
+        json.dump(report, f, separators=(",", ":"), default=str)
+    latest = os.path.join(output_dir, "latest")
+    try:
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.unlink(latest)
+        os.symlink(run_dir, latest)
+    except OSError:
+        pass
+    return path

@@ -1,0 +1,271 @@
+"""Golden-value profiler tests — the reference's own expected numbers
+(/root/reference/tests/profiler/test_profiler.py) asserted against the Spark
+profiler. Same inputs → same metrics, histogram labels/edges, topk, quantiles.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from piperider_spark.profiler import Profiler, profile_table
+from piperider_spark.profiler.core import ProfilerConfig
+
+
+def almost_equal(a, b, tol=0.01):
+    return abs(a - b) <= tol
+
+
+def _int_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], T.StructType([T.StructField("col", T.LongType())]))
+
+
+def _num_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], T.StructType([T.StructField("col", T.DoubleType())]))
+
+
+# ---- test_integer_metrics (reference test_profiler.py:42-163) -------------
+
+def test_integer_basic(spark):
+    r = profile_table(_int_df(spark, [0, 20, None]), "test")["columns"]["col"]
+    assert r["total"] == 3 and r["nulls"] == 1 and r["non_nulls"] == 2
+    assert almost_equal(r["nulls_p"], 1 / 3)
+    assert r["valids"] == 2 and r["invalids"] == 0
+    assert r["zeros"] == 1 and r["negatives"] == 0 and r["positives"] == 1
+    h = r["histogram"]
+    assert h["labels"][0] == "0" and h["counts"][0] == 1
+    assert h["labels"][20] == "20" and h["counts"][20] == 1 and h["counts"][5] == 0
+    assert h["bin_edges"][0] == 0 and h["bin_edges"][21] == 21
+
+
+def test_integer_hist_0_50(spark):
+    h = profile_table(_int_df(spark, [0, 50]), "test")["columns"]["col"]["histogram"]
+    assert h["labels"][0] == "0" and h["counts"][0] == 1
+    assert h["labels"][50] == "50" and h["counts"][50] == 1
+    assert h["bin_edges"][0] == 0 and h["bin_edges"][51] == 51
+
+
+def test_integer_hist_single(spark):
+    h = profile_table(_int_df(spark, [0]), "test")["columns"]["col"]["histogram"]
+    assert h["labels"] == ["0"] and h["counts"][0] == 1
+    assert h["bin_edges"] == [0, 1]
+
+
+def test_integer_spread(spark):
+    r = profile_table(_int_df(spark, [10, 100, 1000, 500, 750]), "test")["columns"]["col"]
+    assert r["avg"] == 472.0 and almost_equal(r["stddev"], 420.91) and r["sum"] == 2360
+    assert (r["min"], r["p5"], r["p25"], r["p50"], r["p75"], r["p95"], r["max"]) == (
+        10, 10, 100, 500, 750, 1000, 1000,
+    )
+    h = r["histogram"]
+    assert h["labels"][0] == "10 _ 30" and h["counts"][0] == 1
+    assert h["labels"][49] == "990 _ 1010" and h["counts"][49] == 1
+    assert h["bin_edges"][0] == 10 and h["bin_edges"][50] == 1010
+
+
+def test_integer_empty(spark):
+    r = profile_table(_int_df(spark, [None]).where("col is not null"), "test")["columns"]["col"]
+    for k in ("sum", "min", "p5", "p25", "p50", "p75", "p95", "max"):
+        assert r[k] is None
+    assert r["histogram"] is None and r["topk"] is None
+
+
+# ---- test_numeric_metrics (165-282) ----------------------------------------
+
+def test_numeric_signed(spark):
+    r = profile_table(_num_df(spark, [-20.0, 0.0, 20.0, None]), "test")["columns"]["col"]
+    assert r["total"] == 4 and r["zeros"] == 1 and r["negatives"] == 1 and r["positives"] == 1
+    assert r["avg"] == 0 and almost_equal(r["stddev"], 20) and r["sum"] == 0
+    assert (r["min"], r["p5"], r["p25"], r["p50"], r["p75"], r["p95"], r["max"]) == (
+        -20, -20, -20, 0, 20, 20, 20,
+    )
+    h = r["histogram"]
+    assert h["counts"][0] == 1 and h["counts"][49] == 1 and h["counts"][25] == 1
+
+
+def test_numeric_float_hist_labels(spark):
+    h = profile_table(_num_df(spark, [10.0, 100.0, 1000.0, 500.0, 750.0]), "test")["columns"]["col"]["histogram"]
+    assert h["labels"][0] == "10.00 _ 29.80" and h["counts"][0] == 1
+    assert h["labels"][49] == "980.20 _ 1.0K" and h["counts"][49] == 1
+    assert h["bin_edges"][0] == 10.0 and h["bin_edges"][50] == 1000.0
+
+
+def test_numeric_negative(spark):
+    r = profile_table(_num_df(spark, [-110.0, 100.0, 1000.0, 500.0, 750.0]), "test")["columns"]["col"]
+    assert r["avg"] == 448 and almost_equal(r["stddev"], 455.82) and r["sum"] == 2240
+    assert (r["min"], r["p5"], r["p25"], r["p50"], r["p75"], r["p95"], r["max"]) == (
+        -110, -110, 100, 500, 750, 1000, 1000,
+    )
+    h = r["histogram"]
+    assert h["labels"][0] == "-110.00 _ -87.80" and h["counts"][0] == 1
+    assert h["labels"][27] == "489.40 _ 511.60" and h["counts"][27] == 1
+    assert h["labels"][49] == "977.80 _ 1.0K" and h["counts"][49] == 1
+
+
+# ---- invalids algebra via try_cast staging (FIXTURES.md §2 note) ------------
+
+def test_invalids_algebra_try_cast(spark):
+    """Spark/Iceberg equivalent of the sqlite dynamic-typing fixture
+    (test_profiler.py:283-309): string staging column + try_cast, asserting
+    invalids = non_nulls - valids."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("0",), ("0",), ("abc",), ("xyz",), (None,)], "raw string"
+    ).select(F.expr("try_cast(raw as bigint)").alias("col"), F.col("raw"))
+    total = df.count()
+    non_nulls = df.where("raw is not null").count()
+    valids = df.where("col is not null").count()
+    assert total == 5 and non_nulls == 4 and valids == 2
+    assert non_nulls - valids == 2  # invalids
+
+
+# ---- test_string_metrics (311-359) ------------------------------------------
+
+def test_string_metrics(spark):
+    df = spark.createDataFrame(
+        [("hello",), ("hello",), ("hello world",), ("world",), ("",), ("123",), ("2022-07-18",), (None,)],
+        "str string",
+    )
+    r = profile_table(df, "test")["columns"]["str"]
+    assert r["total"] == 8 and r["nulls"] == 1 and r["non_nulls"] == 7 and r["valids"] == 7
+    assert r["zero_length"] == 1 and r["non_zero_length"] == 6
+    assert r["distinct"] == 6 and almost_equal(r["distinct_p"], 6 / 7)
+    assert r["duplicates"] == 2 and r["non_duplicates"] == 5
+    assert r["min"] == 0 and r["max"] == 11
+    assert almost_equal(r["avg"], 5.57) and almost_equal(r["stddev"], 3.82)
+    assert r["histogram"]["counts"][0] == 1 and r["histogram"]["counts"][-1] == 1
+    assert r["topk"]["counts"][0] == 2 and r["topk"]["counts"][-1] == 1
+    assert len(r["topk"]["counts"]) == 6
+    assert r["topk"]["values"][0] == "hello"
+
+
+# ---- test_datetime_metric (395-422) -----------------------------------------
+
+def test_datetime_metrics(spark):
+    df = spark.createDataFrame(
+        [(datetime(2021, 1, 1),), (datetime(2021, 1, 1),), (None,)],
+        T.StructType([T.StructField("col", T.TimestampType())]),
+    )
+    r = profile_table(df, "test")["columns"]["col"]
+    assert r["total"] == 3 and r["non_nulls"] == 2 and r["nulls"] == 1
+    assert r["distinct"] == 1 and almost_equal(r["distinct_p"], 1 / 2)
+    assert r["duplicates"] == 2 and r["non_duplicates"] == 0
+
+
+# ---- test_boolean_metric (456-484) -------------------------------------------
+
+def test_boolean_metrics(spark):
+    df = spark.createDataFrame(
+        [(True,), (True,), (False,), (None,)],
+        T.StructType([T.StructField("col", T.BooleanType())]),
+    )
+    r = profile_table(df, "test")["columns"]["col"]
+    assert r["total"] == 4 and r["non_nulls"] == 3 and r["valids"] == 3
+    assert r["trues"] == 2 and r["falses"] == 1
+    assert r["distinct"] == 2 and almost_equal(r["distinct_p"], 2 / 3)
+
+
+# ---- test_date_boundary (514-592) ---------------------------------------------
+
+def _date_df(spark, values):
+    return spark.createDataFrame(
+        [(v,) for v in values], T.StructType([T.StructField("date", T.DateType())])
+    )
+
+
+def test_date_hist_yearly(spark):
+    r = profile_table(_date_df(spark, [date(1900, 5, 26), date(2022, 6, 26), date(2022, 7, 26)]), "t")["columns"]["date"]
+    h = r["histogram"]
+    assert r["min"] == "1900-05-26" and r["max"] == "2022-07-26"
+    assert h["counts"][0] == 1 and h["counts"][-1] == 2
+    assert h["bin_edges"][0] == "1900-01-01" and h["bin_edges"][-1] == "2023-01-01"
+    assert h["grain"] == "yearly"
+
+
+def test_date_hist_monthly(spark):
+    r = profile_table(_date_df(spark, [date(2021, 12, 25), date(2022, 2, 24), date(2022, 2, 26)]), "t")["columns"]["date"]
+    h = r["histogram"]
+    assert r["min"] == "2021-12-25" and r["max"] == "2022-02-26"
+    assert h["counts"][0] == 1 and h["counts"][-1] == 2
+    assert h["bin_edges"][0] == "2021-12-01" and h["bin_edges"][-1] == "2022-03-01"
+
+
+def test_date_hist_daily(spark):
+    df = spark.createDataFrame(
+        [(datetime(2022, 7, 26, 1, 2, 3),), (datetime(2022, 6, 24),), (datetime(2022, 7, 26),)],
+        T.StructType([T.StructField("date", T.TimestampType())]),
+    )
+    r = profile_table(df, "t")["columns"]["date"]
+    h = r["histogram"]
+    assert r["min"] == "2022-06-24T00:00:00" and r["max"] == "2022-07-26T01:02:03"
+    assert h["counts"][0] == 1 and h["counts"][-1] == 2
+    assert h["bin_edges"][0] == "2022-06-24" and h["bin_edges"][-1] == "2022-07-27"
+
+
+def test_date_hist_single_bin(spark):
+    r = profile_table(_date_df(spark, [date(2022, 1, 1), date(2022, 1, 1)]), "t")["columns"]["date"]
+    h = r["histogram"]
+    assert h["counts"][0] == 2 and h["counts"][-1] == 2
+    assert h["bin_edges"][0] == "2022-01-01" and h["bin_edges"][-1] == "2022-01-02"
+
+
+# ---- empty / one-row / limit / duplicate rows (594-711) --------------------------
+
+def test_empty_table(spark):
+    df = spark.createDataFrame([], "num bigint, str string")
+    r = profile_table(df, "test")["columns"]
+    assert r["num"]["histogram"] is None and r["str"]["topk"] is None
+
+
+def test_one_row_table(spark):
+    df = spark.createDataFrame([(1.0, "hello", None)], "num double, str string, num_empty bigint")
+    r = profile_table(df, "test")["columns"]
+    assert r["num"]["histogram"]["counts"][0] == 1
+    assert r["str"]["topk"]["counts"][0] == 1
+    assert r["num_empty"]["histogram"] is None and r["num_empty"]["topk"] is None
+
+
+def test_limited_row_table(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,), (4.0,), (5.0,)], "num double").coalesce(1)
+    r = profile_table(df, "test", ProfilerConfig(limit=3))
+    c = r["columns"]["num"]
+    assert c["min"] == 1.0 and c["max"] == 2.0 and c["avg"] == 1.5
+    assert c["total"] == 5 and c["samples"] == 3 and c["nulls"] == 1
+    assert r["row_count"] == 5 and r["samples"] == 3 and almost_equal(r["samples_p"], 3 / 5)
+
+
+@pytest.mark.parametrize(
+    "rows,expected",
+    [
+        ([(1, "aaa", 18), (1, "aaa", 21)], 0),
+        ([(1, "aaa", 18), (1, "aaa", 18)], 2),
+        ([(1, "aaa", 18), (1, "aaa", 18), (1, "aaa", 18), (2, "bbb", 18), (2, "bbb", 18)], 5),
+    ],
+)
+def test_duplicate_rows(spark, rows, expected):
+    df = spark.createDataFrame(rows, "id bigint, name string, age bigint")
+    r = profile_table(df, "dup", ProfilerConfig(duplicate_rows=True))
+    assert r["duplicate_rows"] == expected
+
+
+def test_report_shape(spark):
+    from piperider_spark.profiler import build_run_report
+
+    df1 = _int_df(spark, [10, 100, 1000, 500, 750])
+    report = build_run_report({"t1": df1}, created_at="2026-01-01T00:00:00+00:00")
+    assert set(report) >= {"id", "created_at", "datasource", "tables"}
+    t = report["tables"]["t1"]
+    assert t["name"] == "t1" and t["row_count"] == 5 and t["col_count"] == 1
+    col = t["columns"]["col"]
+    assert col["type"] == "integer" and "histogram" in col
+    # None-stripped: no None values anywhere
+    def no_nones(v):
+        if isinstance(v, dict):
+            return all(x is not None and no_nones(x) for x in v.values())
+        if isinstance(v, list):
+            return all(no_nones(x) for x in v)
+        return True
+    assert no_nones(report)
