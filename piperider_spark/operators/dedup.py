@@ -1,0 +1,307 @@
+"""Deduplication operators for large text corpora.
+
+Four families, all expressed as declarative DataFrame plans (no RDDs, no
+Python UDFs — every hash is the portable md5-based ``md5_60bit`` so results
+are reproducible across engines and the DuckDB oracle can verify them):
+
+* **exact**        — fingerprint (normalized-text md5) hash-groupBy.
+* **n-gram Jaccard** — shingle-join pair generation + exact Jaccard.
+* **MinHash + LSH** — per-doc signatures via salted-md5 "permutations",
+  banded bucket join for candidate pairs, exact Jaccard verify.
+* **SimHash**      — bitwise majority over token hashes, Hamming-bucket dup
+  candidates.
+
+Scale notes (the 100 TB story):
+* exact dedup is one shuffle on a 16-byte key — optimal.
+* the naive shingle self-join explodes on common shingles; it exists as the
+  *oracle-verifiable* small-scale variant. The scale path is MinHash/LSH:
+  signature build is a single groupBy(doc) over exploded shingles (one
+  shuffle), banding re-keys docs to ``n_bands`` short keys, and the bucket
+  self-join only materializes pairs that agree on a full band — with
+  ``spark.sql.adaptive.enabled`` the residual mega-bucket skew (boilerplate
+  text) is split at runtime. ``max_bucket_size`` hard-caps degenerate
+  buckets (drop-and-count, never OOM), mirroring what every production
+  near-dup pipeline does with stop-shingles.
+* SimHash signatures are one aggregation; candidate generation rotates
+  bands of the 60-bit signature so pairs within Hamming distance ≤ k
+  collide on ≥ 1 band (probabilistic, like the reference-free designs in
+  the public literature).
+
+Reference analogue: PipeRider's duplicate detection surface is
+``non_duplicates`` (GROUP BY value HAVING count=1,
+/root/reference/piperider_cli/profiler/profiler.py:1731-1758) and
+table-level ``duplicate_rows`` (profiler.py:499-543) — exact only; the
+near-dup families are the training-data extension the north rule asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from piperider_spark.functions.text import fingerprint, md5_60bit, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    return df.withColumn(out, fingerprint(text_col))
+
+
+def exact_dup_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc: fingerprint, group size, and keep flag (first doc_id in each
+    fingerprint group survives). One shuffle on the 16-byte fingerprint."""
+    w = Window.partitionBy("fp")
+    wo = Window.partitionBy("fp").orderBy(F.col(id_col))
+    return (
+        with_fingerprint(df, text_col)
+        .select(id_col, "fp")
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.row_number().over(wo) == 1)
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fingerprint groups with >1 member: (fp, n_docs, min_doc_id)."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise over shingle-sharing pairs)
+# ---------------------------------------------------------------------------
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-join on shingle (id_a < id_b)
+    → count shared → jaccard = shared / (|A| + |B| - shared).
+    Oracle-verifiable; at corpus scale use :func:`minhash_lsh_pairs`.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perm_hash(shingle: Column, j: int) -> Column:
+    """The j-th MinHash "permutation": 60-bit salted md5. No multiply-mod
+    (portable, no int64 overflow under ANSI mode)."""
+    return md5_60bit(F.concat(F.lit(f"{j}:"), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, sig_0..sig_{n-1}).
+
+    One explode + one groupBy(doc): the shuffle is keyed on doc id, combine
+    is map-side (min is partially aggregable). Docs with no shingles (empty
+    text) are excluded — they have no similarity identity.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
+    aggs = [F.min(_perm_hash(F.col("s"), j)).alias(f"sig_{j}") for j in range(n_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with exact Jaccard.
+
+    ``n_hashes`` must divide into ``n_bands`` equal rows-per-band. A pair is
+    a candidate iff some band's concatenated signature matches; candidates
+    are then exactly verified. ``max_bucket_size`` drops degenerate buckets
+    (boilerplate shingles) instead of quadratic blowup.
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # cap degenerate buckets
+    wcnt = Window.partitionBy("band", "key")
+    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(wcnt)).where(
+        F.col("bsz") <= max_bucket_size
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), (F.col("id_b") == F.col("sb.id")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-doc SimHash: bitwise majority vote over token md5-hashes.
+
+    Plan: explode tokens → one groupBy(doc) computing, for every bit b,
+    sum(±1) via shiftright/bitand — ``bits`` fused aggregate expressions in
+    a single shuffle (the same fused-agg trick as the profiler). Result
+    ``simhash`` is a non-negative bigint of ``bits`` bits.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("t"),
+    ).where(F.length("t") > 0)
+    h = md5_60bit(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_candidates(
+    sigs: DataFrame, n_bands: int = 4, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-dup candidate pairs: split the signature into ``n_bands`` bit
+    bands; pairs agreeing on ≥1 band collide (catches Hamming distance
+    < n_bands by pigeonhole). Returns (id_a, id_b, hamming)."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,102 @@
+"""Time-series metrics engine: the reference's dbt-metric evaluator rebuilt.
+
+Reference (/root/reference/piperider_cli/metrics_engine/metrics.py):
+  * grain truncation + aggregate per period   (metrics.py:183-221)
+  * date spine UNION ALL of literal rows      (metrics.py:251-269)
+  * spine LEFT OUTER JOIN agg, zero-fill      (metrics.py:214-221)
+  * derived metrics: chain-join parents on d, eval expression with
+    ``a/b`` → ``a/nullif(b,0)``               (metrics.py:118-148)
+
+Spark-first rendition: the spine is ``sequence()`` + ``explode`` (no N-row
+union), broadcast into the join (it is tiny by construction — ≤ a few
+hundred periods); the aggregate side shuffles once on the truncated date.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAIN_INTERVAL = {"day": "interval 1 day", "week": "interval 7 day", "month": "interval 1 month", "year": "interval 1 year"}
+
+AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "count_distinct": lambda c: F.count_distinct(c),
+    "sum": lambda c: F.sum(c),
+    "average": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+ADDITIVE = {"count", "count_distinct", "sum"}  # zero-filled after spine join
+                                              # (metrics.py:207-213)
+
+
+def date_spine(spark: SparkSession, start: date, end: date, grain: str) -> DataFrame:
+    """All period starts from start..end inclusive at the given grain."""
+    iv = GRAIN_INTERVAL[grain]
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr(iv)
+            )
+        ).alias("d")
+    )
+
+
+def metric_series(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    calculation: str,
+    grain: str = "day",
+    start: date | None = None,
+    end: date | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """(d, value) series: aggregate per truncated period, joined onto the
+    full date spine so empty periods exist (zero for additive metrics, NULL
+    otherwise) — the reference's spine semantics."""
+    spark = df.sparkSession
+    src = df.where(where) if where else df
+    trunc = F.date_trunc(grain if grain != "week" else "week", F.col(ts_col)).cast("date")
+    agg = (
+        src.where(F.col(ts_col).isNotNull())
+        .groupBy(trunc.alias("d"))
+        .agg(AGG_FNS[calculation](F.col(value_col)).alias("m"))
+    )
+    if start is None or end is None:
+        lo, hi = src.agg(
+            F.min(F.col(ts_col).cast("date")), F.max(F.col(ts_col).cast("date"))
+        ).collect()[0]
+        start = start or lo
+        end = end or hi
+    if start is None:
+        return spark.createDataFrame([], "d date, value double")
+    spine = date_spine(spark, start, end, grain)
+    value = F.col("m")
+    if calculation in ADDITIVE:
+        value = F.coalesce(value, F.lit(0))
+    return (
+        F.broadcast(spine)
+        .join(agg, "d", "left")
+        .select("d", value.cast("double").alias("value"))
+        .orderBy("d")
+    )
+
+
+def derived_metric(parents: dict[str, DataFrame], expression: str) -> DataFrame:
+    """Evaluate an expression over parent metric series joined on d.
+
+    Divide-by-zero guard: callers write ``a / nullif(b, 0)`` (the reference
+    rewrites ``/`` via string surgery, metrics.py:134-139 — here the guard
+    is simply part of the expression language).
+    """
+    names = list(parents)
+    joined = None
+    for name in names:
+        p = parents[name].select("d", F.col("value").alias(name))
+        joined = p if joined is None else joined.join(p, "d", "full_outer")
+    return joined.select("d", F.expr(expression).alias("value")).orderBy("d")

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+* **brute-force cosine top-k** — the exact baseline: one projection computing
+  the dot product with native higher-order functions (``zip_with`` +
+  ``aggregate``), then TakeOrderedAndProject. No shuffle besides the final
+  top-k; fully codegen'd, no Python.
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic md5-seeded planes) bucket vectors; search touches only the
+  query's bucket ring. At 10^12 rows the brute path is a full scan per query;
+  the LSH path is a point lookup into a pre-bucketed (partitioned) table.
+
+All vector math is cast to double before aggregation so results are stable
+and oracle-comparable (DuckDB computes list_cosine_similarity in double).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is inlined as an array literal (it rides the serialized
+    plan — the broadcast-variable of a single row). Ties broken by id for
+    determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(topk)
+
+
+def knn_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+) -> DataFrame:
+    """Brute-force k-NN join: for every query row, its top-k corpus
+    neighbours (excluding self-id). Broadcast the smaller (query) side; the
+    per-query top-k is a window rank — one shuffle on query id."""
+    from pyspark.sql import Window
+
+    pairs = (
+        F.broadcast(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")))
+        .crossJoin(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("c_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes: md5-seeded standard normals."""
+    h = int.from_bytes(hashlib.md5(f"planes:{seed}".encode()).digest()[:8], "big")
+    rng = np.random.default_rng(h)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Bit signature: bit j = 1 iff vec · plane_j >= 0. Native expression,
+    one pass per plane over the array (codegen fuses them)."""
+    sig = None
+    for j in range(planes.shape[0]):
+        p = F.array(*[F.lit(float(v)) for v in planes[j]])
+        bit = F.when(dot(vec, p) >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def ann_bucketed(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    topk: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN: score only vectors whose hyperplane signature is within Hamming
+    distance 1 of the query's (bucket ring). At scale the signature is a
+    precomputed partition column — the scan prunes to ~(n_planes+1)/2^n of
+    the corpus; here it is computed on the fly."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.array(query_vec, dtype=np.float64)
+    qsig = sum(
+        (1 << j) for j in range(n_planes) if float(planes[j] @ qv) >= 0
+    )
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = df.withColumn("sig", sig).where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 1
+    )
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(topk)
+    )

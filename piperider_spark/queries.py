@@ -1,0 +1,757 @@
+"""Named query registry: the driver-facing correctness surface.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the exactly-equivalent ANSI SQL that DuckDB runs on the same parquet
+tables. Column names and rounding are aligned on both sides (the driver's
+compare hashes values after sorting columns by name).
+
+Parity conventions (frozen):
+* float aggregates are ``round``-ed identically on both sides (2 dp for
+  large sums, 4-6 dp for means/ratios/similarities — engine-order float
+  noise is ~1e-12 relative, far below the rounding grain);
+* hashing is md5-based (``functions.text.md5_60bit``) — the only hash both
+  engines share bit-for-bit;
+* tokenization is ``regexp_split(trim(lower(text)), '\\s+')`` with an
+  explicit empty-string guard in both dialects;
+* top-k / window ranks order by the *rounded* score with an id tiebreak, so
+  ordering is deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from piperider_spark.functions.text import (
+    EN_STOPWORDS_SQL,
+    char_count,
+    distinct_token_count,
+    en_stopword_hits,
+    fingerprint,
+    punct_count,
+    quality_score,
+    repetition_ratio,
+    token_count,
+)
+from piperider_spark.operators import dedup, similarity
+from piperider_spark.operators.metrics_engine import metric_series
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Profiler metric queries (SURVEY §2.4) — fused single-scan aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_numeric_orders",
+    """
+    SELECT count(*) AS total,
+           count(o_totalprice) AS non_nulls,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           count(*) FILTER (WHERE o_totalprice = 0) AS zeros,
+           count(*) FILTER (WHERE o_totalprice < 0) AS negatives,
+           round(min(o_totalprice), 2) AS min_v,
+           round(max(o_totalprice), 2) AS max_v,
+           round(sum(o_totalprice), 2) AS sum_v,
+           round(avg(o_totalprice), 4) AS avg_v,
+           round(stddev_samp(o_totalprice), 4) AS stddev_v,
+           percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS p5,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+    FROM orders
+    """,
+)
+def profile_numeric_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference combined numeric aggregates (profiler.py:952-979) +
+    percentile_disc quantiles (profiler.py:1184-1186), one fused scan."""
+    c = F.col("o_totalprice")
+    return load(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(c).alias("non_nulls"),
+        F.count_distinct(c).alias("n_distinct"),
+        F.count_if(c == 0).alias("zeros"),
+        F.count_if(c < 0).alias("negatives"),
+        F.round(F.min(c), 2).alias("min_v"),
+        F.round(F.max(c), 2).alias("max_v"),
+        F.round(F.sum(c), 2).alias("sum_v"),
+        F.round(F.avg(c), 4).alias("avg_v"),
+        F.round(F.stddev(c), 4).alias("stddev_v"),
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)").alias(k)
+            for k, p in (("p5", 0.05), ("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
+        ],
+    )
+
+
+@register(
+    "profile_string_customer",
+    """
+    SELECT count(*) AS total,
+           count(c_name) AS non_nulls,
+           count(DISTINCT c_name) AS n_distinct,
+           count(*) FILTER (WHERE length(c_name) = 0) AS zero_length,
+           min(length(c_name)) AS min_len,
+           max(length(c_name)) AS max_len,
+           round(avg(length(c_name)), 4) AS avg_len,
+           round(stddev_samp(length(c_name)), 4) AS stddev_len
+    FROM customer
+    """,
+)
+def profile_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference string-length metrics (profiler.py:810-856)."""
+    ln = F.length(F.col("c_name"))
+    return load(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("c_name").alias("non_nulls"),
+        F.count_distinct("c_name").alias("n_distinct"),
+        F.count_if(ln == 0).alias("zero_length"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.round(F.avg(ln), 4).alias("avg_len"),
+        F.round(F.stddev(ln.cast("double")), 4).alias("stddev_len"),
+    )
+
+
+@register(
+    "profile_datetime_events",
+    """
+    SELECT count(*) AS total,
+           count(ts) AS non_nulls,
+           count(DISTINCT ts) AS n_distinct,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM events
+    """,
+)
+def profile_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference datetime metrics (profiler.py:1308-1330)."""
+    return load(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("ts").alias("non_nulls"),
+        F.count_distinct("ts").alias("n_distinct"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register(
+    "topk_event_type",
+    """
+    SELECT event_type AS value, count(*) AS cnt
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY cnt DESC, value ASC LIMIT 10
+    """,
+)
+def topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference top-k (profiler.py:1620-1643): GROUP BY ORDER BY count
+    DESC LIMIT k — Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(10)
+    )
+
+
+@register(
+    "histogram_part_size",
+    """
+    WITH stats AS (
+      SELECT min(p_size) AS mn, max(p_size) AS mx FROM part
+    ), params AS (
+      SELECT mn, mx,
+             CASE WHEN mx > mn THEN (mx - mn + 49) // 50 ELSE 1 END AS itv
+      FROM stats
+    )
+    SELECT CAST(least((p_size - mn) // itv,
+                      (mx - mn + 1 + itv - 1) // itv - 1) AS bigint) AS bucket,
+           count(*) AS cnt
+    FROM part, params
+    WHERE p_size IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_part_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer histogram with the reference's interval rule
+    (interval=ceil((max-min)/50), buckets=ceil((max-min+1)/interval) —
+    profiler.py:1655-1663). Two-phase: min/max first (reference does the
+    same at profiler.py:1030-1032), then one bucketed group-by."""
+    df = load(spark, sf_dir, "part")
+    mn, mx = df.agg(F.min("p_size"), F.max("p_size")).collect()[0]
+    itv = (mx - mn + 49) // 50 if mx > mn else 1
+    nb = (mx - mn + 1 + itv - 1) // itv
+    bucket = F.least(
+        F.floor((F.col("p_size") - F.lit(mn)) / F.lit(itv)), F.lit(nb - 1)
+    ).cast("bigint")
+    return (
+        df.where(F.col("p_size").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "quantiles_lineitem",
+    """
+    SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p5,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+    FROM lineitem
+    """,
+)
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles — the reference's default quantile branch
+    (percentile_disc WITHIN GROUP, profiler.py:1184-1186)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)").alias(k)
+            for k, p in (("p5", 0.05), ("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
+        ]
+    )
+
+
+@register(
+    "non_duplicates_orders_custkey",
+    """
+    SELECT (SELECT count(o_custkey) FROM orders) AS valids,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct,
+           (SELECT count(*) FROM (
+              SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+              GROUP BY o_custkey HAVING count(*) = 1)) AS non_duplicates
+    """,
+)
+def non_duplicates_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference non-duplicates (GROUP BY value HAVING count=1 — profiler.py
+    :1731-1758) fused with valids/distinct in one value-counts shuffle."""
+    vc = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return vc.agg(
+        F.sum("cnt").alias("valids"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.count_if(F.col("cnt") == 1).alias("non_duplicates"),
+    )
+
+
+@register(
+    "duplicate_rows_orders",
+    """
+    SELECT coalesce(sum(cnt), 0) AS duplicate_rows FROM (
+      SELECT count(*) AS cnt FROM orders
+      GROUP BY o_custkey, o_orderstatus, o_orderpriority
+      HAVING count(*) > 1)
+    """,
+)
+def duplicate_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference table-level duplicate_rows (GROUP BY all HAVING count>1 →
+    SUM(count), profiler.py:522-537) over a projected key set."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("duplicate_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic / relational queries (joins, windows, date spines, JSON)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped fused aggregation — one scan, map-side partial agg,
+    tiny shuffle (≤ #groups × #partitions rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(orders) ⋈ dim(customer) ⋈ dim(nation). nation is
+    broadcast explicitly (25 rows); customer is left to AQE, which picks
+    broadcast at small SF and shuffle-hash at scale."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 2
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (the class of window op the rebuild adds over the
+    reference — SURVEY §2.5). Deterministic tiebreak on o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "metric_daily_events",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ), spine AS (
+      SELECT CAST(unnest(generate_series((SELECT lo FROM bounds),
+                                         (SELECT hi FROM bounds),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    ), agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(value) AS m
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT spine.d AS d, CAST(coalesce(agg.m, 0) AS DOUBLE) AS value
+    FROM spine LEFT JOIN agg ON spine.d = agg.d
+    """,
+)
+def metric_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics engine: grain aggregation + date-spine left join + zero-fill
+    (reference metrics.py:183-221; spine via sequence/explode instead of the
+    UNION ALL of literals at metrics.py:251-269)."""
+    return metric_series(load(spark, sf_dir, "events"), "ts", "value", "count", "day")
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session. One lag window
+    (shuffle on user_id) + one group-by reusing the same partitioning —
+    Catalyst collapses them into a single exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "json_props_events",
+    """
+    SELECT event_type,
+           sum(CAST(props ->> '$.k' AS INTEGER)) AS sum_k,
+           count(*) FILTER (WHERE props ->> '$.k' IS NOT NULL) AS n_valid,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + validity algebra (the reference's
+    valids/invalids pattern, profiler.py:748-750, over a JSON payload —
+    the transcript pipeline's tool-call check uses the same shape)."""
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(k.cast("int")).alias("sum_k"),
+            F.count_if(k.isNotNull()).alias("n_valid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (training-data ops)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"""regexp_split_to_array(trim(lower(text)), '\s+')"""
+_EN_PAT = r"(?i)\b(" + "|".join(EN_STOPWORDS_SQL) + r")\b"
+
+
+@register(
+    "text_stats_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN [] ELSE {_TOKS_SQL} END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(length(text), 0) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+           END AS rep_ratio,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           len(regexp_extract_all(text, '{_EN_PAT}')) AS en_hits
+    FROM t
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + repetition + punctuation + stopword evidence — all
+    native expressions (functions/text.py), zero Python."""
+    df = load(spark, sf_dir, "documents")
+    lower = df.withColumn("text_l", F.lower(F.col("text")))
+    return lower.select(
+        "doc_id",
+        char_count("text").alias("n_chars"),
+        token_count("text_l").alias("n_tokens"),
+        distinct_token_count("text_l").alias("n_distinct_tokens"),
+        F.round(repetition_ratio("text_l"), 6).alias("rep_ratio"),
+        punct_count("text").alias("n_punct"),
+        en_stopword_hits("text").alias("en_hits"),
+    )
+
+
+@register(
+    "quality_filter_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN [] ELSE {_TOKS_SQL} END AS toks,
+             len(regexp_extract_all(text, '{_EN_PAT}')) AS en_hits
+      FROM documents
+    ), s AS (
+      SELECT doc_id, en_hits, len(toks) AS n_tok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+             END AS rep
+      FROM t
+    )
+    SELECT doc_id,
+           (n_tok < 5) AS r_short,
+           (n_tok >= 20 AND rep > 0.6) AS r_repetitive,
+           (n_tok >= 5 AND en_hits = 0) AS r_no_stopwords,
+           NOT ((n_tok < 5) OR (n_tok >= 20 AND rep > 0.6)
+                OR (n_tok >= 5 AND en_hits = 0)) AS keep
+    FROM s
+    """,
+)
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule layer (rules/heuristics.py pattern) instantiated on the
+    documents table with SQL-expressible predicates, so the keep/drop
+    algebra itself sits under the oracle gate."""
+    df = load(spark, sf_dir, "documents").withColumn("text_l", F.lower(F.col("text")))
+    n_tok = token_count("text_l")
+    rep = repetition_ratio("text_l")
+    hits = en_stopword_hits("text")
+    r_short = n_tok < 5
+    r_rep = (n_tok >= 20) & (rep > 0.6)
+    r_stop = (n_tok >= 5) & (hits == 0)
+    return df.select(
+        "doc_id",
+        r_short.alias("r_short"),
+        r_rep.alias("r_repetitive"),
+        r_stop.alias("r_no_stopwords"),
+        (~(r_short | r_rep | r_stop)).alias("keep"),
+    )
+
+
+@register(
+    "fingerprint_documents",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text
+    (the exact-dedup key)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", fingerprint("text").alias("fp"))
+    )
+
+
+@register(
+    "exact_dup_groups_documents",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint (one shuffle on a
+    16-byte key)."""
+    return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = r"""
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) = 0 THEN []
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+        END) AS s
+      FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0
+                        THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+            FROM documents)
+"""
+
+
+@register(
+    "minhash_signatures_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           min(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS sig_0,
+           min(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS sig_1,
+           min(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS sig_2,
+           min(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS sig_3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 salted-md5 permutations over 3-token shingles)
+    — one explode + one map-side-combinable groupBy."""
+    return dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), n_hashes=4
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs_documents",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+    FROM p JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the
+    oracle-verifiable small-scale variant; minhash_lsh_pairs is the scale
+    path."""
+    return dedup.shingle_pairs_jaccard(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "simhash_documents",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+      FROM tok WHERE length(t) > 0
+    ), votes AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures: bitwise majority over token md5 hashes,
+    computed as 32 fused aggregate expressions in one shuffle."""
+    return dedup.simhash_signatures(load(spark, sf_dir, "documents"), bits=32).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk_embeddings",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6)
+             AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): native zip_with /
+    aggregate dot product, TakeOrderedAndProject top-k."""
+    df = load(spark, sf_dir, "embeddings")
+    qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(df, list(qvec), topk=10)
+
+
+@register(
+    "knn_join_embeddings",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, c_id, cosine_sim, rank FROM (
+      SELECT q.q_id, e.vec_id AS c_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6)
+               AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6)
+                        DESC, e.vec_id) AS rank
+      FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+    WHERE rank <= 5
+    """,
+)
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN join: 5 query vectors × corpus, per-query top-5 via
+    window rank; query side broadcast."""
+    df = load(spark, sf_dir, "embeddings")
+    return similarity.knn_join_topk(
+        df.where(F.col("vec_id") < 5), df, topk=5
+    ).select("q_id", "c_id", "cosine_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle; non-SQL-expressible or engine-specific)
+# ---------------------------------------------------------------------------
+
+
+@register("minhash_lsh_pairs_documents")
+def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded bucket join + exact verify) — the
+    scale path for corpus dedup. Verified against the exact Jaccard query in
+    tests (recall ≥ threshold-dependent bound); no SQL oracle (banding is
+    engine-side)."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=8, n_bands=4, threshold=0.5
+    )
+
+
+@register("simhash_candidates_documents")
+def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-band candidate pairs (near-dup at Hamming ≤ 3)."""
+    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"), bits=32)
+    return dedup.simhash_candidates(sigs, n_bands=4, bits=32).where(F.col("hamming") <= 3)
+
+
+@register("ann_bucketed_embeddings")
+def ann_bucketed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (hyperplane signatures,
+    Hamming-1 bucket ring) — the 10^12-row scale path for similarity
+    search."""
+    df = load(spark, sf_dir, "embeddings")
+    qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ann_bucketed(df, list(qvec), n_planes=8, topk=10)
