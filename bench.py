@@ -1,0 +1,194 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the transcript quality-filter pipeline's
+turns/sec, plus the N-vs-4N scaling measurement (BASELINE.md evidence
+protocol: identical job at local[N] and local[4N] on the same input).
+Prints ONE JSON line:
+
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "pipeline": {"turns": n, "sec": s, "turns_per_sec": r},
+   "scaling": {"n_cores": 8, "n4_cores": 32, "tps_n": ..., "tps_4n": ...,
+               "efficiency": ...}}
+
+``--pipeline-only --cores N`` runs just the pipeline at a fixed parallelism
+and prints its own JSON line — used as the subprocess worker for the scaling
+measurement (two masters can't coexist in one JVM).
+
+Set SPARK_GRAFT_SCALING=0 to skip the scaling subprocesses (fast iteration).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "profile_numeric_orders",
+    "profile_string_customer",
+    "topk_event_type",
+    "histogram_part_size",
+    "quantiles_lineitem",
+    "non_duplicates_orders_custkey",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "metric_daily_events",
+    "sessionize_events",
+    "json_props_events",
+    "text_stats_documents",
+    "quality_filter_documents",
+    "minhash_signatures_documents",
+    "ngram_jaccard_pairs_documents",
+    "simhash_documents",
+    "cosine_topk_embeddings",
+    "knn_join_embeddings",
+]
+
+# scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.
+# 2M turns ≈ 4-5 min of single-core signal work — large enough that fixed
+# job overhead (~1-2 s) is noise at both parallelism levels.
+SCALING_N = 8
+SCALING_4N = 32
+SCALING_TURNS = 2_000_000
+
+
+def transcripts_path(n_turns: int, seed: int = 42) -> str:
+    """Deterministic synthetic transcripts, cached under the repo."""
+    cache = REPO / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    path = cache / f"transcripts_{n_turns}_{seed}.parquet"
+    if not path.exists():
+        from piperider_spark.datagen import write_transcripts_parquet
+
+        write_transcripts_parquet(str(path), n_turns=n_turns, seed=seed)
+    return str(path)
+
+
+def run_pipeline_bench(spark, input_path: str) -> dict:
+    """Time the single-pass quality-filter plan, forcing full execution
+    (noop sink materializes every column incl. the scrub UDF output)."""
+    from piperider_spark.pipeline import build_decisions
+
+    src = spark.read.parquet(input_path)
+    n_turns = src.count()
+    # warm-up: JVM/codegen + python worker spin-up, excluded from timing
+    build_decisions(src.limit(2000)).write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    build_decisions(src).write.mode("overwrite").format("noop").save()
+    sec = time.time() - t0
+    return {"turns": n_turns, "sec": round(sec, 3), "turns_per_sec": round(n_turns / sec, 1)}
+
+
+def pipeline_only(cores: int, n_turns: int) -> None:
+    from piperider_spark.session import get_spark
+
+    path = transcripts_path(n_turns)
+    spark = get_spark(
+        f"bench_pipeline_{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        # small local files: split the scan finer than the 128 MB cluster
+        # default so the map side is parallel too
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
+    res = run_pipeline_bench(spark, path)
+    res["cores"] = cores
+    print(json.dumps(res))
+    spark.stop()
+
+
+def scaling_measurement() -> dict:
+    """Run the identical pipeline job at N and 4N cores in fresh processes."""
+    out = {}
+    for cores in (SCALING_N, SCALING_4N):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "bench.py"),
+                "--pipeline-only",
+                "--cores",
+                str(cores),
+                "--turns",
+                str(SCALING_TURNS),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=str(REPO),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[cores] = json.loads(line)
+    tps_n = out[SCALING_N]["turns_per_sec"]
+    tps_4n = out[SCALING_4N]["turns_per_sec"]
+    return {
+        "n_cores": SCALING_N,
+        "n4_cores": SCALING_4N,
+        "turns": SCALING_TURNS,
+        "tps_n": tps_n,
+        "tps_4n": tps_4n,
+        "efficiency": round(tps_4n / (4 * tps_n), 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--turns", type=int, default=SCALING_TURNS)
+    args = ap.parse_args()
+
+    if args.pipeline_only:
+        pipeline_only(args.cores or SCALING_4N, args.turns)
+        return
+
+    from piperider_spark import queries as qmod
+    from piperider_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+    registry = qmod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        fn(spark, sf_dir).limit(1).collect()  # warm plan/IO, not timed
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # pipeline throughput at the bench parallelism on sf-scaled transcripts
+    n_turns = int(4_000_000 * sf) if sf else 400_000
+    pipeline = run_pipeline_bench(spark, transcripts_path(n_turns))
+    spark.stop()
+
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline": pipeline,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        result["scaling"] = scaling_measurement()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

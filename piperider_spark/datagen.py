@@ -183,11 +183,18 @@ def generate_transcripts(n_turns: int = 10_000, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def write_transcripts_parquet(path: str, n_turns: int = 10_000, seed: int = 42) -> str:
+def write_transcripts_parquet(
+    path: str, n_turns: int = 10_000, seed: int = 42, row_group_size: int | None = None
+) -> str:
+    """Write the synthetic table. ``row_group_size`` controls scan
+    parallelism: Spark splits a parquet file only at row-group boundaries,
+    so a single-group file would serialize the whole read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = generate_transcripts(n_turns, seed)
+    if row_group_size is None:
+        row_group_size = max(len(pdf) // 64, 4096)
     schema = pa.schema(
         [
             pa.field("conv_id", pa.string()),
@@ -198,5 +205,9 @@ def write_transcripts_parquet(path: str, n_turns: int = 10_000, seed: int = 42) 
             pa.field("ts", pa.timestamp("us")),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        path,
+        row_group_size=row_group_size,
+    )
     return path

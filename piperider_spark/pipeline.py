@@ -46,7 +46,18 @@ def build_decisions(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
     Row-local everything except the duplicate-turn lag window; scrub runs
     only on kept rows (short-circuit: dropped turns don't pay the UDF).
     """
-    sig = with_signals(df)
+    # Window FIRST: the duplicate-turn lag is the plan's only wide exchange,
+    # and everything downstream (the signal UDFs, rules, scrub) then runs at
+    # shuffle-partition parallelism (2-3× cores, hash-balanced on conv_id)
+    # instead of input-split parallelism — on a 100 TB table the scan's
+    # split count is fine, but on any source with few/large splits this
+    # ordering keeps the expensive Python stages fully parallel.
+    from piperider_spark.rules.heuristics import duplicate_turn_col
+
+    with_dup = df.withColumn(
+        "r_duplicate_turn", F.coalesce(duplicate_turn_col(spec), F.lit(False))
+    )
+    sig = with_signals(with_dup)
     ruled = apply_rules(sig, spec)
     return ruled.withColumn(
         "text_scrubbed",

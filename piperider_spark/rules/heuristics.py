@@ -80,7 +80,10 @@ def apply_rules(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
     Expects `lang` and `ppl` columns to be present (signals stage).
     """
     cols = rule_columns(spec)
-    cols["duplicate_turn"] = duplicate_turn_col(spec)
+    if "r_duplicate_turn" not in df.columns:
+        # not precomputed upstream (pipeline.build_decisions places the lag
+        # window before the signal UDFs) — add it here
+        cols["duplicate_turn"] = duplicate_turn_col(spec)
     flagged = df.withColumns({f"r_{name}": F.coalesce(c, F.lit(False)) for name, c in cols.items()})
 
     reasons = F.array_compact(

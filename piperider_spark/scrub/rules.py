@@ -86,6 +86,34 @@ def scrub_text(text: str | None) -> str | None:
     return out
 
 
+def scrub_series(texts) -> "object":
+    """Vectorized scrub of a pandas Series, byte-identical to per-row
+    :func:`scrub_text`.
+
+    Non-null rows are joined into one '\\x00'-separated blob and each rule
+    runs ONCE over it at C speed (none of the frozen patterns can match or
+    span the separator: every pattern's character classes exclude \\x00, and
+    \\b treats it as a non-word boundary exactly like start-of-string). Rows
+    that themselves contain \\x00 fall back to the serial path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mask = texts.notna().to_numpy()
+    vals = [str(v) for v in texts[texts.notna()]]
+    if not vals:
+        return texts.copy()
+    if any("\x00" in v for v in vals):
+        return texts.map(scrub_text)
+    blob = "\x00".join(vals)
+    for _name, pattern, repl in SCRUB_RULES:
+        blob = pattern.sub(repl, blob)
+    blob = _TOXIC_RE.sub(TOXIC_REPLACEMENT, blob)
+    out = np.full(len(texts), None, dtype=object)
+    out[mask] = blob.split("\x00")
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
 def scrub_counts(text: str | None) -> dict[str, int]:
     """Per-rule hit counts (for metrics rows), applied in the same order."""
     counts: dict[str, int] = {}

@@ -16,18 +16,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from piperider_spark.scrub.rules import SCRUB_RULES, TOXIC_REPLACEMENT, _TOXIC_RE
+from piperider_spark.scrub.rules import scrub_series
 
 
 @pandas_udf(StringType())
 def scrub_udf(texts: pd.Series) -> pd.Series:
-    # pandas .str.replace is the vectorized path over the Arrow batch; each
-    # rule is one vectorized pass, same order as the frozen spec.
-    out = texts
-    for _name, pattern, repl in SCRUB_RULES:
-        out = out.str.replace(pattern, repl, regex=True)
-    out = out.str.replace(_TOXIC_RE, TOXIC_REPLACEMENT, regex=True)
-    return out
+    # one blob-pass per rule over the whole Arrow batch (scrub/rules.py);
+    # same frozen rule order as the serial spec, byte-identical output.
+    return scrub_series(texts)
 
 
 def scrub_col(text: Column | str) -> Column:

@@ -30,10 +30,17 @@ import pandas as pd
 # Language ID
 # ---------------------------------------------------------------------------
 
-# Frozen per-language stopword regexes (whole-word, case-insensitive).
-# Scoring: hits(lang) / tokens; argmax wins with ties broken by LANGS order;
-# CJK decided first by script-range density. <5 tokens => 'short' (exempt
-# from the non-English drop rule; too little evidence).
+# Frozen langid spec (v2):
+#   * normalization: lower(), then every char outside [a-z'] becomes a space
+#     (so word matching needs no IGNORECASE and \b ≡ space boundary);
+#   * tokens: maximal [a-z']+ runs of the normalized text;
+#   * hits: whole-word stopword matches against ONE combined pattern with
+#     one named group per language — on a word in several languages' lists
+#     the FIRST group in LANGS order wins (deterministic priority);
+#   * score(lang) = hits / max(tokens, 1); argmax, ties → LANGS order;
+#   * label: best score <= 0 → 'unknown'; < 5 tokens → 'short' (too little
+#     evidence; exempt from the non-English rule); CJK char density > 0.2 of
+#     raw chars → 'cjk' (checked last — CJK text has few latin tokens).
 LANGS: tuple[str, ...] = ("en", "fr", "de", "es")
 
 _STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -47,34 +54,119 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
            "con", "por", "se", "no", "como", "su", "del", "pero"),
 }
 
-_LANG_RES: dict[str, re.Pattern[str]] = {
-    lang: re.compile(r"\b(" + "|".join(words) + r")\b", re.IGNORECASE)
-    for lang, words in _STOPWORDS.items()
-}
-_TOKEN_RE = re.compile(r"\S+")
+_COMBINED_LANG_RE = re.compile(
+    rb"\b(?:"
+    + b"|".join(
+        f"(?P<{lang}>".encode() + "|".join(_STOPWORDS[lang]).encode() + b")" for lang in LANGS
+    )
+    + rb")\b"
+)
+_GROUP_ID = {lang: i for i, lang in enumerate(LANGS)}
 _CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+
+# Byte-level normalization table over the UTF-8 encoding: a-z and the ASCII
+# apostrophe survive, A-Z lowercase, the \x00 row separator survives, every
+# other byte (incl. all non-ASCII lead/continuation bytes) becomes a space.
+# One bytes.translate call normalizes the whole batch at memcpy speed.
+_NORM_TABLE = bytes(
+    b if (ord("a") <= b <= ord("z")) or b == ord("'") or b == 0
+    else (b + 32 if ord("A") <= b <= ord("Z") else ord(" "))
+    for b in range(256)
+)
 
 MIN_TOKENS_FOR_LANGID = 5
 
 
+def _detect_lang_serial(text: str | None) -> str:
+    """Reference serial implementation of the frozen spec (one row).
+
+    Used as the fallback when a row contains the blob separator, and by
+    tests to pin the batched implementation."""
+    raw = text or ""
+    n_chars = max(len(raw), 1)
+    cjk = len(_CJK_RE.findall(raw))
+    norm = raw.replace("\x00", " ").encode("utf-8", "surrogatepass").translate(_NORM_TABLE)
+    n_tokens = len(re.findall(rb"[a-z']+", norm))
+    hits = [0] * len(LANGS)
+    for m in _COMBINED_LANG_RE.finditer(norm):
+        hits[_GROUP_ID[m.lastgroup]] += 1
+    scores = [h / max(n_tokens, 1) for h in hits]
+    best = max(range(len(LANGS)), key=lambda i: (scores[i], -i))
+    label = LANGS[best] if scores[best] > 0 else "unknown"
+    if n_tokens < MIN_TOKENS_FOR_LANGID:
+        label = "short"
+    if cjk / n_chars > 0.2:
+        label = "cjk"
+    return label
+
+
 def detect_lang_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized language guess: one of en/fr/de/es/cjk/unknown/short."""
+    """Vectorized language guess: one of en/fr/de/es/cjk/unknown/short.
+
+    Implementation: all rows are joined into one '\\x00'-separated UTF-8
+    byte blob; normalization is one bytes.translate (memcpy speed), token
+    runs are counted with pure numpy boolean algebra, and the combined
+    stopword pattern runs ONCE over the blob with matches binned back to
+    rows via searchsorted — the per-executor hot path of the langid UDF.
+    """
     s = texts.fillna("")
-    n_tokens = s.str.count(_TOKEN_RE)
-    n_chars = s.str.len().clip(lower=1)
-    cjk_ratio = s.str.count(_CJK_RE) / n_chars
+    vals = s.tolist()
+    n = len(vals)
+    if n == 0:
+        return pd.Series([], dtype=object, index=texts.index)
+    if any("\x00" in v for v in vals):  # separator char in data → serial path
+        return s.map(_detect_lang_serial)
+    raw_blob = "\x00".join(vals)
 
-    hit_matrix = np.stack(
-        [(s.str.count(_LANG_RES[lang]) / n_tokens.clip(lower=1)).to_numpy() for lang in LANGS]
-    )  # shape (n_langs, n_rows)
-    best_idx = hit_matrix.argmax(axis=0)  # ties -> lowest index == LANGS order
-    best_score = hit_matrix.max(axis=0)
+    lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lengths[:-1] + 1, out=starts[1:])
 
-    lang = pd.Series(np.array(LANGS, dtype=object)[best_idx], index=s.index)
-    lang = lang.mask(best_score <= 0.0, "unknown")
-    lang = lang.mask(cjk_ratio.to_numpy() > 0.2, "cjk")
-    lang = lang.mask(n_tokens.to_numpy() < MIN_TOKENS_FOR_LANGID, "short")
-    return lang.astype(object)
+    # CJK density on the raw blob (few matches; finditer loop is cheap)
+    cjk_pos = np.fromiter(
+        (m.start() for m in _CJK_RE.finditer(raw_blob)), dtype=np.int64, count=-1
+    )
+    cjk_counts = (
+        np.bincount(np.searchsorted(starts, cjk_pos, side="right") - 1, minlength=n)
+        if len(cjk_pos)
+        else np.zeros(n, dtype=np.int64)
+    )
+    cjk_ratio = cjk_counts / np.maximum(lengths, 1)
+
+    norm_b = raw_blob.encode("utf-8", "surrogatepass").translate(_NORM_TABLE)
+    arr = np.frombuffer(norm_b, dtype=np.uint8)
+    sep = np.flatnonzero(arr == 0)
+
+    # token counts: run-starts of non-space bytes, pure numpy
+    istok = (arr != ord(" ")) & (arr != 0)
+    run_start = istok.copy()
+    run_start[1:] &= ~istok[:-1]
+    tok_pos = np.flatnonzero(run_start)
+    n_tokens = (
+        np.bincount(np.searchsorted(sep, tok_pos, side="right"), minlength=n)
+        if len(tok_pos)
+        else np.zeros(n, dtype=np.int64)
+    )
+
+    # stopword hits: ONE combined scan; named group → language
+    matches = [(m.start(), _GROUP_ID[m.lastgroup]) for m in _COMBINED_LANG_RE.finditer(norm_b)]
+    hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
+    if matches:
+        pos = np.fromiter((p for p, _g in matches), dtype=np.int64, count=len(matches))
+        gid = np.fromiter((g for _p, g in matches), dtype=np.int64, count=len(matches))
+        rows = np.searchsorted(sep, pos, side="right")
+        np.add.at(hit_matrix, (gid, rows), 1)
+
+    score = hit_matrix / np.maximum(n_tokens, 1)
+    best_idx = score.argmax(axis=0)  # ties → lowest index == LANGS order
+    best_score = score.max(axis=0)
+
+    lang = np.array(LANGS, dtype=object)[best_idx]
+    lang[best_score <= 0.0] = "unknown"
+    lang[n_tokens < MIN_TOKENS_FOR_LANGID] = "short"
+    lang[cjk_ratio > 0.2] = "cjk"
+    return pd.Series(lang, index=texts.index, dtype=object)
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +194,7 @@ _TRAIN_CORPUS = (
 
 _ALPHABET_SIZE = 27  # a-z + space
 _NON_ALPHA_RE = re.compile(r"[^a-z ]+")
+_NON_ALPHA_X_RE = re.compile(r"[^a-z \x00]+")  # blob variant: keeps row separator
 _SPACE_RUN_RE = re.compile(r" {2,}")
 
 
@@ -121,6 +214,10 @@ def _train_bigram_logprobs() -> np.ndarray:
 
 
 _BIGRAM_LP = _train_bigram_logprobs()
+# float32 flat view for the batched gather; scoring in float32 is part of
+# the frozen spec (oracle and UDF share this module, so values agree
+# bit-for-bit on both sides)
+_BIGRAM_LP_FLAT32 = _BIGRAM_LP.astype(np.float32).ravel()
 
 MIN_ALPHA_CHARS_FOR_PPL = 20
 
@@ -131,23 +228,29 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     The whole batch is scored as one flat numpy array with row-boundary
     masking + ``np.add.reduceat`` — no per-row Python loop.
     """
-    s = (
-        texts.fillna("")
-        .str.lower()
-        .str.replace(_NON_ALPHA_RE, " ", regex=True)
-        .str.replace(_SPACE_RUN_RE, " ", regex=True)
-    )
-    lengths = s.str.len().to_numpy(dtype=np.int64)
-    n = len(s)
+    n = len(texts)
     if n == 0:
         return pd.Series([], dtype=np.float64, index=texts.index)
 
-    blob = "".join(s.tolist())
+    # One blob, '\x00'-separated: lower() once, the two cleaning regexes run
+    # once at C speed. '\x00' is excluded from both pattern classes, so runs
+    # never merge across rows — per-row results are byte-identical to the
+    # serial definition (NON_ALPHA→' ' then collapse space runs).
+    raw = "\x00".join(texts.fillna("").tolist()).lower()
+    cleaned = _SPACE_RUN_RE.sub(" ", _NON_ALPHA_X_RE.sub(" ", raw))
+    rows = cleaned.split("\x00")
+    lengths = np.fromiter((len(r) for r in rows), dtype=np.int64, count=n)
+
+    blob = "".join(rows)
     if not blob:
         return pd.Series(np.ones(n), index=texts.index)
 
-    arr = np.frombuffer(blob.encode("ascii", "replace"), dtype=np.uint8).astype(np.int64)
-    idx = arr - ord("a")
+    # narrow dtypes throughout: int16 codes + a float32 flat table keep the
+    # 30M-element intermediates ~8× smaller (large-allocation gathers are
+    # pathologically slow on this host)
+    arr = np.frombuffer(blob.encode("ascii", "replace"), dtype=np.uint8)
+    idx = arr.astype(np.int16)
+    idx -= ord("a")
     idx[(idx < 0) | (idx > 25)] = 26
 
     starts = np.zeros(n, dtype=np.int64)
@@ -155,12 +258,12 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     ends = starts + lengths
 
     # bigram (i, i+1) is valid iff i+1 is not the first char of the next row
-    lp = np.zeros(len(arr), dtype=np.float64)
+    lp = np.zeros(len(arr), dtype=np.float32)
     if len(arr) >= 2:
-        lp[:-1] = _BIGRAM_LP[idx[:-1], idx[1:]]
-    valid = np.ones(len(arr), dtype=bool)
-    valid[ends - 1] = False  # last char of each row starts no bigram
-    lp = lp * valid
+        code = idx[:-1] * np.int16(_ALPHABET_SIZE)
+        code += idx[1:]
+        lp[:-1] = _BIGRAM_LP_FLAT32[code]
+    lp[ends - 1] = 0.0  # last char of each row starts no bigram
 
     # per-row sums; reduceat needs strictly valid offsets (empty rows share
     # offsets with their successor — reduceat handles equal offsets by

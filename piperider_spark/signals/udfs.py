@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from piperider_spark.signals.core import detect_lang_batch, perplexity_batch
 
@@ -27,6 +27,20 @@ def perplexity_udf(texts: pd.Series) -> pd.Series:
     return perplexity_batch(texts)
 
 
+_SIG_TYPE = StructType(
+    [StructField("lang", StringType()), StructField("ppl", DoubleType())]
+)
+
+
+@pandas_udf(_SIG_TYPE)
+def signals_udf(texts: pd.Series) -> pd.DataFrame:
+    """Both signals from ONE Arrow crossing: the text batch is shipped to
+    the Python worker once and both scorers run on it."""
+    return pd.DataFrame(
+        {"lang": detect_lang_batch(texts), "ppl": perplexity_batch(texts)}
+    )
+
+
 def lang_id_col(text: Column | str = "text") -> Column:
     return lang_id_udf(F.col(text) if isinstance(text, str) else text)
 
@@ -36,10 +50,9 @@ def perplexity_col(text: Column | str = "text") -> Column:
 
 
 def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach lang + ppl columns in one projection (one python-worker stage)."""
-    return df.withColumns(
-        {
-            "lang": lang_id_col(text_col),
-            "ppl": perplexity_col(text_col),
-        }
-    )
+    """Attach lang + ppl columns via the fused struct UDF (one python-worker
+    stage, one text transfer)."""
+    sig = signals_udf(F.col(text_col))
+    return df.withColumn("_sig", sig).withColumns(
+        {"lang": F.col("_sig.lang"), "ppl": F.col("_sig.ppl")}
+    ).drop("_sig")

@@ -1,0 +1,179 @@
+"""Operator-library tests: dedup families, similarity search, metrics
+engine, text functions — cross-checked against numpy/pandas oracles and,
+for the SQL-expressible ones, the DuckDB twin queries (the same pairing the
+driver's correctness gate runs at sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from piperider_spark import queries as qmod
+from piperider_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# every oracle-paired query runs here at sf0.001 (fast); the driver gate
+# re-runs the same pairs at sf0.01
+ORACLE_QUERIES = sorted(qmod.oracle_sql())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(
+        [tuple(_norm_cell(r[i]) for i in order) for r in rows], key=repr
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    sdf = qmod.queries()[name](spark, SF_DIR)
+    sc, sr = _norm(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    rel = duck.sql(qmod.oracle_sql()[name])
+    dc, dr = _norm(list(rel.columns), rel.fetchall())
+    assert sc == dc
+    assert len(sr) == len(dr)
+    assert sr == dr
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover the high-similarity pairs the exact
+    Jaccard join finds (banding catches j >= ~0.9 pairs w.h.p.)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.shingle_pairs_jaccard(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, threshold=0.9).collect()
+    }
+    assert lsh <= exact or all(p in exact for p in lsh)  # verify step: no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"recall={recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_near_dup_have_small_hamming(spark):
+    """Near-identical docs (exact Jaccard >= 0.9) should sit within small
+    Hamming distance of each other's SimHash."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    near = dedup.shingle_pairs_jaccard(docs, threshold=0.9)
+    sigs = dedup.simhash_signatures(docs, bits=32)
+    joined = (
+        near.join(sigs.withColumnsRenamed({"id": "id_a", "simhash": "sh_a"}), "id_a")
+        .join(sigs.withColumnsRenamed({"id": "id_b", "simhash": "sh_b"}), "id_b")
+        .select(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("h"))
+        .collect()
+    )
+    if joined:
+        med = sorted(r.h for r in joined)[len(joined) // 2]
+        assert med <= 6, f"median hamming {med}"
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = mat[pdf["vec_id"].tolist().index(0)]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(np.round(sims, 6), [-v for v in pdf["vec_id"]]), reverse=True
+    )[:10]
+    expected = {(-vid, s) for s, vid in order}
+    got = {
+        (r.vec_id, r.cosine_sim)
+        for r in similarity.cosine_topk(emb, list(q), topk=10).collect()
+    }
+    assert got == expected
+
+
+def test_ann_bucketed_hits_top_neighbors(spark):
+    """On clustered vectors (where near neighbours exist), the hyperplane-LSH
+    bucket ring must recover the query's cluster members. (The sf testdata
+    embeddings are isotropic noise — no neighbour structure to find — so the
+    cluster fixture is synthesized here.)"""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 32)) * 3
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):
+            rows.append((vid, (c + rng.standard_normal(32) * 0.05).tolist(), ci))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    q = rows[0][1]
+    approx = [r.vec_id for r in similarity.ann_bucketed(df, q, n_planes=8, topk=10).collect()]
+    assert 0 in approx  # the query vector itself is its own nearest neighbour
+    # all returned neighbours are from the query's cluster (ids 0..19)
+    assert all(v < 20 for v in approx), approx
+    assert len(approx) == 10
+
+
+def test_metric_series_zero_fills(spark):
+    from datetime import date
+
+    from piperider_spark.operators.metrics_engine import metric_series
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-04"]),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = metric_series(df, "ts", "v", "count", "day")
+    rows = {r.d: r.value for r in out.collect()}
+    assert rows == {
+        date(2024, 1, 1): 2.0,
+        date(2024, 1, 2): 0.0,
+        date(2024, 1, 3): 0.0,
+        date(2024, 1, 4): 3.0,
+    }
+    avg = metric_series(df, "ts", "v", "average", "day")
+    arows = {r.d: r.value for r in avg.collect()}
+    assert arows[date(2024, 1, 1)] == 1.5
+    assert arows[date(2024, 1, 2)] is None  # non-additive: NULL, not zero
+
+
+def test_derived_metric_divide_guard(spark):
+    from piperider_spark.operators.metrics_engine import derived_metric, metric_series
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01", "2024-01-02"]), "v": [4.0, 0.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    num = metric_series(df, "ts", "v", "sum", "day")
+    den = metric_series(df, "ts", "v", "count", "day")
+    out = derived_metric({"a": num, "b": den}, "a / nullif(b - 1, 0)")
+    vals = [r.value for r in out.collect()]
+    assert vals == [None, None]  # b-1 == 0 on day1? no: day1 count=1 → null; day2 count=1 → null

@@ -1,0 +1,117 @@
+"""The batched blob implementations must equal the serial frozen spec.
+
+The Spark UDFs and the pandas oracle share signals/core.py and
+scrub/rules.py, so cross-engine equality is by construction; what these
+tests pin is that the blob fast paths (joined-string regex passes, numpy
+binning) are byte-identical to a row-at-a-time evaluation of the same spec,
+including edge cases (NULL, empty, control chars, unicode, separators).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from piperider_spark.scrub.rules import scrub_series, scrub_text
+from piperider_spark.signals.core import (
+    _detect_lang_serial,
+    detect_lang_batch,
+    perplexity_batch,
+)
+
+EDGE_TEXTS = [
+    None,
+    "",
+    "   ",
+    "\n\n\t",
+    "one",
+    "a b c d e f g h the and of to in",
+    "Le rapport est prêt et vous pouvez le consulter dans le dossier.",
+    "Der Bericht ist fertig und die Ergebnisse sind nicht schlecht.",
+    "El informe está listo y los resultados son muy buenos hoy.",
+    "これはテストの文章でありデータの品質を確認するために使われます。",
+    "mail me at a.b-c+d@ex-ample.co.uk or call (555) 123-4567 now",
+    "my ssn is 123-45-6789 and ip is 10.0.0.1 key sk-abcdefghij0123456789",
+    "you frak GORRAM smeghead!",
+    "word " * 50,
+    "x" * 5000,
+    "né à Paris l'équipe d'une réunion ça düşer émigré",
+    "tabs\tand\nnewlines\r\nand  spaces",
+    "ALL CAPS THE AND OF TO IN IS THAT IT WAS",
+    "123 456 789 .,;: !!!",
+    "mixed 中文 and english the of to in is that was for",
+]
+
+
+def _many_rows() -> pd.Series:
+    rng = np.random.default_rng(11)
+    base = [t for t in EDGE_TEXTS if t is not None]
+    rows = [base[i % len(base)] * int(rng.integers(1, 4)) for i in range(500)]
+    rows += [None, "", None]
+    return pd.Series(rows, dtype=object)
+
+
+def test_langid_blob_equals_serial_edge():
+    s = pd.Series(EDGE_TEXTS, dtype=object)
+    batch = detect_lang_batch(s)
+    serial = s.map(_detect_lang_serial)
+    assert batch.tolist() == serial.tolist()
+
+
+def test_langid_blob_equals_serial_bulk():
+    s = _many_rows()
+    assert detect_lang_batch(s).tolist() == s.map(_detect_lang_serial).tolist()
+
+
+def test_langid_null_byte_fallback():
+    s = pd.Series(["the and of to in is that", "bad\x00row the and of to in is", None])
+    batch = detect_lang_batch(s)
+    assert batch.tolist() == s.map(_detect_lang_serial).tolist()
+
+
+def test_scrub_blob_equals_serial_edge():
+    s = pd.Series(EDGE_TEXTS, dtype=object)
+    assert scrub_series(s).tolist() == s.map(scrub_text).tolist()
+
+
+def test_scrub_blob_equals_serial_bulk():
+    s = _many_rows()
+    assert scrub_series(s).tolist() == s.map(scrub_text).tolist()
+
+
+def test_scrub_null_byte_fallback():
+    s = pd.Series(["ok a@b.co", "bad\x00row 123-45-6789"])
+    assert scrub_series(s).tolist() == s.map(scrub_text).tolist()
+
+
+def test_scrub_boundary_spanning_is_isolated():
+    # a phone number split across adjacent rows must NOT be scrubbed —
+    # batch boundaries never leak across rows
+    s = pd.Series(["call 555", "-123-4567 now"])
+    out = scrub_series(s)
+    assert out.tolist() == ["call 555", "-123-4567 now"]
+
+
+def test_perplexity_batch_order_independent():
+    s = _many_rows()
+    a = perplexity_batch(s).to_numpy()
+    rev = perplexity_batch(s[::-1]).sort_index().to_numpy()
+    b = perplexity_batch(s.sample(frac=1.0, random_state=3)).sort_index().to_numpy()
+    assert np.allclose(a, rev, rtol=0, atol=0, equal_nan=True)
+    assert np.allclose(a, b, rtol=0, atol=0, equal_nan=True)
+
+
+def test_perplexity_single_row_equals_batch():
+    s = _many_rows()
+    whole = perplexity_batch(s)
+    for i in list(range(0, len(s), 97)) + [len(s) - 1]:
+        one = perplexity_batch(s.iloc[[i]])
+        assert float(one.iloc[0]) == float(whole.iloc[i])
+
+
+def test_perplexity_sensible_ordering():
+    fluent = "the engineers reviewed the data pipeline and found the step"
+    gibberish = "zqxv kjwq pzxm vbnq wrtk zzkq xswv qqpz"
+    s = pd.Series([fluent, gibberish])
+    p = perplexity_batch(s)
+    assert p.iloc[0] < p.iloc[1]
