@@ -54,9 +54,12 @@ def build_decisions(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
     # ordering keeps the expensive Python stages fully parallel.
     from piperider_spark.rules.heuristics import duplicate_turn_col
 
-    with_dup = df.withColumn(
-        "r_duplicate_turn", F.coalesce(duplicate_turn_col(spec), F.lit(False))
-    )
+    if "r_duplicate_turn" in df.columns:
+        with_dup = df  # precomputed upstream (e.g. streaming keyed state)
+    else:
+        with_dup = df.withColumn(
+            "r_duplicate_turn", F.coalesce(duplicate_turn_col(spec), F.lit(False))
+        )
     sig = with_signals(with_dup)
     ruled = apply_rules(sig, spec)
     return ruled.withColumn(

@@ -1,0 +1,120 @@
+"""Run-over-run report comparison ("compare-reports").
+
+Reference: piperider compare-reports joins two run.json outputs per
+table/column and derives a changeset —
+  * explicit changes: code-level diffs (dbt graph) — out of scope (no dbt);
+  * implicit changes: data drift, where a column counts as changed iff its
+    ``type / duplicates / nulls / distinct`` metrics differ
+    (/root/reference/piperider_cli/dbt/utils.py:19-42 equality rule,
+    changeset at dbt/changeset.py:902-925), or the table's row/col counts
+    moved (compare_report.py:126-149).
+
+Reports are KB-sized dicts, so the merge is driver-side like the reference;
+a DataFrame variant (`compare_reports_df`) exists for fleets of reports
+stored as rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+IMPLICIT_METRICS = ("type", "duplicates", "nulls", "distinct")
+
+
+def column_changed(base: dict | None, target: dict | None) -> bool:
+    """The reference's is_column_changed equality (dbt/utils.py:19-42)."""
+    if base is None or target is None:
+        return base is not target
+    return any(base.get(m) != target.get(m) for m in IMPLICIT_METRICS)
+
+
+def table_changed(base: dict | None, target: dict | None) -> bool:
+    """Row/col count movement (dbt/utils.py:45-60 analogue)."""
+    if base is None or target is None:
+        return base is not target
+    if base.get("row_count") != target.get("row_count"):
+        return True
+    if base.get("col_count") != target.get("col_count"):
+        return True
+    return False
+
+
+def compare_reports(base: dict, target: dict) -> dict[str, Any]:
+    """Order-preserving merge of two run reports → changeset.
+
+    Output shape: {tables: {name: {in_base, in_target, table_changed,
+    columns: {col: {in_base, in_target, changed, deltas}}}},
+    summary: {added, removed, changed, unchanged}}.
+    """
+    bt = base.get("tables", {})
+    tt = target.get("tables", {})
+    names = list(bt) + [n for n in tt if n not in bt]  # order-preserving union
+    out: dict[str, Any] = {"tables": {}, "summary": {}}
+    added = removed = changed = unchanged = 0
+    for name in names:
+        b, t = bt.get(name), tt.get(name)
+        cols: dict[str, Any] = {}
+        bc = (b or {}).get("columns", {})
+        tc = (t or {}).get("columns", {})
+        for col in list(bc) + [c for c in tc if c not in bc]:
+            cb, ct = bc.get(col), tc.get(col)
+            entry: dict[str, Any] = {
+                "in_base": cb is not None,
+                "in_target": ct is not None,
+                "changed": column_changed(cb, ct),
+            }
+            if cb and ct:
+                entry["deltas"] = {
+                    m: {"base": cb.get(m), "target": ct.get(m)}
+                    for m in IMPLICIT_METRICS
+                    if cb.get(m) != ct.get(m)
+                }
+            cols[col] = entry
+        t_changed = table_changed(b, t) or any(c["changed"] for c in cols.values())
+        out["tables"][name] = {
+            "in_base": b is not None,
+            "in_target": t is not None,
+            "table_changed": t_changed,
+            "row_count": {"base": (b or {}).get("row_count"), "target": (t or {}).get("row_count")},
+            "columns": cols,
+        }
+        if b is None:
+            added += 1
+        elif t is None:
+            removed += 1
+        elif t_changed:
+            changed += 1
+        else:
+            unchanged += 1
+    out["summary"] = {
+        "added": added, "removed": removed, "changed": changed, "unchanged": unchanged
+    }
+    return out
+
+
+def summary_markdown(changeset: dict) -> str:
+    """Compact markdown summary (the reference emits a markdown comparison
+    summary, dbt/changeset.py:547 ff)."""
+    s = changeset["summary"]
+    lines = [
+        "# Comparison summary",
+        "",
+        f"added: {s['added']}  removed: {s['removed']}  "
+        f"changed: {s['changed']}  unchanged: {s['unchanged']}",
+        "",
+        "| table | status | row_count (base → target) | changed columns |",
+        "| --- | --- | --- | --- |",
+    ]
+    for name, t in changeset["tables"].items():
+        if not t["in_base"]:
+            status = "added"
+        elif not t["in_target"]:
+            status = "removed"
+        elif t["table_changed"]:
+            status = "changed"
+        else:
+            status = "ok"
+        rc = t["row_count"]
+        cols = ", ".join(c for c, e in t["columns"].items() if e["changed"]) or "—"
+        lines.append(f"| {name} | {status} | {rc['base']} → {rc['target']} | {cols} |")
+    return "\n".join(lines)

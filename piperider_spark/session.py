@@ -47,9 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # larger Arrow batches amortize the per-batch blob-join/regex setup
-        # inside the signal/scrub UDFs (~15 MB of text per 50k-row batch)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # Arrow batch sizing: 5k rows (~1.5 MB of text) keeps each UDF
+        # batch's blob + numpy temporaries inside the worker's L3 share —
+        # measured 2-3× faster under full-machine concurrency than 50k-row
+        # batches on this memory-bandwidth-limited host
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.sql.session.timeZone", "UTC")
         # NB: keep the local heap moderate — JVM heaps >~12g measurably stall
         # the first big collection in this sandbox (first-touch page zeroing);

@@ -1,0 +1,82 @@
+"""File/catalog data sources.
+
+Reference mapping (SURVEY.md §2.1):
+  * connector registry  datasource/__init__.py:271-295 → FORMAT_READERS
+  * CSV auto-schema     datasource/duckdb.py:171-209   → csv reader with
+    header+inferSchema (Spark's inference ≈ read_csv_auto)
+  * parquet scan        datasource/duckdb.py:213-285   → spark.read.parquet
+  * table discovery     runner.py:588-592              → directory listing /
+    spark.catalog.listTables
+  * schema reflection   profiler.py:161-184            → df.schema (O(1)
+    from file/catalog metadata — no thread pool needed)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMAT_READERS = {
+    "parquet": lambda spark, path, opts: spark.read.options(**opts).parquet(path),
+    "csv": lambda spark, path, opts: spark.read.options(
+        header=True, inferSchema=True, **opts
+    ).csv(path),
+    "json": lambda spark, path, opts: spark.read.options(**opts).json(path),
+    "orc": lambda spark, path, opts: spark.read.options(**opts).orc(path),
+}
+
+_EXTENSIONS = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+
+
+@dataclass
+class DataSource:
+    """A directory of table files (one file/dir per table) or a catalog db."""
+
+    name: str
+    path: str | None = None          # directory source
+    database: str | None = None      # catalog source (Iceberg etc.)
+    fmt: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def list_tables(self, spark: SparkSession) -> list[str]:
+        if self.database is not None:
+            return [t.name for t in spark.catalog.listTables(self.database)]
+        out = []
+        for entry in sorted(os.listdir(self.path)):
+            base, ext = os.path.splitext(entry)
+            if ext in _EXTENSIONS:
+                out.append(base)
+            elif os.path.isdir(os.path.join(self.path, entry)):
+                out.append(entry)
+        return out
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        if self.database is not None:
+            return spark.table(f"{self.database}.{table}")
+        candidates = [
+            os.path.join(self.path, f"{table}{ext}") for ext in _EXTENSIONS
+        ] + [os.path.join(self.path, table)]
+        for cand in candidates:
+            if os.path.exists(cand):
+                _, ext = os.path.splitext(cand)
+                fmt = _EXTENSIONS.get(ext, self.fmt)
+                return FORMAT_READERS[fmt](spark, cand, self.options)
+        raise FileNotFoundError(f"table {table!r} not found under {self.path}")
+
+    def reflect_schema(self, spark: SparkSession, table: str) -> T.StructType:
+        return self.read_table(spark, table).schema
+
+
+def list_tables(spark: SparkSession, path: str) -> list[str]:
+    return DataSource("adhoc", path=path).list_tables(spark)
+
+
+def read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return DataSource("adhoc", path=path).read_table(spark, table)
+
+
+def reflect_schema(spark: SparkSession, path: str, table: str) -> T.StructType:
+    return DataSource("adhoc", path=path).reflect_schema(spark, table)

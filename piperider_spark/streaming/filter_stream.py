@@ -1,0 +1,174 @@
+"""Streaming quality filter (Structured Streaming).
+
+The reference is strictly batch (SURVEY.md §2.9); this is the rebuild's
+continuous-ingest path: the same frozen rule/signal/scrub spec applied to a
+stream of turns, with the one non-row-local rule (duplicate_turn, which in
+batch is a lag window) re-expressed as **keyed state** over conv_id via
+``applyInPandasWithState`` — each conversation's state is the last text
+seen, exactly the lag-1 semantics.
+
+Composition:
+  readStream (file source / any) →
+  applyInPandasWithState(conv_id)  — duplicate-turn flag from keyed state →
+  signals UDF + native rules + scrub (identical code to batch) →
+  writeStream (append) + optional watermarked per-minute metrics agg.
+
+Scale notes: state per conversation is one string (the previous turn text,
+truncated to 1 KB — byte-equality on longer turns is decided on the prefix
++ length, an explicit spec choice to bound state), so 10^9 live
+conversations ≈ tens of GB of state across the cluster, within RocksDB
+state-store norms. Watermark on ts ages out idle conversations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from piperider_spark.rules.spec import DEFAULT_SPEC, RuleSpec
+
+STATE_PREFIX_LEN = 1024
+
+_DUP_OUT_TYPE = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("r_duplicate_turn", BooleanType()),
+    ]
+)
+_DUP_STATE_TYPE = StructType(
+    [
+        StructField("last_turn_idx", IntegerType()),
+        StructField("last_text_prefix", StringType()),
+        StructField("last_text_len", IntegerType()),
+    ]
+)
+
+
+def _fingerprint(text: Any) -> tuple[str, int] | None:
+    if text is None or not isinstance(text, str):
+        return None
+    return text[:STATE_PREFIX_LEN], len(text)
+
+
+def _dup_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Lag-1 text equality within a conversation, from keyed state.
+
+    Rows inside a micro-batch are processed in turn_idx order; the state
+    carries the last turn across micro-batches.
+    """
+    (conv_id,) = key
+    if state.exists:
+        last_idx, last_prefix, last_len = state.get
+    else:
+        last_idx, last_prefix, last_len = -1, None, -1
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        flags = []
+        for text in pdf["text"]:
+            fp = _fingerprint(text)
+            dup = fp is not None and last_prefix is not None and fp == (last_prefix, last_len)
+            flags.append(bool(dup))
+            if fp is None:
+                last_prefix, last_len = None, -1
+            else:
+                last_prefix, last_len = fp
+        pdf = pdf.assign(r_duplicate_turn=flags)
+        if len(pdf):
+            last_idx = int(pdf["turn_idx"].iloc[-1])
+        out.append(pdf[[f.name for f in _DUP_OUT_TYPE.fields]])
+    state.update((last_idx, last_prefix, last_len))
+    yield from out
+
+
+def with_streaming_dup_flag(stream_df: DataFrame) -> DataFrame:
+    """Attach r_duplicate_turn via keyed conversation state."""
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _dup_state_fn,
+        outputStructType=_DUP_OUT_TYPE,
+        stateStructType=_DUP_STATE_TYPE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_decisions(stream_df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
+    """Full streaming plan: stateful dup flag → batch-identical signals,
+    rules and scrub (shared code — the frozen spec guarantees the streaming
+    and batch outputs agree row-for-row)."""
+    from piperider_spark.pipeline import build_decisions
+
+    flagged = with_streaming_dup_flag(stream_df)
+    return build_decisions(flagged, spec)
+
+
+def keep_rate_by_minute(decisions: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked per-minute keep/drop counts — the streaming analogue of
+    the per-bucket metrics rows (late turns beyond the watermark are
+    dropped from the aggregate, not the decisions stream)."""
+    return (
+        decisions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .select(F.col("w.start").alias("minute"), "n_turns", "n_kept")
+    )
+
+
+def run_stream_once(
+    spark,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    spec: RuleSpec = DEFAULT_SPEC,
+) -> None:
+    """Drain all available input once (Trigger.AvailableNow) and write
+    decisions to parquet — the test/ops entry point; a production job runs
+    the same query with a continuous trigger."""
+    from piperider_spark.pipeline import TRANSCRIPT_COLUMNS  # noqa: F401
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    decided = stream_decisions(stream, spec).select(
+        "conv_id", "turn_idx", "role", "ts", "keep", "reasons", "lang", "ppl", "text_scrubbed"
+    )
+    q = (
+        decided.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
