@@ -45,7 +45,8 @@ def oracle_labels(pdf: pd.DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> pd.DataFr
     fired["text_empty"] = text.isna() | (stripped.str.len() == 0)
     fired["too_long"] = text.str.len().fillna(0) > spec.max_chars
 
-    toks = stripped.str.lower().str.split()
+    # frozen token spec: maximal \S+ runs of the lowercased text
+    toks = text.fillna("").str.lower().str.findall(r"\S+")
     n_tok = toks.str.len().fillna(0)
     n_uniq = toks.map(lambda t: len(set(t)) if isinstance(t, list) else 0)
     rep_ratio = 1.0 - (n_uniq / n_tok.where(n_tok > 0, 1))

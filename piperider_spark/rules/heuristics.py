@@ -27,11 +27,6 @@ TOOL_SCHEMA = "name string, arguments map<string,string>"
 RULE_ORDER = DEFAULT_SPEC.reason_order
 
 
-def _tokens(text: Column) -> Column:
-    # whitespace tokenization of the lowercased turn; empty string -> empty array
-    return F.split(F.trim(F.lower(text)), r"\s+")
-
-
 def rule_columns(spec: RuleSpec = DEFAULT_SPEC) -> dict[str, Column]:
     """Per-turn drop predicates (True == drop reason fires).
 
@@ -42,15 +37,17 @@ def rule_columns(spec: RuleSpec = DEFAULT_SPEC) -> dict[str, Column]:
     """
     text = F.col("text")
     role = F.col("role")
-    toks = _tokens(text)
-    n_tok = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
 
     return {
         "role_invalid": role.isNull() | ~role.isin(*spec.valid_roles),
         "text_empty": text.isNull() | (F.length(F.trim(text)) == 0),
         "too_long": F.coalesce(F.length(text), F.lit(0)) > spec.max_chars,
-        "repetition": (n_tok >= spec.rep_min_tokens)
-        & ((F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok) > spec.rep_max_ratio),
+        # n_tok / rep_ratio come from the fused signal UDF (signals/udfs.py)
+        # — tokenizing JVM-side (split + array_distinct) costs more than
+        # every python signal combined, so the token stats ride the same
+        # Arrow crossing and the *rule* stays a native expression here
+        "repetition": (F.col("n_tok") >= spec.rep_min_tokens)
+        & (F.col("rep_ratio") > spec.rep_max_ratio),
         "tool_json_invalid": (role == spec.tool_role)
         & F.from_json(F.col("tool"), TOOL_SCHEMA).getField("name").isNull(),
         "non_english": F.col("lang").isNotNull() & ~F.col("lang").isin(*spec.langid_keep),

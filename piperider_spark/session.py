@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # post-shuffle stages here run pandas UDFs whose per-byte cost is
+        # ~100× a columnar scan's; the 64 MB default advisory size lets AQE
+        # coalesce the UDF stage below core count (measured 1.5× slower).
+        # 8 MB keeps UDF parallelism at cluster width while still merging
+        # genuinely tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing: 5k rows (~1.5 MB of text) keeps each UDF

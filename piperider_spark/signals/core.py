@@ -170,6 +170,66 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Token stats (whitespace tokens; feeds the repetition rule)
+# ---------------------------------------------------------------------------
+
+# Frozen token spec: tokens are maximal \S+ runs (unicode whitespace
+# delimits) of the lowercased text; repetition = 1 - distinct/max(n,1).
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def _token_stats_serial(text: str | None) -> tuple[int, float]:
+    toks = _WS_TOKEN_RE.findall((text or "").lower())
+    n = len(toks)
+    return n, 1.0 - len(set(toks)) / max(n, 1)
+
+
+def token_stats_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (n_tokens, repetition_ratio) per row.
+
+    One lowercase blob joined on '\\x0b' (vertical tab: whitespace for \\S+,
+    essentially absent from real text — rows containing it take the serial
+    path); tokens come from one C findall, per-row distinct counts from
+    factorize + unique over (row, token_code) pairs. Replaces the JVM-side
+    split/array_distinct expressions, whose string allocations cost more
+    than both model signals combined.
+    """
+    s = texts.fillna("")
+    vals = s.tolist()
+    n = len(vals)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    if any("\x0b" in v for v in vals):
+        pairs = [_token_stats_serial(v) for v in vals]
+        return (
+            np.array([p[0] for p in pairs], dtype=np.int64),
+            np.array([p[1] for p in pairs]),
+        )
+    blob = "\x0b".join(vals).lower()
+
+    toks = _WS_TOKEN_RE.findall(blob)
+    # per-row token counts via the marker trick: after substituting every
+    # token with \x01, remaining bytes are whitespace only, so the \x0b
+    # separator byte (one byte in UTF-8) and the markers are unambiguous
+    marked = _WS_TOKEN_RE.sub("\x01", blob).encode("utf-8", "surrogatepass")
+    arr = np.frombuffer(marked, dtype=np.uint8)
+    sep = np.flatnonzero(arr == 0x0B)
+    marks = np.flatnonzero(arr == 0x01)
+    n_tok = np.bincount(np.searchsorted(sep, marks, side="right"), minlength=n)
+
+    if toks:
+        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        key = row_ids * np.int64(len(uniques)) + codes
+        uniq_rows = np.unique(key) // np.int64(len(uniques))
+        n_distinct = np.bincount(uniq_rows, minlength=n)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+    rep = 1.0 - n_distinct / np.maximum(n_tok, 1)
+    return n_tok.astype(np.int64), rep
+
+
+# ---------------------------------------------------------------------------
 # Perplexity (char-bigram, add-one smoothing over the 27-symbol alphabet)
 # ---------------------------------------------------------------------------
 

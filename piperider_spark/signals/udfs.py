@@ -12,9 +12,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
-from piperider_spark.signals.core import detect_lang_batch, perplexity_batch
+from piperider_spark.signals.core import (
+    detect_lang_batch,
+    perplexity_batch,
+    token_stats_batch,
+)
 
 
 @pandas_udf(StringType())
@@ -28,16 +32,29 @@ def perplexity_udf(texts: pd.Series) -> pd.Series:
 
 
 _SIG_TYPE = StructType(
-    [StructField("lang", StringType()), StructField("ppl", DoubleType())]
+    [
+        StructField("lang", StringType()),
+        StructField("ppl", DoubleType()),
+        StructField("n_tok", LongType()),
+        StructField("rep_ratio", DoubleType()),
+    ]
 )
 
 
 @pandas_udf(_SIG_TYPE)
 def signals_udf(texts: pd.Series) -> pd.DataFrame:
-    """Both signals from ONE Arrow crossing: the text batch is shipped to
-    the Python worker once and both scorers run on it."""
+    """All per-turn text signals from ONE Arrow crossing: langid, perplexity
+    and token stats (the repetition rule's inputs — computed here because
+    the JVM split/array_distinct equivalent costs more than both model
+    scores combined)."""
+    n_tok, rep = token_stats_batch(texts)
     return pd.DataFrame(
-        {"lang": detect_lang_batch(texts), "ppl": perplexity_batch(texts)}
+        {
+            "lang": detect_lang_batch(texts),
+            "ppl": perplexity_batch(texts),
+            "n_tok": n_tok,
+            "rep_ratio": rep,
+        }
     )
 
 
@@ -54,5 +71,10 @@ def with_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     stage, one text transfer)."""
     sig = signals_udf(F.col(text_col))
     return df.withColumn("_sig", sig).withColumns(
-        {"lang": F.col("_sig.lang"), "ppl": F.col("_sig.ppl")}
+        {
+            "lang": F.col("_sig.lang"),
+            "ppl": F.col("_sig.ppl"),
+            "n_tok": F.col("_sig.n_tok"),
+            "rep_ratio": F.col("_sig.rep_ratio"),
+        }
     ).drop("_sig")

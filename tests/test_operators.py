@@ -157,7 +157,7 @@ def test_metric_series_zero_fills(spark):
         date(2024, 1, 1): 2.0,
         date(2024, 1, 2): 0.0,
         date(2024, 1, 3): 0.0,
-        date(2024, 1, 4): 3.0,
+        date(2024, 1, 4): 1.0,
     }
     avg = metric_series(df, "ts", "v", "average", "day")
     arows = {r.d: r.value for r in avg.collect()}
