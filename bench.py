@@ -57,12 +57,12 @@ HEADLINE = [
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.
 # 2M turns ≈ 4-5 min of single-core signal work — large enough that fixed
-# job overhead (~1-2 s) is noise at both parallelism levels. N=4 so the 4N
-# leg (16 cores) is not throttled by this host's memory bandwidth ceiling
-# (all 32 cores running blob-regex saturate DRAM; CPU-scaling itself is
-# clean — see BASELINE.md notes).
-SCALING_N = 4
-SCALING_4N = 16
+# job overhead (~1-2 s) is noise at both parallelism levels. N=2 so the 4N
+# leg (8 cores) stays below this host's shared-DRAM bandwidth ceiling
+# (text-streaming UDFs saturate memory, not CPU, from ~16 concurrent
+# workers; CPU-scaling itself is clean to 32 — measurements in BASELINE.md).
+SCALING_N = 2
+SCALING_4N = 8
 SCALING_TURNS = 2_000_000
 
 
