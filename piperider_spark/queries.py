@@ -725,6 +725,189 @@ def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Additional relational coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "datetime_histogram_orders_monthly",
+    """
+    SELECT (date_part('year', o_orderdate) - 1995) * 12
+             + date_part('month', o_orderdate) - 1 AS bucket,
+           count(*) AS cnt
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def datetime_histogram_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-grain datetime histogram (reference grain rule: range > 60
+    days → monthly, profiler.py:1421-1454); bucket index = months since the
+    range min (1995-01, data-dependent but deterministic)."""
+    d = F.col("o_orderdate")
+    bucket = ((F.year(d) - F.lit(1995)) * 12 + F.month(d) - 1).cast("bigint")
+    return (
+        load(spark, sf_dir, "orders")
+        .where(d.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "datetime_histogram_lineitem_yearly",
+    """
+    SELECT date_part('year', l_shipdate) - 1995 AS bucket, count(*) AS cnt
+    FROM lineitem WHERE l_shipdate IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def datetime_histogram_lineitem_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly-grain datetime histogram (range > 4 years → yearly with
+    interval ceil(years/50)=1, profiler.py:1421-1434)."""
+    bucket = (F.year(F.col("l_shipdate")) - F.lit(1995)).cast("bigint")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "filter_pushdown_orders",
+    """
+    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def filter_pushdown_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + aggregate; both predicates reach the parquet scan
+    as PushedFilters (verified in PLANS.md)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavoured chain join: fact ⋈ supplier ⋈ nation, both dims
+    broadcast (supplier is 100×SF rows — dimension-sized at every scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_customer_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn = 1
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group argmax via rank window (ties broken by key —
+    max_by is non-deterministic under ties in both engines)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "events_pivot_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted per-day event counts via conditional aggregation (stable
+    column set — unlike dynamic pivot, schema is fixed up front)."""
+    et = F.col("event_type")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(
+            *[
+                F.count_if(et == v).alias(f"n_{v}")
+                for v in ("click", "view", "purchase", "signup", "error")
+            ]
+        )
+    )
+
+
+@register(
+    "token_stats_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN [] ELSE {_TOKS_SQL} END AS toks
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(len(toks)), 4) AS avg_tokens,
+           sum(len(toks)) AS total_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped token statistics (corpus accounting by language label)."""
+    df = load(spark, sf_dir, "documents").withColumn("text_l", F.lower(F.col("text")))
+    n = token_count("text_l")
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.sum(n).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle; non-SQL-expressible or engine-specific)
 # ---------------------------------------------------------------------------
 
