@@ -102,15 +102,12 @@ def _agg_exprs(col: str, generic: str, approx: bool) -> list:
             exprs += [
                 F.percentile_approx(q, list(_QUANTILES), 10000).alias(f"{col}::quantiles")
             ]
-        else:
-            # exact discrete percentiles — the reference's default branch
-            # (percentile_disc WITHIN GROUP, profiler.py:1184-1186)
-            exprs += [
-                F.expr(
-                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY `{col}`)"
-                ).alias(f"{col}::{k}")
-                for k, p in zip(_QKEYS, _QUANTILES)
-            ]
+        # exact quantiles (the reference's percentile_disc default branch,
+        # profiler.py:1184-1186) are NOT aggregated here: five builtin
+        # percentile_disc calls buffer the column five times over. They are
+        # derived from job 2's value counts instead (one cumulative-rank
+        # window over already-shuffled (value, count) pairs — see
+        # operators/quantiles.py for the standalone variant).
     elif generic == "datetime":
         exprs += [F.min(c).alias(f"{col}::min"), F.max(c).alias(f"{col}::max")]
     elif generic == "boolean":
@@ -123,11 +120,13 @@ def _agg_exprs(col: str, generic: str, approx: bool) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+def _value_counts(df: DataFrame, cols: list[str], numeric: set[str]) -> DataFrame:
     """One exploded groupBy over the stringified values of every profiled
     column. Stringification (cast to string) is injective per Spark type, so
     group cardinalities equal those on the raw values; the reference
-    stringifies top-k values anyway (profiler.py:1636-1638)."""
+    stringifies top-k values anyway (profiler.py:1636-1638). Numeric columns
+    additionally carry the typed value (`vn`) so exact quantiles can be
+    derived from the same shuffle."""
     pairs = df.select(
         F.explode(
             F.array(
@@ -135,13 +134,45 @@ def _value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("ci"),
                         F.col(c).cast("string").alias("v"),
+                        (
+                            F.col(c).cast("double")
+                            if c in numeric
+                            else F.lit(None).cast("double")
+                        ).alias("vn"),
                     )
                     for i, c in enumerate(cols)
                 ]
             )
         ).alias("p")
-    ).select("p.ci", "p.v").where(F.col("v").isNotNull())
-    return pairs.groupBy("ci", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    ).select("p.ci", "p.v", "p.vn").where(F.col("v").isNotNull())
+    return pairs.groupBy("ci", "v", "vn").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _quantiles_from_value_counts(vc: DataFrame) -> dict[int, list[float]]:
+    """Exact percentile_disc per numeric column from the (ci, vn, cnt)
+    counts: cumulative rank over sorted values, quantile p = min value with
+    cum ≥ ceil(p·n). One window + one small agg on the persisted counts."""
+    num = vc.where(F.col("vn").isNotNull())
+    w = Window.partitionBy("ci").orderBy("vn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("ci")
+    cum = num.select(
+        "ci",
+        "vn",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("vn"))
+        ).alias(k)
+        for k, p in zip(_QKEYS, _QUANTILES)
+    ]
+    out: dict[int, list[float]] = {}
+    for r in cum.groupBy("ci").agg(*aggs).collect():
+        out[r["ci"]] = [r[k] for k in _QKEYS]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -314,14 +345,21 @@ class Profiler:
 
         # ---- job 2: fused value counts ------------------------------------
         vc_cols = [name for name, generic, _ in fields if generic != "other"]
+        numeric_cols = {
+            name for name, generic, _ in fields if generic in ("integer", "numeric")
+        }
         topk_cols = {
             name for name, generic, is_int in fields if generic == "string" or is_int
         }
         uniq: dict[str, tuple[int, int]] = {}
         topk: dict[str, dict] = {}
+        quantiles: dict[str, list] = {}
         if vc_cols and total:
-            vc = _value_counts(df, vc_cols).persist()
+            vc = _value_counts(df, vc_cols, numeric_cols).persist()
             try:
+                if not cfg.approx:
+                    for ci, qs in _quantiles_from_value_counts(vc).items():
+                        quantiles[vc_cols[ci]] = qs
                 for r in (
                     vc.groupBy("ci")
                     .agg(
@@ -483,8 +521,8 @@ class Profiler:
                     for k, v in zip(_QKEYS, qs or [None] * 5):
                         col[k] = json_safe(v)
                 else:
-                    for k in _QKEYS:
-                        col[k] = rv(name, k)
+                    for k, v in zip(_QKEYS, quantiles.get(name, [None] * 5)):
+                        col[k] = json_safe(v)
                 if is_int:
                     col["topk"] = topk.get(name) if valids else None
             elif generic == "datetime":
