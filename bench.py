@@ -53,6 +53,12 @@ HEADLINE = [
     "simhash_documents",
     "cosine_topk_embeddings",
     "knn_join_embeddings",
+    "datetime_histogram_orders_monthly",
+    "filter_pushdown_orders",
+    "supplier_nation_revenue",
+    "top_customer_per_nation",
+    "events_pivot_daily",
+    "token_stats_by_lang",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.
@@ -174,6 +180,16 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # whole-table profiler (the reference's core function): all metrics for
+    # every lineitem column in three fused jobs
+    from piperider_spark.profiler.core import profile_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    profile_table(li.limit(5000), "warm")
+    t0 = time.time()
+    profile_table(li, "lineitem")
+    timings["profiler_lineitem_full"] = round(time.time() - t0, 3)
 
     # pipeline throughput at the bench parallelism on sf-scaled transcripts
     n_turns = int(4_000_000 * sf) if sf else 400_000

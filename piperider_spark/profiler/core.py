@@ -120,20 +120,30 @@ def _agg_exprs(col: str, generic: str, approx: bool) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _value_counts(df: DataFrame, cols: list[str], numeric: set[str]) -> DataFrame:
-    """One exploded groupBy over the stringified values of every profiled
-    column. Stringification (cast to string) is injective per Spark type, so
-    group cardinalities equal those on the raw values; the reference
-    stringifies top-k values anyway (profiler.py:1636-1638). Numeric columns
-    additionally carry the typed value (`vn`) so exact quantiles can be
-    derived from the same shuffle."""
+def _value_counts(
+    df: DataFrame, cols: list[str], numeric: set[str], topk_cols: set[str]
+) -> DataFrame:
+    """One exploded groupBy over the values of every profiled column.
+
+    Each value carries up to two representations: `v` (string — only for
+    columns whose values are *rendered*, i.e. top-k candidates and
+    datetimes; stringification is injective per type, and the reference
+    stringifies top-k output anyway, profiler.py:1636-1638) and `vn`
+    (double — only for numeric columns, feeding the exact-quantile
+    derivation). Non-top-k numeric columns skip the string cast entirely:
+    double→string rendering across millions of values is pure overhead for
+    a column that only needs distinct/quantile math."""
     pairs = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.col(c).cast("string").alias("v"),
+                        (
+                            F.col(c).cast("string")
+                            if (c in topk_cols or c not in numeric)
+                            else F.lit(None).cast("string")
+                        ).alias("v"),
                         (
                             F.col(c).cast("double")
                             if c in numeric
@@ -144,7 +154,9 @@ def _value_counts(df: DataFrame, cols: list[str], numeric: set[str]) -> DataFram
                 ]
             )
         ).alias("p")
-    ).select("p.ci", "p.v", "p.vn").where(F.col("v").isNotNull())
+    ).select("p.ci", "p.v", "p.vn").where(
+        F.col("v").isNotNull() | F.col("vn").isNotNull()
+    )
     return pairs.groupBy("ci", "v", "vn").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -324,12 +336,16 @@ class Profiler:
 
     def profile_table(self, df: DataFrame, table_name: str) -> dict[str, Any]:
         cfg = self.config
-        row_count = df.count()
-        samples, samples_p = row_count, 1
-        if cfg.limit and row_count > cfg.limit > 0:
-            df = df.limit(cfg.limit)
-            samples = cfg.limit
-            samples_p = percentage(cfg.limit, row_count)
+        if cfg.limit and cfg.limit > 0:
+            row_count = df.count()
+            samples, samples_p = row_count, 1
+            if row_count > cfg.limit:
+                df = df.limit(cfg.limit)
+                samples = cfg.limit
+                samples_p = percentage(cfg.limit, row_count)
+        else:
+            row_count = None  # no limit ⇒ row_count == job 1's total (saves a scan)
+            samples, samples_p = None, 1
 
         fields = [(f.name, *classify_type(f.dataType)) for f in df.schema.fields]
 
@@ -339,6 +355,9 @@ class Profiler:
             agg_exprs += _agg_exprs(name, generic, cfg.approx)
         row = df.agg(*agg_exprs).collect()[0].asDict()
         total = row["::total"]
+        if row_count is None:
+            row_count = total
+            samples = total
 
         def rv(col, key):
             return json_safe(row.get(f"{col}::{key}"))
@@ -355,7 +374,7 @@ class Profiler:
         topk: dict[str, dict] = {}
         quantiles: dict[str, list] = {}
         if vc_cols and total:
-            vc = _value_counts(df, vc_cols, numeric_cols).persist()
+            vc = _value_counts(df, vc_cols, numeric_cols, topk_cols).persist()
             try:
                 if not cfg.approx:
                     for ci, qs in _quantiles_from_value_counts(vc).items():
@@ -369,18 +388,19 @@ class Profiler:
                     .collect()
                 ):
                     uniq[vc_cols[r["ci"]]] = (r["distinct"], r["non_dup"])
+                topk_ci = [i for i, c in enumerate(vc_cols) if c in topk_cols]
                 w = Window.partitionBy("ci").orderBy(F.desc("cnt"), F.asc("v"))
                 for r in (
-                    vc.withColumn("rn", F.row_number().over(w))
+                    vc.where(F.col("ci").isin(topk_ci))  # skip non-top-k columns' sort
+                    .withColumn("rn", F.row_number().over(w))
                     .where(F.col("rn") <= TOPK_K)
                     .orderBy("ci", "rn")
                     .collect()
                 ):
                     name = vc_cols[r["ci"]]
-                    if name in topk_cols:
-                        entry = topk.setdefault(name, {"values": [], "counts": []})
-                        entry["values"].append(r["v"])
-                        entry["counts"].append(r["cnt"])
+                    entry = topk.setdefault(name, {"values": [], "counts": []})
+                    entry["values"].append(r["v"])
+                    entry["counts"].append(r["cnt"])
             finally:
                 vc.unpersist()
 
