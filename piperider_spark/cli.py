@@ -1,0 +1,119 @@
+"""Command-line interface (the reference's `piperider` CLI re-shaped).
+
+    python -m piperider_spark.cli profile  --source <dir> [--table t ...] --output <dir>
+    python -m piperider_spark.cli compare  --base run.json --target run.json
+    python -m piperider_spark.cli filter   --input <transcripts> --output <dir>
+    python -m piperider_spark.cli assert   --report run.json --assertions a.json
+
+Reference command mapping: `piperider run` → profile (+ assert),
+`piperider compare-reports` → compare, and the north-rule pipeline →
+filter. argparse instead of click (no extra deps); HTML report bundle and
+cloud upload are product shell, out of scope (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    from piperider_spark.profiler.core import ProfilerConfig
+    from piperider_spark.profiler.report import build_run_report, write_run_json
+    from piperider_spark.session import get_spark
+    from piperider_spark.sources import DataSource
+
+    spark = get_spark("piperider_spark.profile")
+    src = DataSource("cli", path=args.source)
+    tables = args.table or src.list_tables(spark)
+    cfg = ProfilerConfig(
+        limit=args.limit, duplicate_rows=args.duplicate_rows, approx=args.approx
+    )
+    report = build_run_report(
+        {t: src.read_table(spark, t) for t in tables}, datasource_name=args.source, config=cfg
+    )
+    path = write_run_json(report, args.output)
+    print(path)
+    return 0
+
+
+def cmd_compare(args: argparse.Namespace) -> int:
+    from piperider_spark.profiler.compare import compare_reports, summary_markdown
+
+    with open(args.base) as f:
+        base = json.load(f)
+    with open(args.target) as f:
+        target = json.load(f)
+    cs = compare_reports(base, target)
+    print(summary_markdown(cs))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(cs, f, indent=2, default=str)
+    return 0
+
+
+def cmd_filter(args: argparse.Namespace) -> int:
+    from piperider_spark.pipeline import run_pipeline
+    from piperider_spark.session import get_spark
+
+    spark = get_spark("piperider_spark.filter")
+    res = run_pipeline(
+        spark, args.input, args.output, n_buckets=args.buckets, resume=not args.no_resume
+    )
+    print(json.dumps(res.__dict__))
+    return 0
+
+
+def cmd_assert(args: argparse.Namespace) -> int:
+    from piperider_spark.profiler.assertions import evaluate_assertions, load_assertions
+
+    with open(args.report) as f:
+        report = json.load(f)
+    with open(args.assertions) as f:
+        spec = json.load(f)
+    results = evaluate_assertions(report, load_assertions(spec))
+    for r in results:
+        print(f"[{r['status']:>6}] {r['name']} (actual={r['actual']})")
+    failed = sum(1 for r in results if r["status"] == "failed")
+    print(f"{len(results) - failed}/{len(results)} passed")
+    return 1 if failed else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="piperider_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("profile", help="profile tables → run.json")
+    pp.add_argument("--source", required=True, help="directory of table files")
+    pp.add_argument("--table", action="append", help="table name (repeatable; default all)")
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--limit", type=int, default=0)
+    pp.add_argument("--duplicate-rows", action="store_true")
+    pp.add_argument("--approx", action="store_true")
+    pp.set_defaults(fn=cmd_profile)
+
+    pc = sub.add_parser("compare", help="compare two run.json reports")
+    pc.add_argument("--base", required=True)
+    pc.add_argument("--target", required=True)
+    pc.add_argument("--output")
+    pc.set_defaults(fn=cmd_compare)
+
+    pf = sub.add_parser("filter", help="transcript quality-filter pipeline")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--output", required=True)
+    pf.add_argument("--buckets", type=int, default=16)
+    pf.add_argument("--no-resume", action="store_true")
+    pf.set_defaults(fn=cmd_filter)
+
+    pa = sub.add_parser("assert", help="evaluate assertions against a report")
+    pa.add_argument("--report", required=True)
+    pa.add_argument("--assertions", required=True)
+    pa.set_defaults(fn=cmd_assert)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
