@@ -34,38 +34,61 @@ from pyspark.sql import functions as F
 
 from piperider_spark.rules.heuristics import apply_rules
 from piperider_spark.rules.spec import DEFAULT_SPEC, RuleSpec
-from piperider_spark.scrub.udf import scrub_col
-from piperider_spark.signals.udfs import with_signals
 
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
 def build_decisions(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
-    """The core logical plan: signals → rules → keep/reasons → scrubbed text.
+    """The core logical plan: JVM rules → one fused python stage (signals +
+    conditional scrub) → reasons/keep.
 
-    Row-local everything except the duplicate-turn lag window; scrub runs
-    only on kept rows (short-circuit: dropped turns don't pay the UDF).
+    Plan shape (see PLANS.md / BASELINE.md scaling notes):
+    * Window FIRST: the duplicate-turn lag is the plan's only wide exchange,
+      and everything downstream then runs at shuffle-partition parallelism
+      (2-3× cores, hash-balanced on conv_id) instead of input-split
+      parallelism.
+    * The five JVM-evaluable rules are computed as native expressions, and
+      their disjunction rides INTO the fused python UDF so scrub is only
+      applied to rows that will actually be kept (Spark would otherwise
+      evaluate a CASE-guarded scrub UDF unconditionally — UDF extraction).
+    * ONE Arrow crossing total: text + one boolean in; lang/ppl/token
+      stats/scrubbed out.
     """
-    # Window FIRST: the duplicate-turn lag is the plan's only wide exchange,
-    # and everything downstream (the signal UDFs, rules, scrub) then runs at
-    # shuffle-partition parallelism (2-3× cores, hash-balanced on conv_id)
-    # instead of input-split parallelism — on a 100 TB table the scan's
-    # split count is fine, but on any source with few/large splits this
-    # ordering keeps the expensive Python stages fully parallel.
-    from piperider_spark.rules.heuristics import duplicate_turn_col
+    from piperider_spark.rules.heuristics import duplicate_turn_col, rule_columns
+    from piperider_spark.signals.udfs import make_process_udf
 
-    if "r_duplicate_turn" in df.columns:
-        with_dup = df  # precomputed upstream (e.g. streaming keyed state)
-    else:
-        with_dup = df.withColumn(
+    cols = rule_columns(spec)
+    jvm_rules = ("role_invalid", "text_empty", "too_long", "tool_json_invalid")
+    flagged = df.withColumns(
+        {f"r_{name}": F.coalesce(cols[name], F.lit(False)) for name in jvm_rules}
+    )
+    if "r_duplicate_turn" not in flagged.columns:
+        flagged = flagged.withColumn(
             "r_duplicate_turn", F.coalesce(duplicate_turn_col(spec), F.lit(False))
         )
-    sig = with_signals(with_dup)
-    ruled = apply_rules(sig, spec)
-    return ruled.withColumn(
-        "text_scrubbed",
-        F.when(F.col("keep"), scrub_col("text")).otherwise(F.lit(None).cast("string")),
+    jvm_drop = (
+        F.col("r_role_invalid")
+        | F.col("r_text_empty")
+        | F.col("r_too_long")
+        | F.col("r_tool_json_invalid")
+        | F.col("r_duplicate_turn")
     )
+
+    process = make_process_udf(spec)
+    sig = (
+        flagged.withColumn("_sig", process(F.col("text"), jvm_drop))
+        .withColumns(
+            {
+                "lang": F.col("_sig.lang"),
+                "ppl": F.col("_sig.ppl"),
+                "n_tok": F.col("_sig.n_tok"),
+                "rep_ratio": F.col("_sig.rep_ratio"),
+                "text_scrubbed": F.col("_sig.text_scrubbed"),
+            }
+        )
+        .drop("_sig")
+    )
+    return apply_rules(sig, spec)
 
 
 @dataclass

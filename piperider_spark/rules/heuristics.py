@@ -81,7 +81,13 @@ def apply_rules(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
         # not precomputed upstream (pipeline.build_decisions places the lag
         # window before the signal UDFs) — add it here
         cols["duplicate_turn"] = duplicate_turn_col(spec)
-    flagged = df.withColumns({f"r_{name}": F.coalesce(c, F.lit(False)) for name, c in cols.items()})
+    flagged = df.withColumns(
+        {
+            f"r_{name}": F.coalesce(c, F.lit(False))
+            for name, c in cols.items()
+            if f"r_{name}" not in df.columns  # keep upstream-computed flags
+        }
+    )
 
     reasons = F.array_compact(
         F.array(

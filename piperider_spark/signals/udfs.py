@@ -58,6 +58,67 @@ def signals_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+_PROCESS_TYPE = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("ppl", DoubleType()),
+        StructField("n_tok", LongType()),
+        StructField("rep_ratio", DoubleType()),
+        StructField("text_scrubbed", StringType()),
+    ]
+)
+
+_PROCESS_UDF_CACHE: dict[object, object] = {}
+
+
+def make_process_udf(spec):
+    """The whole python side of the pipeline in ONE Arrow crossing:
+    signals + conditional scrub.
+
+    ``jvm_drop`` carries the disjunction of the JVM-evaluated rules
+    (role/empty/too-long/tool-json/duplicate-turn); the python side adds its
+    own three (non-english / high-perplexity / repetition, from the exact
+    values it just computed with the same spec thresholds the JVM reasons
+    use), and scrubs ONLY rows that survive — Spark's UDF extraction would
+    otherwise evaluate a CASE-guarded scrub UDF on every row. Scrubbed text
+    for dropped rows is NULL, which also shrinks the Arrow return payload.
+    """
+    if spec in _PROCESS_UDF_CACHE:
+        return _PROCESS_UDF_CACHE[spec]
+
+    from piperider_spark.scrub.rules import scrub_series
+
+    keep_langs = list(spec.langid_keep)
+    ppl_min_chars, ppl_max = spec.ppl_min_chars, spec.ppl_max
+    rep_min_tokens, rep_max_ratio = spec.rep_min_tokens, spec.rep_max_ratio
+
+    @pandas_udf(_PROCESS_TYPE)
+    def process_udf(texts: pd.Series, jvm_drop: pd.Series) -> pd.DataFrame:
+        lang = detect_lang_batch(texts)
+        ppl = perplexity_batch(texts)
+        n_tok, rep = token_stats_batch(texts)
+        text_len = texts.str.len().fillna(0).to_numpy()
+        py_drop = (
+            (~lang.isin(keep_langs)).to_numpy()
+            | ((text_len >= ppl_min_chars) & (ppl.to_numpy() > ppl_max))
+            | ((n_tok >= rep_min_tokens) & (rep > rep_max_ratio))
+        )
+        keep = ~(jvm_drop.fillna(True).astype(bool).to_numpy() | py_drop)
+        scrubbed = scrub_series(texts.where(pd.Series(keep, index=texts.index)))
+        return pd.DataFrame(
+            {
+                "lang": lang,
+                "ppl": ppl,
+                "n_tok": n_tok,
+                "rep_ratio": rep,
+                "text_scrubbed": scrubbed,
+            }
+        )
+
+    _PROCESS_UDF_CACHE[spec] = process_udf
+    return process_udf
+
+
 def lang_id_col(text: Column | str = "text") -> Column:
     return lang_id_udf(F.col(text) if isinstance(text, str) else text)
 
