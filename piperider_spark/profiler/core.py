@@ -3,28 +3,32 @@
 The reference emits 4-5 SQL statements *per column* (combined aggregates,
 non-duplicates, top-k, histogram, quantiles — piperider_cli/profiler/
 profiler.py:765-1030) and fans them out over a 5-thread pool. Spark lets us
-do radically better at scale — this module profiles an entire table in
-THREE jobs, regardless of column count:
+do radically better at scale — this module profiles an entire table in TWO
+jobs (one table scan + one value-counts shuffle), regardless of column
+count:
 
-  job 1  one ``df.agg(...)`` computing every per-column aggregate (counts,
-         min/max/avg/sum/stddev, flag counts, length stats, exact
-         percentile_disc quantiles) in a single scan — manual aggregate
-         fusion taken to its limit (reference does this per column at
-         profiler.py:827-852; Catalyst gives partial aggregation free).
+  job 1  one ``df.agg(...)`` computing every per-column scalar aggregate
+         (counts, min/max/avg/sum/stddev, flag counts, length stats) in a
+         single scan — manual aggregate fusion taken to its limit
+         (reference does this per column at profiler.py:827-852; Catalyst
+         gives partial aggregation free).
   job 2  one exploded ``groupBy(col_idx, value)`` over all profiled columns
-         → distinct / non-duplicates / top-k from one shuffle (reference:
-         profile_non_duplicate profiler.py:1731-1758 + profile_topk
-         profiler.py:1620-1643, two statements per column).
-  job 3  one exploded ``groupBy(col_idx, bucket)`` computing every numeric /
-         length / datetime histogram at once (reference: profile_histogram
-         profiler.py:1646-1728 + datetime grains profiler.py:1370-1489,
-         one statement per column).
+         (the only other shuffle), then ONE ``mapInPandas`` pass over the
+         per-value counts computing distinct / non-duplicates / top-k /
+         exact percentile_disc quantiles / every histogram at once: all
+         distribution metrics are functions of the value counts, and per
+         column those fit in one python worker where sort/cumsum/bincount
+         are single C calls. (Reference: 3-4 more statements per column —
+         profiler.py:1620-1758, 1646-1728, 1034-1196.)
 
-At 100 TB the dominant cost is the scan; 3 scans total vs 4-5 scans/column
+At 100 TB the dominant cost is the scan; 2 scans total vs 4-5 scans/column
 is the difference between feasible and not. Metric semantics (bucket math,
 label formatting, valids/invalids algebra, percentile_disc) replicate the
 reference exactly — golden-value fixtures from the reference's own test
-suite assert the numbers.
+suite assert the numbers. The one scale caveat: a single column's distinct
+values must fit one worker (~10^8 values); beyond that, ``approx=True``
+switches distinct/quantiles to the sketch-based one-job path, same as the
+reference's approx branches on redshift/athena (profiler.py:1163-1173).
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ from dataclasses import dataclass
 from datetime import date, datetime
 from typing import Any
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -160,32 +164,6 @@ def _value_counts(
     return pairs.groupBy("ci", "v", "vn").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def _quantiles_from_value_counts(vc: DataFrame) -> dict[int, list[float]]:
-    """Exact percentile_disc per numeric column from the (ci, vn, cnt)
-    counts: cumulative rank over sorted values, quantile p = min value with
-    cum ≥ ceil(p·n). One window + one small agg on the persisted counts."""
-    num = vc.where(F.col("vn").isNotNull())
-    w = Window.partitionBy("ci").orderBy("vn").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wn = Window.partitionBy("ci")
-    cum = num.select(
-        "ci",
-        "vn",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    aggs = [
-        F.min(
-            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("vn"))
-        ).alias(k)
-        for k, p in zip(_QKEYS, _QUANTILES)
-    ]
-    out: dict[int, list[float]] = {}
-    for r in cum.groupBy("ci").agg(*aggs).collect():
-        out[r["ci"]] = [r[k] for k in _QKEYS]
-    return out
-
 
 # ---------------------------------------------------------------------------
 # job 3: fused histograms
@@ -202,28 +180,6 @@ def _numeric_bucket_plan(vmin: float, vmax: float, is_integer: bool) -> tuple[fl
         interval = (vmax - vmin) / nb if vmax > vmin else 1
     return interval, nb
 
-
-def _numeric_bucket_expr(c, vmin: float, interval: float, nb: int):
-    """Arithmetic bucket assignment consistent with the reference's CASE
-    cascade (smallest i with c < min + interval*(i+1); last bucket gets
-    +interval/100 slack — profiler.py:1665-1670), with float boundary
-    correction so division rounding can't shift a value across a bound."""
-    pos = (c.cast("double") - F.lit(float(vmin))) / F.lit(float(interval))
-    b = F.floor(pos)
-    lower = F.lit(float(vmin)) + F.lit(float(interval)) * b.cast("double")
-    upper = F.lit(float(vmin)) + F.lit(float(interval)) * (b + 1).cast("double")
-    b = (
-        F.when(c.cast("double") < lower, b - 1)
-        .when(c.cast("double") >= upper, b + 1)
-        .otherwise(b)
-    )
-    last_bound = F.lit(float(vmin) + float(interval) * nb + float(interval) / 100)
-    return (
-        F.when(c.isNull(), F.lit(None).cast("long"))
-        .when(b < 0, F.lit(0))
-        .when(b >= nb, F.when(c.cast("double") < last_bound, F.lit(nb - 1)))
-        .otherwise(b)
-    )
 
 
 def _numeric_histogram_shell(vmin, vmax, interval: float, nb: int, is_integer: bool) -> dict:
@@ -291,22 +247,6 @@ def _datetime_bucket_plan(vmin, vmax) -> dict:
     return {"grain": grain, "dmin": dmin, "interval": interval, "nb": nb}
 
 
-def _datetime_bucket_expr(c, plan: dict):
-    """Native bucket index per grain — replaces the reference's driver-side
-    truncated-date→bin loop (profiler.py:1467-1487) with an O(1) expression."""
-    d = c.cast("date")
-    dmin = plan["dmin"]
-    if plan["grain"] == "yearly":
-        k = plan["interval"].years
-        b = F.floor((F.year(d) - F.lit(dmin.year)) / F.lit(k))
-    elif plan["grain"] == "monthly":
-        b = (F.year(d) - F.lit(dmin.year)) * 12 + (F.month(d) - F.lit(dmin.month))
-    else:
-        b = F.datediff(d, F.lit(dmin))
-    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
-        F.least(F.greatest(b.cast("long"), F.lit(0)), F.lit(plan["nb"] - 1))
-    )
-
 
 def _datetime_histogram_shell(plan: dict) -> dict:
     labels, counts, bin_edges = [], [], []
@@ -317,6 +257,121 @@ def _datetime_histogram_shell(plan: dict) -> dict:
         counts.append(0)
     bin_edges.append(str(dmin + nb * interval))
     return {"labels": labels, "counts": counts, "bin_edges": bin_edges}
+
+
+# ---------------------------------------------------------------------------
+# job 2b: one python pass over the value counts for distribution stats
+# ---------------------------------------------------------------------------
+
+
+def _distribution_pass(
+    vc: DataFrame,
+    topk_ci: set[int],
+    quantile_ci: set[int],
+    hist_plans: dict[int, tuple],
+) -> dict[int, dict]:
+    """distinct / non-duplicates / top-k / exact quantiles / histograms for
+    every column from ONE repartition("ci") + mapInPandas over the
+    (ci, v, vn, cnt) value counts.
+
+    Replaces three window/aggregate jobs plus job 3's extra full-table scan:
+    all distribution metrics are functions of the per-value counts, and per
+    column those fit comfortably in one python worker (≤ #distinct values),
+    where sorting/cumsum/binning are single C calls. hist_plans[ci] is one
+    of ("numeric", vmin, interval, nb, last_bound), ("length", lmin,
+    interval, nb), ("datetime", grain, dmin_iso, k, nb).
+    """
+    import json as _json
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dfs = list(batches)
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        out_rows = []
+        for ci, g in pdf.groupby("ci", sort=False):
+            stats: dict = {
+                "distinct": int(len(g)),
+                "non_dup": int((g["cnt"] == 1).sum()),
+            }
+            if ci in topk_ci:
+                top = g.sort_values(
+                    ["cnt", "v"], ascending=[False, True], kind="mergesort"
+                ).head(TOPK_K)
+                stats["topk_v"] = top["v"].tolist()
+                stats["topk_c"] = [int(c) for c in top["cnt"]]
+            if ci in quantile_ci:
+                gg = g.dropna(subset=["vn"]).sort_values("vn", kind="mergesort")
+                if len(gg):
+                    cum = gg["cnt"].to_numpy().cumsum()
+                    n = int(cum[-1])
+                    vals = gg["vn"].to_numpy()
+                    qs = []
+                    for p in _QUANTILES:
+                        k = math.ceil(p * n)
+                        qs.append(float(vals[np.searchsorted(cum, k, side="left")]))
+                    stats["quantiles"] = qs
+            plan = hist_plans.get(ci)
+            if plan is not None:
+                kind = plan[0]
+                if kind in ("numeric", "length"):
+                    if kind == "numeric":
+                        _k, vmin, interval, nb, last_bound = plan
+                        vals = g["vn"].to_numpy(dtype=float)
+                        cnts = g["cnt"].to_numpy()
+                        mask = ~np.isnan(vals)
+                        vals, cnts = vals[mask], cnts[mask]
+                    else:
+                        _k, vmin, interval, nb, last_bound = plan
+                        vals = g["v"].str.len().to_numpy(dtype=float)
+                        cnts = g["cnt"].to_numpy()
+                    # reference bucket rule incl. float boundary correction
+                    # and last-bucket slack (profiler.py:1665-1670)
+                    pos = (vals - vmin) / interval
+                    b = np.floor(pos)
+                    lower = vmin + interval * b
+                    upper = vmin + interval * (b + 1)
+                    b = np.where(vals < lower, b - 1, np.where(vals >= upper, b + 1, b))
+                    b = np.where(b < 0, 0, b)
+                    over = b >= nb
+                    keep_over = over & (vals < last_bound)
+                    b = np.where(keep_over, nb - 1, b)
+                    sel = (~over) | keep_over
+                    counts = np.bincount(
+                        b[sel].astype(np.int64), weights=cnts[sel], minlength=nb
+                    )
+                    stats["hist"] = [int(c) for c in counts]
+                elif kind == "datetime":
+                    _k, grain, dmin_iso, kyears, nb = plan
+                    dts = pd.to_datetime(g["v"], format="mixed", errors="coerce")
+                    cnts = g["cnt"].to_numpy()
+                    mask = dts.notna().to_numpy()
+                    dts = dts[mask]
+                    cnts = cnts[mask]
+                    dmin = pd.Timestamp(dmin_iso)
+                    if grain == "yearly":
+                        b = np.floor((dts.dt.year.to_numpy() - dmin.year) / kyears)
+                    elif grain == "monthly":
+                        b = (dts.dt.year.to_numpy() - dmin.year) * 12 + (
+                            dts.dt.month.to_numpy() - dmin.month
+                        )
+                    else:
+                        b = (
+                            dts.dt.normalize() - dmin
+                        ).dt.days.to_numpy()
+                    b = np.clip(b.astype(np.int64), 0, nb - 1)
+                    counts = np.bincount(b, weights=cnts, minlength=nb)
+                    stats["hist"] = [int(c) for c in counts]
+            out_rows.append({"ci": int(ci), "stats": _json.dumps(stats)})
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    rows = vc.repartition("ci").mapInPandas(fn, "ci int, stats string").collect()
+    return {r["ci"]: __import__("json").loads(r["stats"]) for r in rows}
 
 
 # ---------------------------------------------------------------------------
@@ -373,62 +428,33 @@ class Profiler:
         uniq: dict[str, tuple[int, int]] = {}
         topk: dict[str, dict] = {}
         quantiles: dict[str, list] = {}
-        if vc_cols and total:
-            vc = _value_counts(df, vc_cols, numeric_cols, topk_cols).persist()
-            try:
-                if not cfg.approx:
-                    for ci, qs in _quantiles_from_value_counts(vc).items():
-                        quantiles[vc_cols[ci]] = qs
-                for r in (
-                    vc.groupBy("ci")
-                    .agg(
-                        F.count(F.lit(1)).alias("distinct"),
-                        F.count_if(F.col("cnt") == 1).alias("non_dup"),
-                    )
-                    .collect()
-                ):
-                    uniq[vc_cols[r["ci"]]] = (r["distinct"], r["non_dup"])
-                topk_ci = [i for i, c in enumerate(vc_cols) if c in topk_cols]
-                w = Window.partitionBy("ci").orderBy(F.desc("cnt"), F.asc("v"))
-                for r in (
-                    vc.where(F.col("ci").isin(topk_ci))  # skip non-top-k columns' sort
-                    .withColumn("rn", F.row_number().over(w))
-                    .where(F.col("rn") <= TOPK_K)
-                    .orderBy("ci", "rn")
-                    .collect()
-                ):
-                    name = vc_cols[r["ci"]]
-                    entry = topk.setdefault(name, {"values": [], "counts": []})
-                    entry["values"].append(r["v"])
-                    entry["counts"].append(r["cnt"])
-            finally:
-                vc.unpersist()
+        hist_by_col: dict[str, dict] = {}
 
-        # ---- job 3: fused histograms --------------------------------------
-        hist_specs: list[tuple[str, str, Any, dict]] = []  # (col, kind, expr, shell)
-        for name, generic, is_int in fields:
-            valids = row[f"{name}::non_nulls"]
-            if not valids:
+        # histogram plans/shells from job 1's min/max (the reference's
+        # two-phase histogram, profiler.py:1030-1032) — executed inside the
+        # distribution pass below, no extra table scan
+        hist_plans: dict[int, tuple] = {}
+        generic_by_name = {name: (generic, is_int) for name, generic, is_int in fields}
+        for i, name in enumerate(vc_cols):
+            generic, is_int = generic_by_name[name]
+            if not row[f"{name}::non_nulls"]:
                 continue
-            c = F.col(name)
             if generic in ("integer", "numeric"):
                 vmin, vmax = rv(name, "min"), rv(name, "max")
                 if vmin is None or not (math.isfinite(vmin) and math.isfinite(vmax)):
                     continue
                 interval, nb = _numeric_bucket_plan(vmin, vmax, is_int)
-                shell = _numeric_histogram_shell(vmin, vmax, interval, nb, is_int)
-                hist_specs.append(
-                    (name, "histogram", _numeric_bucket_expr(c, vmin, interval, nb), shell)
-                )
+                hist_by_col[name] = _numeric_histogram_shell(vmin, vmax, interval, nb, is_int)
+                last_bound = float(vmin) + float(interval) * nb + float(interval) / 100
+                hist_plans[i] = ("numeric", float(vmin), float(interval), nb, last_bound)
             elif generic == "string":
                 lmin, lmax = rv(name, "min"), rv(name, "max")
                 if lmin is None:
                     continue
                 interval, nb = _numeric_bucket_plan(lmin, lmax, True)
-                shell = _numeric_histogram_shell(lmin, lmax, interval, nb, True)
-                hist_specs.append(
-                    (name, "histogram", _numeric_bucket_expr(F.length(c), lmin, interval, nb), shell)
-                )
+                hist_by_col[name] = _numeric_histogram_shell(lmin, lmax, interval, nb, True)
+                last_bound = float(lmin) + float(interval) * nb + float(interval) / 100
+                hist_plans[i] = ("length", float(lmin), float(interval), nb, last_bound)
             elif generic == "datetime":
                 vmin, vmax = row.get(f"{name}::min"), row.get(f"{name}::max")
                 if vmin is None or vmax is None:
@@ -436,25 +462,30 @@ class Profiler:
                 plan = _datetime_bucket_plan(vmin, vmax)
                 shell = _datetime_histogram_shell(plan)
                 shell["grain"] = plan["grain"]
-                hist_specs.append((name, "histogram", _datetime_bucket_expr(c, plan), shell))
+                hist_by_col[name] = shell
+                kyears = plan["interval"].years if plan["grain"] == "yearly" else 1
+                hist_plans[i] = (
+                    "datetime", plan["grain"], str(plan["dmin"]), kyears, plan["nb"]
+                )
 
-        if hist_specs and total:
-            pairs = df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(F.lit(i).alias("ci"), e.alias("b"))
-                            for i, (_n, _k, e, _s) in enumerate(hist_specs)
-                        ]
-                    )
-                ).alias("p")
-            ).select("p.ci", "p.b").where(F.col("b").isNotNull())
-            for r in pairs.groupBy("ci", "b").agg(F.count(F.lit(1)).alias("cnt")).collect():
-                shell = hist_specs[r["ci"]][3]
-                if 0 <= r["b"] < len(shell["counts"]):
-                    shell["counts"][int(r["b"])] += r["cnt"]
-
-        hist_by_col = {name: shell for name, _k, _e, shell in hist_specs}
+        if vc_cols and total:
+            vc = _value_counts(df, vc_cols, numeric_cols, topk_cols)
+            topk_ci = {i for i, c in enumerate(vc_cols) if c in topk_cols}
+            quantile_ci = (
+                set()
+                if cfg.approx
+                else {i for i, c in enumerate(vc_cols) if c in numeric_cols}
+            )
+            stats = _distribution_pass(vc, topk_ci, quantile_ci, hist_plans)
+            for ci, s in stats.items():
+                name = vc_cols[ci]
+                uniq[name] = (s["distinct"], s["non_dup"])
+                if "topk_v" in s:
+                    topk[name] = {"values": s["topk_v"], "counts": s["topk_c"]}
+                if "quantiles" in s:
+                    quantiles[name] = s["quantiles"]
+                if "hist" in s and name in hist_by_col:
+                    hist_by_col[name]["counts"] = s["hist"]
 
         # ---- assemble column dicts (reference result shape) ---------------
         columns: dict[str, dict] = {}
