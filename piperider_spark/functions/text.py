@@ -129,6 +129,23 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def rolling_hash_fingerprint(text: Column | str, k: int = 16) -> Column:
+    """Winnowing-style rolling-hash fingerprint: the minimum 60-bit hash over
+    all k-char-grams of the normalized text (min-sampling of the k-gram hash
+    stream — robust to local edits, unlike the whole-document md5). NULL for
+    texts shorter than k."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.substring(norm, i, k),  # type: ignore[arg-type]
+    )
+    min_hash = F.array_min(
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    )
+    return F.when(n >= k, min_hash)
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined) of the lowercased text.
 

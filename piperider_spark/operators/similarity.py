@@ -92,6 +92,62 @@ def knn_join_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    The oracle-verifiable small-scale variant: self cross-join with id_a <
+    id_b, cosine in double, threshold filter. The corpus-scale variant is
+    the same verify step fed by hyperplane-LSH candidate buckets
+    (:func:`ann_candidate_pairs`) instead of the quadratic cross join.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ann_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs at scale: hyperplane-signature bucket self-join for
+    candidates (vectors agreeing on all planes), exact cosine verify. The
+    embedding analogue of MinHash-LSH dedup."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+    )
+    return cand.where(F.col("cosine_sim") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------

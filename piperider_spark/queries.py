@@ -916,6 +916,53 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.5
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs variant; the scale
+    path is similarity.ann_candidate_pairs LSH bucketing)."""
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+@register(
+    "rolling_fingerprint_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN length(norm) >= 16 THEN
+             list_min(list_transform(
+               generate_series(1, length(norm) - 15),
+               i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 15))::BIGINT))
+           END AS fp_min
+    FROM t
+    """,
+)
+def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min 60-bit hash over all
+    16-char-grams) — edit-robust document fingerprinting."""
+    from piperider_spark.functions.text import rolling_hash_fingerprint
+
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", rolling_hash_fingerprint("text", 16).alias("fp_min"))
+    )
+
+
 @register("minhash_lsh_pairs_documents")
 def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (banded bucket join + exact verify) — the
