@@ -269,3 +269,20 @@ def test_report_shape(spark):
             return all(no_nones(x) for x in v)
         return True
     assert no_nones(report)
+
+
+def test_profiler_approx_mode(spark):
+    """approx=True: sketch quantiles from job 1 (percentile_approx), rest of
+    the report intact — the 10^12-row opt-in path (SURVEY §2.4 distinct)."""
+    from piperider_spark.profiler.core import ProfilerConfig, profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = profile_table(df, "orders")
+    approx = profile_table(df, "orders", ProfilerConfig(approx=True))
+    e = exact["columns"]["o_totalprice"]
+    a = approx["columns"]["o_totalprice"]
+    assert a["distinct"] == e["distinct"]  # distribution pass still exact here
+    for k in ("p5", "p25", "p50", "p75", "p95"):
+        assert a[k] is not None
+        assert abs(a[k] - e[k]) / max(abs(e[k]), 1) < 0.02
+    assert a["min"] == e["min"] and a["max"] == e["max"]
