@@ -68,9 +68,10 @@ def metric_series(
         .agg(AGG_FNS[calculation](F.col(value_col)).alias("m"))
     )
     if start is None or end is None:
-        lo, hi = src.agg(
-            F.min(F.col(ts_col).cast("date")), F.max(F.col(ts_col).cast("date"))
-        ).collect()[0]
+        # bounds must be grain-TRUNCATED: the spine steps whole grains from
+        # `start`, and the join keys on the aggregate side are truncated —
+        # a raw mid-week/mid-month min date would misalign every spine point
+        lo, hi = src.agg(F.min(trunc), F.max(trunc)).collect()[0]
         start = start or lo
         end = end or hi
     if start is None:

@@ -8,7 +8,11 @@ compare hashes values after sorting columns by name).
 Parity conventions (frozen):
 * float aggregates are ``round``-ed identically on both sides (2 dp for
   large sums, 4-6 dp for means/ratios/similarities — engine-order float
-  noise is ~1e-12 relative, far below the rounding grain);
+  noise is ~1e-12 relative, far below the rounding grain). CAVEAT learned
+  the hard way: quotients of money-like values land on EXACT .xx5 decimals,
+  where Spark's and DuckDB's ``round`` of the *identical* double disagree —
+  for ratio metrics use the pure-IEEE form ``floor(x*100 + 0.5)/100``,
+  which every engine computes bit-identically;
 * hashing is md5-based (``functions.text.md5_60bit``) — the only hash both
   engines share bit-for-bit;
 * tokenization is ``regexp_split(trim(lower(text)), '\\s+')`` with an
@@ -882,6 +886,42 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for v in ("click", "view", "purchase", "signup", "error")
             ]
         )
+    )
+
+
+@register(
+    "metric_weekly_revenue_per_order",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('week', min(o_orderdate)) AS lo,
+             date_trunc('week', max(o_orderdate)) AS hi FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series((SELECT lo FROM bounds),
+                                         (SELECT hi FROM bounds),
+                                         INTERVAL 7 DAY)) AS DATE) AS d
+    ), agg AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS d,
+             sum(o_totalprice) AS rev, count(o_totalprice) AS n
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    )
+    SELECT spine.d AS d,
+           floor(CAST(coalesce(agg.rev, 0) AS DOUBLE)
+                 / nullif(CAST(coalesce(agg.n, 0) AS DOUBLE), 0) * 100 + 0.5) / 100
+             AS revenue_per_order
+    FROM spine LEFT JOIN agg ON spine.d = agg.d
+    """,
+)
+def metric_weekly_revenue_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived metric at weekly grain: sum/count parent series on a
+    zero-filled spine, expression with the reference's nullif divide guard
+    (metrics.py:134-139)."""
+    from piperider_spark.operators.metrics_engine import derived_metric, metric_series
+
+    orders = load(spark, sf_dir, "orders")
+    rev = metric_series(orders, "o_orderdate", "o_totalprice", "sum", "week")
+    cnt = metric_series(orders, "o_orderdate", "o_totalprice", "count", "week")
+    return derived_metric({"rev": rev, "n": cnt}, "floor(rev / nullif(n, 0) * 100 + 0.5) / 100").select(
+        "d", F.col("value").alias("revenue_per_order")
     )
 
 
