@@ -295,8 +295,14 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     # One blob, '\x00'-separated: lower() once, the two cleaning regexes run
     # once at C speed. '\x00' is excluded from both pattern classes, so runs
     # never merge across rows — per-row results are byte-identical to the
-    # serial definition (NON_ALPHA→' ' then collapse space runs).
-    raw = "\x00".join(texts.fillna("").tolist()).lower()
+    # serial definition (NON_ALPHA→' ' then collapse space runs). Content
+    # NULs are pre-mapped to spaces, which the spec does anyway (any
+    # non-[a-z ] run → one space; splitting a run with a space collapses
+    # back to one space), so they can't masquerade as row separators.
+    vals_p = texts.fillna("").tolist()
+    if any("\x00" in v for v in vals_p):
+        vals_p = [v.replace("\x00", " ") for v in vals_p]
+    raw = "\x00".join(vals_p).lower()
     cleaned = _SPACE_RUN_RE.sub(" ", _NON_ALPHA_X_RE.sub(" ", raw))
     rows = cleaned.split("\x00")
     lengths = np.fromiter((len(r) for r in rows), dtype=np.int64, count=n)

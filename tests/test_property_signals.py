@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): the batched blob implementations must
+equal the serial frozen spec on ARBITRARY text, including unicode, control
+characters, long runs, and adversarial whitespace — the inputs a 10^12-turn
+web corpus will actually contain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from piperider_spark.scrub.rules import scrub_series, scrub_text
+from piperider_spark.signals.core import (
+    _detect_lang_serial,
+    _token_stats_serial,
+    detect_lang_batch,
+    perplexity_batch,
+    token_stats_batch,
+)
+
+# text including NULs, newlines, CJK, accents, emoji, whitespace runs
+text_strategy = st.one_of(
+    st.none(),
+    st.text(max_size=200),
+    st.text(
+        alphabet=st.sampled_from(
+            list("abc de\t\n\x0b\x00\x01'之он!@.123-") + ["é", "ß", "中", "😀", " ", " "]
+        ),
+        max_size=100,
+    ),
+    st.sampled_from(
+        [
+            "the and of to in is that it was for",
+            "call 555-123-4567 or mail a@b.co ssn 123-45-6789",
+            "word " * 40,
+            " ",
+        ]
+    ),
+)
+batch_strategy = st.lists(text_strategy, min_size=0, max_size=30)
+
+
+@settings(max_examples=200, deadline=None)
+@given(batch_strategy)
+def test_langid_batch_equals_serial(texts):
+    s = pd.Series(texts, dtype=object)
+    assert detect_lang_batch(s).tolist() == [
+        _detect_lang_serial(t) for t in s.fillna("")
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(batch_strategy)
+def test_scrub_batch_equals_serial(texts):
+    s = pd.Series(texts, dtype=object)
+    assert scrub_series(s).tolist() == [scrub_text(t) for t in texts]
+
+
+@settings(max_examples=200, deadline=None)
+@given(batch_strategy)
+def test_token_stats_batch_equals_serial(texts):
+    s = pd.Series(texts, dtype=object)
+    n_tok, rep = token_stats_batch(s)
+    expect = [_token_stats_serial(t) for t in s.fillna("")]
+    assert n_tok.tolist() == [e[0] for e in expect]
+    assert np.allclose(rep, [e[1] for e in expect], rtol=0, atol=0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(batch_strategy)
+def test_perplexity_batch_equals_rowwise(texts):
+    s = pd.Series(texts, dtype=object)
+    whole = perplexity_batch(s).to_numpy()
+    rowwise = np.array(
+        [float(perplexity_batch(pd.Series([t], dtype=object)).iloc[0]) for t in texts]
+    )
+    if len(texts):
+        assert np.allclose(whole, rowwise, rtol=0, atol=0)
