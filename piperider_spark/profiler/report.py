@@ -32,6 +32,33 @@ def clean_nulls(value: Any) -> Any:
     return value
 
 
+def table_file_metadata(df: DataFrame, now: float | None = None) -> dict:
+    """Table metadata metrics (reference profiler.py:420-497: row_count /
+    created / last_altered / bytes from warehouse metadata; freshness =
+    now − last_altered, profiler.py:494-495). For file-backed DataFrames the
+    equivalents come from the scanned files; an Iceberg table would read its
+    snapshot summary (committed-at, total-files-size) instead — same shape.
+    """
+    import time as _time
+
+    try:
+        files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
+        stats = [os.stat(f) for f in files if os.path.exists(f)]
+    except Exception:
+        stats = []
+    if not stats:
+        return {}
+    created = min(s.st_mtime for s in stats)
+    altered = max(s.st_mtime for s in stats)
+    now = now if now is not None else _time.time()
+    return {
+        "created": datetime.fromtimestamp(created, tz=timezone.utc).isoformat(),
+        "last_altered": datetime.fromtimestamp(altered, tz=timezone.utc).isoformat(),
+        "freshness": int(now - altered),  # seconds, like the reference's timedelta
+        "bytes": sum(s.st_size for s in stats),
+    }
+
+
 def build_run_report(
     tables: dict[str, DataFrame],
     datasource_name: str = "spark",
@@ -48,7 +75,9 @@ def build_run_report(
         "tables": {},
     }
     for name, df in tables.items():
-        report["tables"][name] = profiler.profile_table(df, name)
+        tbl = profiler.profile_table(df, name)
+        tbl.update(table_file_metadata(df))
+        report["tables"][name] = tbl
     return clean_nulls(report)
 
 

@@ -103,3 +103,13 @@ def test_skewed_conversation_pipeline(spark, tmp_path):
     assert (got["keep"].values == want["keep"].values).all()
     n_dup = sum("duplicate_turn" in r for r in got["reasons"])
     assert n_dup == len(range(100, mega, 100))  # lag rule fired inside the mega conv
+
+
+def test_table_file_metadata(spark):
+    from piperider_spark.profiler.report import table_file_metadata
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    md = table_file_metadata(df, now=4102444800.0)  # fixed "now" for determinism
+    assert md["bytes"] > 0
+    assert md["freshness"] > 0
+    assert md["created"] <= md["last_altered"]
