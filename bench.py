@@ -126,11 +126,21 @@ def scaling_measurement(reps: int = 2) -> dict:
     sample is the honest estimate of the job's scaling behaviour. All rep
     values are reported for transparency.
     """
+    import shutil
+
     out: dict[int, list[float]] = {SCALING_N: [], SCALING_4N: []}
+    taskset = shutil.which("taskset")
     for _ in range(reps):
         for cores in (SCALING_N, SCALING_4N):
+            # Pin the WHOLE process (JVM helper threads, GC, python workers)
+            # to exactly `cores` CPUs: local[N] alone only bounds task slots
+            # and lets JVM machinery overflow onto the host's idle cores,
+            # which distorts the small-N leg. A real N-core executor gets N
+            # cores for everything — taskset is the faithful proxy.
+            pin = [taskset, "-c", f"0-{cores - 1}"] if taskset else []
             proc = subprocess.run(
-                [
+                pin
+                + [
                     sys.executable,
                     str(REPO / "bench.py"),
                     "--pipeline-only",

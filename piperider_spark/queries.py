@@ -153,19 +153,22 @@ def profile_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS total,
            count(ts) AS non_nulls,
            count(DISTINCT ts) AS n_distinct,
-           min(ts) AS min_ts,
-           max(ts) AS max_ts
+           CAST(min(ts) AS VARCHAR) AS min_ts,
+           CAST(max(ts) AS VARCHAR) AS max_ts
     FROM events
     """,
 )
 def profile_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference datetime metrics (profiler.py:1308-1330)."""
+    """Reference datetime metrics (profiler.py:1308-1330). min/max rendered
+    as strings — both engines print timestamps identically
+    ('YYYY-MM-DD HH:MM:SS[.ffffff]'), which native timestamp objects may
+    not survive in a comparator."""
     return load(spark, sf_dir, "events").agg(
         F.count(F.lit(1)).alias("total"),
         F.count("ts").alias("non_nulls"),
         F.count_distinct("ts").alias("n_distinct"),
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
+        F.min("ts").cast("string").alias("min_ts"),
+        F.max("ts").cast("string").alias("max_ts"),
     )
 
 

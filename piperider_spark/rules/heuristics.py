@@ -1,9 +1,12 @@
 """Heuristic keep/drop rules as native Spark Column expressions.
 
-Everything here stays JVM-side (whole-stage codegen): string length, token
-arithmetic via split/array functions, JSON schema check via from_json, the
-duplicate-turn check via one lag() window over (conv_id, turn_idx). The only
-Python crossings in the pipeline are the two signal UDFs and the scrub UDF.
+Everything here stays JVM-side (whole-stage codegen): string length checks,
+role/JSON validity via from_json, the duplicate-turn check via one lag()
+window over (conv_id, turn_idx). The repetition rule's *inputs* (n_tok,
+rep_ratio) come from the fused signal UDF — tokenizing JVM-side cost more
+than the model signals combined — but the rule itself is still a native
+threshold expression here. The pipeline has exactly ONE python crossing
+(signals + conditional scrub, signals/udfs.make_process_udf).
 
 Reference mapping (SURVEY.md §2.2/§2.5):
   * validity predicates  -> profiler.py:802-809 CASE-cascades      -> F.when chains
