@@ -69,7 +69,7 @@ HEADLINE = [
 # workers; CPU-scaling itself is clean to 32 — measurements in BASELINE.md).
 SCALING_N = 2
 SCALING_4N = 8
-SCALING_TURNS = 1_500_000
+SCALING_TURNS = 1_000_000
 
 
 def transcripts_path(n_turns: int, seed: int = 42) -> str:
@@ -93,10 +93,13 @@ def run_pipeline_bench(spark, input_path: str) -> dict:
     n_turns = src.count()
     # warm-up: JVM/codegen + python worker spin-up, excluded from timing
     build_decisions(src.limit(2000)).write.mode("overwrite").format("noop").save()
-    t0 = time.time()
-    build_decisions(src).write.mode("overwrite").format("noop").save()
-    sec = time.time() - t0
-    return {"turns": n_turns, "sec": round(sec, 3), "turns_per_sec": round(n_turns / sec, 1)}
+    best = None
+    for _ in range(2):  # best-of-2: single-box timings swing ±25% with host load
+        t0 = time.time()
+        build_decisions(src).write.mode("overwrite").format("noop").save()
+        sec = time.time() - t0
+        best = sec if best is None or sec < best else best
+    return {"turns": n_turns, "sec": round(best, 3), "turns_per_sec": round(n_turns / best, 1)}
 
 
 def pipeline_only(cores: int, n_turns: int) -> None:
@@ -117,7 +120,7 @@ def pipeline_only(cores: int, n_turns: int) -> None:
     spark.stop()
 
 
-def scaling_measurement(reps: int = 2) -> dict:
+def scaling_measurement(reps: int = 3) -> dict:
     """Run the identical pipeline job at N and 4N cores in fresh processes.
 
     Each leg runs ``reps`` times and the best throughput is used — this
