@@ -134,11 +134,11 @@ def scaling_measurement() -> dict:
     identical runs) and the *least-contended* sample is the honest estimate
     of the job's scaling behaviour. The small-N leg is empirically stable
     (±5%) and expensive, so it runs once; the 4N leg is cheap and volatile,
-    so it runs three times. All rep values are reported for transparency.
+    so it runs twice. All rep values are reported for transparency.
     """
     import shutil
 
-    leg_reps = {SCALING_N: 1, SCALING_4N: 3}
+    leg_reps = {SCALING_N: 1, SCALING_4N: 2}
     out: dict[int, list[float]] = {SCALING_N: [], SCALING_4N: []}
     taskset = shutil.which("taskset")
     for cores, n_reps in leg_reps.items():
