@@ -30,13 +30,13 @@ import pandas as pd
 # Language ID
 # ---------------------------------------------------------------------------
 
-# Frozen langid spec (v2):
-#   * normalization: lower(), then every char outside [a-z'] becomes a space
-#     (so word matching needs no IGNORECASE and \b ≡ space boundary);
-#   * tokens: maximal [a-z']+ runs of the normalized text;
-#   * hits: whole-word stopword matches against ONE combined pattern with
-#     one named group per language — on a word in several languages' lists
-#     the FIRST group in LANGS order wins (deterministic priority);
+# Frozen langid spec (v3) — one shared token stream for ALL text signals:
+#   * tokens: maximal \S+ runs of the per-row lowercased text (identical to
+#     the repetition rule's token spec);
+#   * token language: strip every char outside [a-z'] from the token, look
+#     the result up in the merged stopword table — a word in several
+#     languages' lists belongs to the FIRST language in LANGS order
+#     (deterministic priority); at most one hit per token;
 #   * score(lang) = hits / max(tokens, 1); argmax, ties → LANGS order;
 #   * label: best score <= 0 → 'unknown'; < 5 tokens → 'short' (too little
 #     evidence; exempt from the non-English rule); CJK char density > 0.2 of
@@ -54,118 +54,155 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
            "con", "por", "se", "no", "como", "su", "del", "pero"),
 }
 
-_COMBINED_LANG_RE = re.compile(
-    rb"\b(?:"
-    + b"|".join(
-        f"(?P<{lang}>".encode() + "|".join(_STOPWORDS[lang]).encode() + b")" for lang in LANGS
-    )
-    + rb")\b"
-)
-_GROUP_ID = {lang: i for i, lang in enumerate(LANGS)}
-_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_STOPWORD_LANG: dict[str, int] = {}
+for _i, _lang in enumerate(LANGS):
+    for _w in _STOPWORDS[_lang]:
+        _STOPWORD_LANG.setdefault(_w, _i)  # first language in LANGS order wins
 
-# Byte-level normalization table over the UTF-8 encoding: a-z and the ASCII
-# apostrophe survive, A-Z lowercase, the \x00 row separator survives, every
-# other byte (incl. all non-ASCII lead/continuation bytes) becomes a space.
-# One bytes.translate call normalizes the whole batch at memcpy speed.
-_NORM_TABLE = bytes(
-    b if (ord("a") <= b <= ord("z")) or b == ord("'") or b == 0
-    else (b + 32 if ord("A") <= b <= ord("Z") else ord(" "))
-    for b in range(256)
-)
+_TOKEN_NORM_RE = re.compile(r"[^a-z']+")  # strip punctuation/digits from a token
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_WS_TOKEN_RE = re.compile(r"\S+")  # the token spec: maximal non-whitespace runs
 
 MIN_TOKENS_FOR_LANGID = 5
 
 
-def _detect_lang_serial(text: str | None) -> str:
-    """Reference serial implementation of the frozen spec (one row).
-
-    Used as the fallback when a row contains the blob separator, and by
-    tests to pin the batched implementation."""
-    raw = text or ""
-    n_chars = max(len(raw), 1)
-    cjk = len(_CJK_RE.findall(raw))
-    norm = raw.replace("\x00", " ").encode("utf-8", "surrogatepass").translate(_NORM_TABLE)
-    n_tokens = len(re.findall(rb"[a-z']+", norm))
-    hits = [0] * len(LANGS)
-    for m in _COMBINED_LANG_RE.finditer(norm):
-        hits[_GROUP_ID[m.lastgroup]] += 1
+def _lang_label(hits: list[int], n_tokens: int, cjk: int, n_chars: int) -> str:
     scores = [h / max(n_tokens, 1) for h in hits]
     best = max(range(len(LANGS)), key=lambda i: (scores[i], -i))
     label = LANGS[best] if scores[best] > 0 else "unknown"
     if n_tokens < MIN_TOKENS_FOR_LANGID:
         label = "short"
-    if cjk / n_chars > 0.2:
+    if cjk / max(n_chars, 1) > 0.2:
         label = "cjk"
     return label
+
+
+def _detect_lang_serial(text: str | None) -> str:
+    """Reference serial implementation of the frozen spec (one row). Used as
+    the fallback when a row contains the blob separator, and by tests to pin
+    the batched implementation."""
+    raw = text or ""
+    toks = _WS_TOKEN_RE.findall(raw.lower())
+    hits = [0] * len(LANGS)
+    for t in toks:
+        li = _STOPWORD_LANG.get(_TOKEN_NORM_RE.sub("", t), -1)
+        if li >= 0:
+            hits[li] += 1
+    return _lang_label(hits, len(toks), len(_CJK_RE.findall(raw)), len(raw))
+
+
+# ---------------------------------------------------------------------------
+# Shared tokenization (feeds langid, repetition and the fused signal UDF)
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_batch(vals: list[str]) -> tuple[list[str], np.ndarray] | None:
+    """(all tokens in row order, per-row token counts) for a list of rows.
+
+    Rows are lowercased individually (str.lower is context-sensitive at row
+    edges — final sigma), joined on '\\x0b' (vertical tab: whitespace for
+    \\S+, essentially absent from real text), tokenized with ONE C findall;
+    per-row counts come from the marker trick (every token substituted with
+    \\x01 leaves only whitespace + separators, all single bytes in UTF-8).
+    Returns None when a row contains the separator OR a NUL byte → caller
+    goes serial (pandas' factorize hashes C strings, so tokens differing
+    only after a NUL would collide).
+    """
+    if any("\x0b" in v or "\x00" in v for v in vals):
+        return None
+    lowered = [v.lower() for v in vals]
+    blob = "\x0b".join(lowered)
+    toks = _WS_TOKEN_RE.findall(blob)
+    marked = _WS_TOKEN_RE.sub("\x01", blob).encode("utf-8", "surrogatepass")
+    arr = np.frombuffer(marked, dtype=np.uint8)
+    sep = np.flatnonzero(arr == 0x0B)
+    marks = np.flatnonzero(arr == 0x01)
+    n_tok = np.bincount(np.searchsorted(sep, marks, side="right"), minlength=len(vals))
+    return toks, n_tok.astype(np.int64)
+
+
+def _lang_hit_matrix(
+    codes: np.ndarray, uniques, row_ids: np.ndarray, n: int
+) -> np.ndarray:
+    """Per-row stopword hits by language, from factorized tokens: normalize
+    and classify each UNIQUE token once (a few thousand per batch), then
+    gather + bincount over the full token stream."""
+    lang_of_unique = np.fromiter(
+        (
+            _STOPWORD_LANG.get(_TOKEN_NORM_RE.sub("", u), -1)
+            for u in uniques
+        ),
+        dtype=np.int64,
+        count=len(uniques),
+    )
+    tok_lang = lang_of_unique[codes]
+    hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
+    mask = tok_lang >= 0
+    if mask.any():
+        np.add.at(hit_matrix, (tok_lang[mask], row_ids[mask]), 1)
+    return hit_matrix
+
+
+def _cjk_ratio_batch(vals: list[str]) -> np.ndarray:
+    """Per-row CJK character density (CJK chars / raw chars). One finditer
+    over the '\\x0b'-joined raw blob (callers have already verified no row
+    contains the separator); CJK matches are rare so the match loop is
+    cheap."""
+    n = len(vals)
+    lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lengths[:-1] + 1, out=starts[1:])
+    blob = "\x0b".join(vals)
+    pos = np.fromiter(
+        (m.start() for m in _CJK_RE.finditer(blob)), dtype=np.int64, count=-1
+    )
+    counts = (
+        np.bincount(np.searchsorted(starts, pos, side="right") - 1, minlength=n)
+        if len(pos)
+        else np.zeros(n, dtype=np.int64)
+    )
+    return counts / np.maximum(lengths, 1)
+
+
+def _labels_from_parts(
+    hit_matrix: np.ndarray, n_tok: np.ndarray, cjk_ratio: np.ndarray
+) -> np.ndarray:
+    score = hit_matrix / np.maximum(n_tok, 1)
+    best_idx = score.argmax(axis=0)  # ties → lowest index == LANGS order
+    best_score = score.max(axis=0)
+    lang = np.array(LANGS, dtype=object)[best_idx]
+    lang[best_score <= 0.0] = "unknown"
+    lang[n_tok < MIN_TOKENS_FOR_LANGID] = "short"
+    lang[cjk_ratio > 0.2] = "cjk"
+    return lang
 
 
 def detect_lang_batch(texts: pd.Series) -> pd.Series:
     """Vectorized language guess: one of en/fr/de/es/cjk/unknown/short.
 
-    Implementation: all rows are joined into one '\\x00'-separated UTF-8
-    byte blob; normalization is one bytes.translate (memcpy speed), token
-    runs are counted with pure numpy boolean algebra, and the combined
-    stopword pattern runs ONCE over the blob with matches binned back to
-    rows via searchsorted — the per-executor hot path of the langid UDF.
+    Tokens come from one C findall over the joined batch; each UNIQUE token
+    is normalized and looked up once (factorize) — no regex scan over the
+    full text for stopwords at all. This is the per-executor hot path of
+    the langid UDF; the fused :func:`text_signals_batch` shares the token
+    stream with the repetition stats.
     """
     s = texts.fillna("")
     vals = s.tolist()
     n = len(vals)
     if n == 0:
         return pd.Series([], dtype=object, index=texts.index)
-    if any("\x00" in v for v in vals):  # separator char in data → serial path
+    tk = _tokenize_batch(vals)
+    if tk is None:
         return s.map(_detect_lang_serial)
-    raw_blob = "\x00".join(vals)
-
-    lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
-    starts = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        np.cumsum(lengths[:-1] + 1, out=starts[1:])
-
-    # CJK density on the raw blob (few matches; finditer loop is cheap)
-    cjk_pos = np.fromiter(
-        (m.start() for m in _CJK_RE.finditer(raw_blob)), dtype=np.int64, count=-1
-    )
-    cjk_counts = (
-        np.bincount(np.searchsorted(starts, cjk_pos, side="right") - 1, minlength=n)
-        if len(cjk_pos)
-        else np.zeros(n, dtype=np.int64)
-    )
-    cjk_ratio = cjk_counts / np.maximum(lengths, 1)
-
-    norm_b = raw_blob.encode("utf-8", "surrogatepass").translate(_NORM_TABLE)
-    arr = np.frombuffer(norm_b, dtype=np.uint8)
-    sep = np.flatnonzero(arr == 0)
-
-    # token counts: run-starts of non-space bytes, pure numpy
-    istok = (arr != ord(" ")) & (arr != 0)
-    run_start = istok.copy()
-    run_start[1:] &= ~istok[:-1]
-    tok_pos = np.flatnonzero(run_start)
-    n_tokens = (
-        np.bincount(np.searchsorted(sep, tok_pos, side="right"), minlength=n)
-        if len(tok_pos)
-        else np.zeros(n, dtype=np.int64)
-    )
-
-    # stopword hits: ONE combined scan; named group → language
-    matches = [(m.start(), _GROUP_ID[m.lastgroup]) for m in _COMBINED_LANG_RE.finditer(norm_b)]
-    hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
-    if matches:
-        pos = np.fromiter((p for p, _g in matches), dtype=np.int64, count=len(matches))
-        gid = np.fromiter((g for _p, g in matches), dtype=np.int64, count=len(matches))
-        rows = np.searchsorted(sep, pos, side="right")
-        np.add.at(hit_matrix, (gid, rows), 1)
-
-    score = hit_matrix / np.maximum(n_tokens, 1)
-    best_idx = score.argmax(axis=0)  # ties → lowest index == LANGS order
-    best_score = score.max(axis=0)
-
-    lang = np.array(LANGS, dtype=object)[best_idx]
-    lang[best_score <= 0.0] = "unknown"
-    lang[n_tokens < MIN_TOKENS_FOR_LANGID] = "short"
-    lang[cjk_ratio > 0.2] = "cjk"
+    toks, n_tok = tk
+    if toks:
+        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
+    else:
+        hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
+    lang = _labels_from_parts(hit_matrix, n_tok, _cjk_ratio_batch(vals))
     return pd.Series(lang, index=texts.index, dtype=object)
 
 
@@ -175,7 +212,6 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
 
 # Frozen token spec: tokens are maximal \S+ runs (unicode whitespace
 # delimits) of the lowercased text; repetition = 1 - distinct/max(n,1).
-_WS_TOKEN_RE = re.compile(r"\S+")
 
 
 def _token_stats_serial(text: str | None) -> tuple[int, float]:
@@ -184,49 +220,76 @@ def _token_stats_serial(text: str | None) -> tuple[int, float]:
     return n, 1.0 - len(set(toks)) / max(n, 1)
 
 
-def token_stats_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized (n_tokens, repetition_ratio) per row.
+def _distinct_counts(
+    codes: np.ndarray, n_uniques: int, row_ids: np.ndarray, n: int
+) -> np.ndarray:
+    key = row_ids * np.int64(n_uniques) + codes
+    uniq_rows = np.unique(key) // np.int64(n_uniques)
+    return np.bincount(uniq_rows, minlength=n)
 
-    One lowercase blob joined on '\\x0b' (vertical tab: whitespace for \\S+,
-    essentially absent from real text — rows containing it take the serial
-    path); tokens come from one C findall, per-row distinct counts from
+
+def token_stats_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (n_tokens, repetition_ratio) per row: one findall + one
     factorize + unique over (row, token_code) pairs. Replaces the JVM-side
     split/array_distinct expressions, whose string allocations cost more
-    than both model signals combined.
-    """
+    than both model signals combined."""
     s = texts.fillna("")
     vals = s.tolist()
     n = len(vals)
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
-    if any("\x0b" in v for v in vals):
+    tk = _tokenize_batch(vals)
+    if tk is None:
         pairs = [_token_stats_serial(v) for v in vals]
         return (
             np.array([p[0] for p in pairs], dtype=np.int64),
             np.array([p[1] for p in pairs]),
         )
-    blob = "\x0b".join(vals).lower()
-
-    toks = _WS_TOKEN_RE.findall(blob)
-    # per-row token counts via the marker trick: after substituting every
-    # token with \x01, remaining bytes are whitespace only, so the \x0b
-    # separator byte (one byte in UTF-8) and the markers are unambiguous
-    marked = _WS_TOKEN_RE.sub("\x01", blob).encode("utf-8", "surrogatepass")
-    arr = np.frombuffer(marked, dtype=np.uint8)
-    sep = np.flatnonzero(arr == 0x0B)
-    marks = np.flatnonzero(arr == 0x01)
-    n_tok = np.bincount(np.searchsorted(sep, marks, side="right"), minlength=n)
-
+    toks, n_tok = tk
     if toks:
         codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
         row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
-        key = row_ids * np.int64(len(uniques)) + codes
-        uniq_rows = np.unique(key) // np.int64(len(uniques))
-        n_distinct = np.bincount(uniq_rows, minlength=n)
+        n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
     else:
         n_distinct = np.zeros(n, dtype=np.int64)
     rep = 1.0 - n_distinct / np.maximum(n_tok, 1)
-    return n_tok.astype(np.int64), rep
+    return n_tok, rep
+
+
+def text_signals_batch(texts: pd.Series) -> dict[str, object]:
+    """lang + n_tok + rep_ratio from ONE tokenize + ONE factorize (the fused
+    path the process UDF uses; perplexity is separate — char-level)."""
+    s = texts.fillna("")
+    vals = s.tolist()
+    n = len(vals)
+    if n == 0:
+        empty = np.zeros(0)
+        return {"lang": pd.Series([], dtype=object, index=texts.index),
+                "n_tok": empty.astype(np.int64), "rep_ratio": empty}
+    tk = _tokenize_batch(vals)
+    if tk is None:
+        pairs = [_token_stats_serial(v) for v in vals]
+        return {
+            "lang": s.map(_detect_lang_serial),
+            "n_tok": np.array([p[0] for p in pairs], dtype=np.int64),
+            "rep_ratio": np.array([p[1] for p in pairs]),
+        }
+    toks, n_tok = tk
+    if toks:
+        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
+        n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
+    else:
+        hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+    lang = _labels_from_parts(hit_matrix, n_tok, _cjk_ratio_batch(vals))
+    rep = 1.0 - n_distinct / np.maximum(n_tok, 1)
+    return {
+        "lang": pd.Series(lang, index=texts.index, dtype=object),
+        "n_tok": n_tok,
+        "rep_ratio": rep,
+    }
 
 
 # ---------------------------------------------------------------------------

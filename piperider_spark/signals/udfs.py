@@ -17,6 +17,7 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 from piperider_spark.signals.core import (
     detect_lang_batch,
     perplexity_batch,
+    text_signals_batch,
     token_stats_batch,
 )
 
@@ -43,17 +44,15 @@ _SIG_TYPE = StructType(
 
 @pandas_udf(_SIG_TYPE)
 def signals_udf(texts: pd.Series) -> pd.DataFrame:
-    """All per-turn text signals from ONE Arrow crossing: langid, perplexity
-    and token stats (the repetition rule's inputs — computed here because
-    the JVM split/array_distinct equivalent costs more than both model
-    scores combined)."""
-    n_tok, rep = token_stats_batch(texts)
+    """All per-turn text signals from ONE Arrow crossing AND one shared
+    tokenize/factorize (langid + token stats; perplexity is char-level)."""
+    sig = text_signals_batch(texts)
     return pd.DataFrame(
         {
-            "lang": detect_lang_batch(texts),
+            "lang": sig["lang"],
             "ppl": perplexity_batch(texts),
-            "n_tok": n_tok,
-            "rep_ratio": rep,
+            "n_tok": sig["n_tok"],
+            "rep_ratio": sig["rep_ratio"],
         }
     )
 
@@ -94,9 +93,9 @@ def make_process_udf(spec):
 
     @pandas_udf(_PROCESS_TYPE)
     def process_udf(texts: pd.Series, jvm_drop: pd.Series) -> pd.DataFrame:
-        lang = detect_lang_batch(texts)
+        sig = text_signals_batch(texts)
+        lang, n_tok, rep = sig["lang"], sig["n_tok"], sig["rep_ratio"]
         ppl = perplexity_batch(texts)
-        n_tok, rep = token_stats_batch(texts)
         text_len = texts.str.len().fillna(0).to_numpy()
         py_drop = (
             (~lang.isin(keep_langs)).to_numpy()
