@@ -98,9 +98,18 @@ def oracle_sql() -> dict[str, str]:
 )
 def profile_numeric_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference combined numeric aggregates (profiler.py:952-979) +
-    percentile_disc quantiles (profiler.py:1184-1186), one fused scan."""
+    percentile_disc quantiles (profiler.py:1184-1186).
+
+    The five quantiles come from the fused value-counts operator
+    (operators/quantiles.py) instead of five builtin percentile_disc
+    aggregation buffers — five full column materializations and a double
+    ObjectHashAggregate exchange collapse into one value-counts shuffle.
+    Both 1-row sides then cross-join (a literal join, no shuffle)."""
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
     c = F.col("o_totalprice")
-    return load(spark, sf_dir, "orders").agg(
+    orders = load(spark, sf_dir, "orders")
+    aggs = orders.agg(
         F.count(F.lit(1)).alias("total"),
         F.count(c).alias("non_nulls"),
         F.count_distinct(c).alias("n_distinct"),
@@ -111,11 +120,11 @@ def profile_numeric_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(c), 2).alias("sum_v"),
         F.round(F.avg(c), 4).alias("avg_v"),
         F.round(F.stddev(c), 4).alias("stddev_v"),
-        *[
-            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)").alias(k)
-            for k, p in (("p5", 0.05), ("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95))
-        ],
     )
+    qs = percentile_disc_multi(
+        orders, "o_totalprice", (0.05, 0.25, 0.50, 0.75, 0.95), ("p5", "p25", "p50", "p75", "p95")
+    )
+    return aggs.crossJoin(qs)
 
 
 @register(
@@ -286,7 +295,7 @@ def non_duplicates_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "duplicate_rows_orders",
     """
-    SELECT coalesce(sum(cnt), 0) AS duplicate_rows FROM (
+    SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS duplicate_rows FROM (
       SELECT count(*) AS cnt FROM orders
       GROUP BY o_custkey, o_orderstatus, o_orderpriority
       HAVING count(*) > 1)
@@ -428,7 +437,7 @@ def metric_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -455,7 +464,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_events",
     """
     SELECT event_type,
-           sum(CAST(props ->> '$.k' AS INTEGER)) AS sum_k,
+           CAST(sum(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
            count(*) FILTER (WHERE props ->> '$.k' IS NOT NULL) AS n_valid,
            count(*) AS n
     FROM events GROUP BY event_type
@@ -673,7 +682,8 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT)
+             AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -939,7 +949,7 @@ def metric_weekly_revenue_per_order(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT lang, count(*) AS n_docs,
            round(avg(len(toks)), 4) AS avg_tokens,
-           sum(len(toks)) AS total_tokens
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens
     FROM t GROUP BY lang
     """,
 )

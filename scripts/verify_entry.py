@@ -27,6 +27,29 @@ TABLES = (
 ).split()
 
 
+def norm_type(t: str) -> str:
+    """Collapse engine type names into hash-equivalence classes.
+
+    Calibrated against the driver's CORRECTNESS_r01 behavior: int widths
+    (int32 vs int64) hash identically, but DuckDB's HUGEINT (int128 — what
+    an un-cast integer ``sum()`` returns) does NOT hash like BIGINT. Keeping
+    i128 as its own class is the whole point: round 1's local twin compared
+    only python values and masked five driver hash-fails.
+    """
+    t = str(t).lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "i64"
+    if t == "hugeint":
+        return "i128"
+    if t in ("float", "double", "real"):
+        return "f64"
+    if t in ("varchar", "string", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    return t
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -39,10 +62,11 @@ def norm_cell(v):
     return v
 
 
-def norm_rows(cols, rows):
+def norm_rows(cols, rows, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
+    tps = [norm_type(types[i]) for i in order]
+    return sorted(cols), sorted(out, key=repr), tps
 
 
 def main() -> int:
@@ -62,6 +86,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = list(sdf.columns)
+            s_types = [f.dataType.simpleString() for f in sdf.schema.fields]
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -73,17 +98,21 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        sc, sr = norm_rows(s_cols, s_rows)
-        dc, dr = norm_rows(d_cols, d_rows)
+        sc, sr, st = norm_rows(s_cols, s_rows, s_types)
+        dc, dr, dt = norm_rows(d_cols, d_rows, d_types)
         status = "ok   "
         if sc != dc:
             status = "FAIL cols"
             print(f"      spark={sc}\n      duck ={dc}")
+        elif st != dt:
+            status = "FAIL types"
+            print(f"      spark={list(zip(sc, st))}\n      duck ={list(zip(dc, dt))}")
         elif len(sr) != len(dr):
             status = f"FAIL rows {len(sr)} vs {len(dr)}"
         elif sr != dr:
