@@ -124,9 +124,19 @@ def shingle_pairs_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def _perm_hash(shingle: Column, j: int) -> Column:
-    """The j-th MinHash "permutation": 60-bit salted md5. No multiply-mod
-    (portable, no int64 overflow under ANSI mode)."""
+def _perm_hash(shingle: Column, j: int, hash_fn: str = "md5") -> Column:
+    """The j-th MinHash "permutation".
+
+    ``md5`` (default): 60-bit salted md5 — portable bit-for-bit to the
+    DuckDB oracle (the only hash both engines share). ``xxhash64``: the
+    engine fast path — JVM-native, no string md5 hex + conv() math in the
+    per-shingle hot loop (~3-4× cheaper signature build); same LSH
+    collision statistics, no cross-engine twin (rows-only verification).
+    """
+    if hash_fn == "xxhash64":
+        # salt via the seed column; abs() keeps min() semantics aligned with
+        # the non-negative md5 path (not required for correctness of LSH)
+        return F.abs(F.xxhash64(F.lit(j), shingle))
     return md5_60bit(F.concat(F.lit(f"{j}:"), shingle))
 
 
@@ -136,6 +146,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 8,
     k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, sig_0..sig_{n-1}).
 
@@ -144,7 +155,7 @@ def minhash_signatures(
     text) are excluded — they have no similarity identity.
     """
     sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
-    aggs = [F.min(_perm_hash(F.col("s"), j)).alias(f"sig_{j}") for j in range(n_hashes)]
+    aggs = [F.min(_perm_hash(F.col("s"), j, hash_fn)).alias(f"sig_{j}") for j in range(n_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -157,6 +168,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified with exact Jaccard.
 
@@ -166,7 +178,7 @@ def minhash_lsh_pairs(
     (boilerplate shingles) instead of quadratic blowup.
     """
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -179,11 +191,19 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    # cap degenerate buckets
-    wcnt = Window.partitionBy("band", "key")
-    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(wcnt)).where(
-        F.col("bsz") <= max_bucket_size
+    # Cap degenerate buckets WITHOUT materializing them on one task: a
+    # count-over-window on (band, key) would ship every row of the
+    # mega-bucket (exactly the boilerplate skew the cap exists for) to a
+    # single partition before dropping it. groupBy keeps the count partial
+    # (map-side combine), and the oversized keys — few by construction —
+    # broadcast into an anti-join, so no executor ever holds a full bucket.
+    oversized = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket_size)
+        .select("band", "key")
     )
+    banded = banded.join(F.broadcast(oversized), ["band", "key"], "left_anti")
     cand = (
         banded.alias("a")
         .join(

@@ -1016,29 +1016,152 @@ def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("minhash_lsh_pairs_documents")
+_MINHASH8_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(('0x' || substr(md5('{j}:' || s), 1, 15))::BIGINT) AS sig_{j}"
+                 for j in range(8)
+             )}
+      FROM sh GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "minhash_lsh_pairs_documents",
+    _MINHASH8_SQL
+    + """,
+    banded AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN concat_ws('-', sig_0, sig_1)
+               WHEN 1 THEN concat_ws('-', sig_2, sig_3)
+               WHEN 2 THEN concat_ws('-', sig_4, sig_5)
+               ELSE concat_ws('-', sig_6, sig_7)
+             END AS key
+      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), capped AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+        FROM banded)
+      WHERE bsz <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), shd AS (SELECT DISTINCT * FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    shared AS (
+      SELECT id_a, id_b, count(*) AS shared
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+    """,
+)
 def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (banded bucket join + exact verify) — the
-    scale path for corpus dedup. Verified against the exact Jaccard query in
-    tests (recall ≥ threshold-dependent bound); no SQL oracle (banding is
-    engine-side)."""
+    scale path for corpus dedup. Banding IS SQL-expressible (concat over the
+    already-oracle'd signature columns), so the full path sits under the
+    oracle gate; the xxhash64 engine variant (hash_fn) is the bench path."""
     return dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), n_hashes=8, n_bands=4, threshold=0.5
     )
 
 
-@register("simhash_candidates_documents")
+_SIMHASH_SIG_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+      FROM tok WHERE length(t) > 0
+    ), votes AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS b) b
+      GROUP BY doc_id, b.b
+    ), sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_candidates_documents",
+    _SIMHASH_SIG_SQL
+    + """,
+    bands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+      FROM sim, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming FROM pairs)
+    WHERE hamming <= 3
+    """,
+)
 def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-band candidate pairs (near-dup at Hamming ≤ 3)."""
+    """SimHash Hamming-band candidate pairs (near-dup at Hamming ≤ 3).
+    Bands are shift/mask over the already-oracle'd signature — gated."""
     sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"), bits=32)
-    return dedup.simhash_candidates(sigs, n_bands=4, bits=32).where(F.col("hamming") <= 3)
+    return (
+        dedup.simhash_candidates(sigs, n_bands=4, bits=32)
+        .where(F.col("hamming") <= 3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+    )
 
 
-@register("ann_bucketed_embeddings")
+def _ann_planes_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    """Inline the deterministic hyperplanes (similarity._hyperplanes — md5-
+    seeded, engine-independent) as a DuckDB VALUES list. repr(float) is the
+    shortest round-trip rendering, so DuckDB parses the identical double."""
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in planes[j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+    return f"(VALUES\n        {rows}) p(j, pv)"
+
+
+@register(
+    "ann_bucketed_embeddings",
+    f"""
+    WITH planes AS (SELECT * FROM {_ann_planes_sql()}),
+    sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+                           THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
+      FROM embeddings, planes GROUP BY vec_id
+    ), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qsig AS (SELECT sig FROM sigs WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 6)
+             AS cosine_sim
+    FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+    WHERE bit_count(xor(s.sig, (SELECT sig FROM qsig))) <= 1
+    ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+)
 def ann_bucketed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbours (hyperplane signatures,
     Hamming-1 bucket ring) — the 10^12-row scale path for similarity
-    search."""
+    search. Hyperplanes are deterministic literals, so the whole path is
+    oracle-gated."""
     df = load(spark, sf_dir, "embeddings")
     qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.ann_bucketed(df, list(qvec), n_planes=8, topk=10)
