@@ -19,7 +19,15 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-GRAIN_INTERVAL = {"day": "interval 1 day", "week": "interval 7 day", "month": "interval 1 month", "year": "interval 1 year"}
+GRAIN_INTERVAL = {
+    "day": "interval 1 day",
+    "week": "interval 7 day",
+    "month": "interval 1 month",
+    # reference grain set includes quarter via dialect shims (quarter →
+    # 3 month, metrics.py:223-237); Spark date_trunc supports it natively
+    "quarter": "interval 3 month",
+    "year": "interval 1 year",
+}
 
 AGG_FNS = {
     "count": lambda c: F.count(c),

@@ -53,6 +53,13 @@ class ProfilerConfig:
     limit: int = 0                 # row-limit sampling (profiler.py:720-731)
     duplicate_rows: bool = False   # off by default, "time costing" (docs/config.md:29-35)
     approx: bool = False           # opt-in approx distinct/quantiles for 10^12-row scale
+    # Untyped-ingest validity: {column: declared generic type}. For STRING
+    # staging columns (CSV/JSON ingest) the declared type drives a try_cast
+    # validity transform — the reference's sqlite dynamic-typing algebra
+    # (valids = count(casted), invalids = non_nulls − valids,
+    # profiler.py:748-750; per-type rules at 802-809, 931-939, 1296-1305,
+    # 1503-1511). Typed columns ignore their entry (invalids ≡ 0).
+    declared_types: dict[str, str] | None = None
 
 
 def classify_type(dt: T.DataType) -> tuple[str, bool]:
@@ -71,6 +78,74 @@ def classify_type(dt: T.DataType) -> tuple[str, bool]:
     return "other", False
 
 
+def _fc(name: str):
+    """Column ref by literal (possibly dotted) top-level name."""
+    return F.col(f"`{name}`")
+
+
+def flatten_schema(df: DataFrame) -> tuple[DataFrame, list[tuple[str, Any]]]:
+    """Flatten STRUCT columns into dot-path leaf columns and collect ARRAY
+    columns for the exploded pass (reference: BigQuery UNNEST CTE chain,
+    profiler.py:358-418 — structs become `a.b` leaves over the SAME row
+    space; arrays are profiled as their item type over UNNESTED rows).
+
+    Returns (flat_df, arrays) where arrays is [(dot_path, Column)]. MAP
+    columns stay as-is (classified "other" — the reference has no map
+    type). The flatten is a pure projection: no shuffle, and Catalyst
+    prunes unreferenced struct fields at the scan.
+    """
+    flat_cols: list = []
+    arrays: list[tuple[str, Any]] = []
+    changed = False
+
+    def walk(path: str, dt: T.DataType, col) -> None:
+        nonlocal changed
+        if isinstance(dt, T.StructType):
+            changed = True
+            for f in dt.fields:
+                walk(f"{path}.{f.name}", f.dataType, col.getField(f.name))
+        elif isinstance(dt, T.ArrayType):
+            changed = True
+            arrays.append((path, col))
+        else:
+            flat_cols.append(col.alias(path))
+
+    for f in df.schema.fields:
+        walk(f.name, f.dataType, _fc(f.name))
+    return (df.select(*flat_cols) if changed else df), arrays
+
+
+_ORIG_SUFFIX = "::orig"
+
+
+def _valid_expr(c, declared: str):
+    """Validity transform for a string staging column, mirroring the
+    reference's sqlite dynamic-typing rules (NULL ⇒ invalid):
+
+    * integer/numeric — try_cast to double (accepts '0' and '0.0' like
+      sqlite's int/real typeof pass-through; rejects text — profiler.py:
+      931-939). Integer semantics are kept via is_integer downstream.
+    * datetime — text parse first, then unixepoch for numeric strings
+      (datetime(c) / datetime(c,'unixepoch'), profiler.py:1296-1305).
+    * boolean — only literal true/false/1/0 (profiler.py:1503-1511).
+    * string — text staging is always valid text (only sqlite blobs are
+      invalid for strings, profiler.py:802-809; Spark strings have no blob
+      case).
+    """
+    if declared in ("integer", "numeric"):
+        return c.try_cast("double")
+    if declared == "datetime":
+        return F.coalesce(
+            c.try_cast("timestamp"), F.timestamp_seconds(c.try_cast("double"))
+        )
+    if declared == "boolean":
+        low = F.lower(F.trim(c))
+        return F.when(low.isin("1", "true"), F.lit(True)).when(
+            low.isin("0", "false"), F.lit(False)
+        )
+    return c
+
+
 # ---------------------------------------------------------------------------
 # job 1: fused aggregate exprs
 # ---------------------------------------------------------------------------
@@ -80,8 +155,8 @@ _QKEYS = ("p5", "p25", "p50", "p75", "p95")
 
 
 def _agg_exprs(col: str, generic: str, approx: bool) -> list:
-    c = F.col(col)
-    q = F.col(col)  # quantile target
+    c = _fc(col)
+    q = _fc(col)  # quantile target
     exprs = [F.count(c).alias(f"{col}::non_nulls")]
     if generic == "string":
         ln = F.length(c)
@@ -104,7 +179,11 @@ def _agg_exprs(col: str, generic: str, approx: bool) -> list:
         ]
         if approx:
             exprs += [
-                F.percentile_approx(q, list(_QUANTILES), 10000).alias(f"{col}::quantiles")
+                F.percentile_approx(q, list(_QUANTILES), 10000).alias(f"{col}::quantiles"),
+                # sketch distinct so quantile-only columns can skip the exact
+                # value-counts job entirely (the 10^12-row escape hatch —
+                # reference approx branches, profiler.py:1163-1173)
+                F.approx_count_distinct(c, 0.02).alias(f"{col}::approx_distinct"),
             ]
         # exact quantiles (the reference's percentile_disc default branch,
         # profiler.py:1184-1186) are NOT aggregated here: five builtin
@@ -144,12 +223,12 @@ def _value_counts(
                     F.struct(
                         F.lit(i).alias("ci"),
                         (
-                            F.col(c).cast("string")
+                            _fc(c).cast("string")
                             if (c in topk_cols or c not in numeric)
                             else F.lit(None).cast("string")
                         ).alias("v"),
                         (
-                            F.col(c).cast("double")
+                            _fc(c).cast("double")
                             if c in numeric
                             else F.lit(None).cast("double")
                         ).alias("vn"),
@@ -269,6 +348,7 @@ def _distribution_pass(
     topk_ci: set[int],
     quantile_ci: set[int],
     hist_plans: dict[int, tuple],
+    int_ci: set[int] | None = None,
 ) -> dict[int, dict]:
     """distinct / non-duplicates / top-k / exact quantiles / histograms for
     every column from ONE repartition("ci") + mapInPandas over the
@@ -305,15 +385,36 @@ def _distribution_pass(
                 stats["topk_v"] = top["v"].tolist()
                 stats["topk_c"] = [int(c) for c in top["cnt"]]
             if ci in quantile_ci:
-                gg = g.dropna(subset=["vn"]).sort_values("vn", kind="mergesort")
-                if len(gg):
-                    cum = gg["cnt"].to_numpy().cumsum()
+                # integer columns: quantiles from the exact string rendering
+                # parsed as int64 — the double `vn` loses precision beyond
+                # 2^53, diverging from the reference's exact percentile_disc
+                # on the native type. Fallback to the double path for
+                # int-typed columns whose values aren't int64-parsable
+                # (declared-integer staging renders as '0.0').
+                vals = cnts_q = None
+                if int_ci and ci in int_ci:
+                    gg = g.dropna(subset=["v"])
+                    try:
+                        vals_i = gg["v"].astype(np.int64).to_numpy()
+                    except (ValueError, TypeError):
+                        vals_i = None
+                    if vals_i is not None and len(vals_i):
+                        order = np.argsort(vals_i, kind="stable")
+                        vals = vals_i[order]
+                        cnts_q = gg["cnt"].to_numpy()[order]
+                if vals is None:
+                    gg = g.dropna(subset=["vn"]).sort_values("vn", kind="mergesort")
+                    if len(gg):
+                        vals = gg["vn"].to_numpy()
+                        cnts_q = gg["cnt"].to_numpy()
+                if vals is not None and len(vals):
+                    cum = cnts_q.cumsum()
                     n = int(cum[-1])
-                    vals = gg["vn"].to_numpy()
                     qs = []
                     for p in _QUANTILES:
                         k = math.ceil(p * n)
-                        qs.append(float(vals[np.searchsorted(cum, k, side="left")]))
+                        v = vals[np.searchsorted(cum, k, side="left")]
+                        qs.append(int(v) if isinstance(v, np.integer) else float(v))
                     stats["quantiles"] = qs
             plan = hist_plans.get(ci)
             if plan is not None:
@@ -402,12 +503,55 @@ class Profiler:
             row_count = None  # no limit ⇒ row_count == job 1's total (saves a scan)
             samples, samples_p = None, 1
 
-        fields = [(f.name, *classify_type(f.dataType)) for f in df.schema.fields]
+        # Nested types: STRUCT leaves flatten to `a.b` columns over the same
+        # row space; ARRAY columns are profiled as their item type over the
+        # exploded rows in a recursive pass (reference UNNEST flatten,
+        # profiler.py:358-418, 571-573). The explode source keeps the limit.
+        src_df = df
+        df, array_cols = flatten_schema(df)
+
+        # ---- untyped-ingest staging: validity transform per declared type
+        string_cols = {
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        }
+        declared = {
+            name: g
+            for name, g in (cfg.declared_types or {}).items()
+            if name in string_cols
+            and g in ("integer", "numeric", "datetime", "boolean", "string")
+        }
+        schema_types = {f.name: f.dataType.simpleString().upper() for f in df.schema.fields}
+        if declared:
+            proj = []
+            for f in df.schema.fields:
+                if f.name in declared:
+                    proj.append(_valid_expr(_fc(f.name), declared[f.name]).alias(f.name))
+                    proj.append(_fc(f.name).alias(f.name + _ORIG_SUFFIX))
+                    schema_types[f.name] = declared[f.name].upper()
+                else:
+                    proj.append(_fc(f.name))
+            df = df.select(*proj)
+
+        fields = []
+        for f in df.schema.fields:
+            if f.name.endswith(_ORIG_SUFFIX):
+                continue
+            if f.name in declared:
+                g = declared[f.name]
+                fields.append((f.name, g, g == "integer"))
+            else:
+                fields.append((f.name, *classify_type(f.dataType)))
 
         # ---- job 1: one fused aggregation over every column --------------
         agg_exprs = [F.count(F.lit(1)).alias("::total")]
         for name, generic, _is_int in fields:
             agg_exprs += _agg_exprs(name, generic, cfg.approx)
+        for name in declared:
+            # non_nulls comes from the RAW staging column; count(valid c)
+            # below is `valids` (the reference's algebra, profiler.py:748-750)
+            agg_exprs.append(
+                F.count(_fc(name + _ORIG_SUFFIX)).alias(f"{name}::orig_non_nulls")
+            )
         row = df.agg(*agg_exprs).collect()[0].asDict()
         total = row["::total"]
         if row_count is None:
@@ -418,13 +562,29 @@ class Profiler:
             return json_safe(row.get(f"{col}::{key}"))
 
         # ---- job 2: fused value counts ------------------------------------
-        vc_cols = [name for name, generic, _ in fields if generic != "other"]
         numeric_cols = {
             name for name, generic, _ in fields if generic in ("integer", "numeric")
         }
         topk_cols = {
             name for name, generic, is_int in fields if generic == "string" or is_int
         }
+        # approx mode: quantile-only numeric columns (float/double, no topk)
+        # take distinct+quantiles from job 1's sketches and skip the exact
+        # value-counts shuffle entirely — a numerics-only table profiles in
+        # ONE job. Histogram and non_duplicates are omitted for them (at
+        # 10^12 rows of ~unique doubles an exact per-value pass is the thing
+        # being avoided; the reference's approx branches likewise only keep
+        # sketchable metrics).
+        skip_vc = (
+            {name for name in numeric_cols if name not in topk_cols}
+            if cfg.approx
+            else set()
+        )
+        vc_cols = [
+            name
+            for name, generic, _ in fields
+            if generic != "other" and name not in skip_vc
+        ]
         uniq: dict[str, tuple[int, int]] = {}
         topk: dict[str, dict] = {}
         quantiles: dict[str, list] = {}
@@ -476,7 +636,10 @@ class Profiler:
                 if cfg.approx
                 else {i for i, c in enumerate(vc_cols) if c in numeric_cols}
             )
-            stats = _distribution_pass(vc, topk_ci, quantile_ci, hist_plans)
+            int_ci = {
+                i for i, c in enumerate(vc_cols) if generic_by_name[c][1]
+            }
+            stats = _distribution_pass(vc, topk_ci, quantile_ci, hist_plans, int_ci)
             for ci, s in stats.items():
                 name = vc_cols[ci]
                 uniq[name] = (s["distinct"], s["non_dup"])
@@ -489,15 +652,18 @@ class Profiler:
 
         # ---- assemble column dicts (reference result shape) ---------------
         columns: dict[str, dict] = {}
-        for pos, f in enumerate(df.schema.fields):
-            name, (generic, is_int) = f.name, classify_type(f.dataType)
-            non_nulls = row[f"{name}::non_nulls"]
+        for name, generic, is_int in fields:
+            # typed columns: valids ≡ non_nulls, invalids ≡ 0
+            # (docs/metrics.md:52); declared staging columns: valids =
+            # count(try_cast c), invalids = non_nulls − valids
+            valids = row[f"{name}::non_nulls"]
+            non_nulls = row.get(f"{name}::orig_non_nulls", valids)
             nulls = total - non_nulls
-            valids = non_nulls  # typed schema ⇒ invalids ≡ 0 (docs/metrics.md:52)
+            invalids = non_nulls - valids
             col: dict[str, Any] = {
                 "name": name,
                 "type": generic,
-                "schema_type": f.dataType.simpleString().upper(),
+                "schema_type": schema_types[name],
                 # column total = full table row_count; samples = rows the
                 # metrics actually saw after the limit (profiler.py:481-488,
                 # 662-663); percentage denominators use the sample count.
@@ -510,10 +676,18 @@ class Profiler:
                 "nulls_p": percentage(nulls, total),
                 "valids": valids,
                 "valids_p": percentage(valids, total),
-                "invalids": 0,
-                "invalids_p": 0,
+                "invalids": invalids,
+                "invalids_p": percentage(invalids, total) if invalids else 0,
             }
-            if generic != "other":
+            if name in skip_vc:
+                approx_distinct = rv(name, "approx_distinct")
+                col.update(
+                    {
+                        "distinct": approx_distinct,
+                        "distinct_p": percentage(approx_distinct, valids),
+                    }
+                )
+            elif generic != "other":
                 distinct, non_dup = uniq.get(name, (0, 0))
                 duplicates = valids - non_dup
                 col.update(
@@ -596,16 +770,34 @@ class Profiler:
                 )
             columns[name] = col
 
+        # ---- recursive pass over ARRAY columns ---------------------------
+        # Each array column is profiled as its item type over its exploded
+        # rows (one pruned-scan job pair per array column — the scan reads
+        # only that column). `total`/`samples` for these columns are the
+        # ITEM counts, exactly the reference's per-column UNNEST-CTE
+        # semantics; arrays-of-struct recurse into `path.field` leaves.
+        for path, arr_col in array_cols:
+            exploded = src_df.select(F.explode(arr_col).alias(path))
+            sub = Profiler(
+                ProfilerConfig(limit=cfg.limit, duplicate_rows=False, approx=cfg.approx)
+            ).profile_table(exploded, f"{table_name}.{path}")
+            for cname, cprof in sub["columns"].items():
+                if cname == path:  # array of scalars: ARRAY<item> label
+                    cprof["schema_type"] = f"ARRAY<{cprof['schema_type']}>"
+                columns[cname] = cprof
+
         result: dict[str, Any] = {
             "name": table_name,
             "row_count": row_count,
             "samples": samples,
             "samples_p": samples_p,
-            "col_count": len(fields),
+            "col_count": len(columns),
             "columns": columns,
         }
 
         if cfg.duplicate_rows:
+            # over the flattened (struct-leaf) projection; array columns are
+            # excluded from the row-identity key
             result.update(self._duplicate_rows(df, samples))
         return result
 
@@ -614,7 +806,7 @@ class Profiler:
         SUM(count) (reference: profiler.py:499-543; the generic branch — the
         Snowflake hash(*) shortcut maps to Catalyst's internal hashing)."""
         dup = (
-            df.groupBy(*df.columns)
+            df.groupBy(*[_fc(c) for c in df.columns if not c.endswith(_ORIG_SUFFIX)])
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") > 1)
             .agg(F.sum("cnt"))

@@ -313,6 +313,43 @@ def duplicate_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_array_embeddings",
+    """
+    WITH items AS (SELECT unnest(embedding) AS x FROM embeddings)
+    SELECT count(*) AS total,
+           count(x) AS non_nulls,
+           count(DISTINCT x) AS n_distinct,
+           count(*) FILTER (WHERE x = 0) AS zeros,
+           count(*) FILTER (WHERE x < 0) AS negatives,
+           round(min(x), 6) AS min_v,
+           round(max(x), 6) AS max_v,
+           round(avg(CAST(x AS DOUBLE)), 6) AS avg_v
+    FROM items
+    """,
+)
+def profile_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-scalars profiling: the reference flattens ARRAY columns via
+    UNNEST and profiles them as their item type (profiler.py:358-418,
+    571-573) — here F.explode over the pruned single-column scan, then the
+    same fused aggregate set the nested profiler path runs."""
+    x = F.col("x")
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select(F.explode("embedding").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(x).alias("non_nulls"),
+            F.count_distinct(x).alias("n_distinct"),
+            F.count_if(x == 0).alias("zeros"),
+            F.count_if(x < 0).alias("negatives"),
+            F.round(F.min(x), 6).alias("min_v"),
+            F.round(F.max(x), 6).alias("max_v"),
+            F.round(F.avg(x.cast("double")), 6).alias("avg_v"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic / relational queries (joins, windows, date spines, JSON)
 # ---------------------------------------------------------------------------
@@ -936,6 +973,35 @@ def metric_weekly_revenue_per_order(spark: SparkSession, sf_dir: str) -> DataFra
     return derived_metric({"rev": rev, "n": cnt}, "floor(rev / nullif(n, 0) * 100 + 0.5) / 100").select(
         "d", F.col("value").alias("revenue_per_order")
     )
+
+
+@register(
+    "metric_quarterly_revenue",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('quarter', min(o_orderdate)) AS lo,
+             date_trunc('quarter', max(o_orderdate)) AS hi FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series((SELECT lo FROM bounds),
+                                         (SELECT hi FROM bounds),
+                                         INTERVAL 3 MONTH)) AS DATE) AS d
+    ), agg AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS d,
+             sum(o_totalprice) AS m
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    )
+    SELECT spine.d AS d, round(CAST(coalesce(agg.m, 0) AS DOUBLE), 2) AS revenue
+    FROM spine LEFT JOIN agg ON spine.d = agg.d
+    """,
+)
+def metric_quarterly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-grain metric series (reference grain set includes quarter via
+    dialect shims, metrics.py:223-237) — spine step INTERVAL 3 MONTH,
+    zero-filled additive sum."""
+    s = metric_series(
+        load(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice", "sum", "quarter"
+    )
+    return s.select("d", F.round(F.col("value"), 2).alias("revenue"))
 
 
 @register(

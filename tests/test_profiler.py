@@ -272,8 +272,9 @@ def test_report_shape(spark):
 
 
 def test_profiler_approx_mode(spark):
-    """approx=True: sketch quantiles from job 1 (percentile_approx), rest of
-    the report intact — the 10^12-row opt-in path (SURVEY §2.4 distinct)."""
+    """approx=True: sketch quantiles + sketch distinct from job 1, and
+    quantile-only (float, non-topk) columns skip the exact value-counts
+    shuffle entirely — the 10^12-row opt-in path (SURVEY §2.4 distinct)."""
     from piperider_spark.profiler.core import ProfilerConfig, profile_table
 
     df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
@@ -281,8 +282,168 @@ def test_profiler_approx_mode(spark):
     approx = profile_table(df, "orders", ProfilerConfig(approx=True))
     e = exact["columns"]["o_totalprice"]
     a = approx["columns"]["o_totalprice"]
-    assert a["distinct"] == e["distinct"]  # distribution pass still exact here
+    # sketch distinct within HLL++ error of exact (rsd 0.02 → ~4 sigma)
+    assert abs(a["distinct"] - e["distinct"]) / max(e["distinct"], 1) < 0.08
     for k in ("p5", "p25", "p50", "p75", "p95"):
         assert a[k] is not None
         assert abs(a[k] - e[k]) / max(abs(e[k]), 1) < 0.02
     assert a["min"] == e["min"] and a["max"] == e["max"]
+    # quantile-only columns drop the exact-only metrics in approx mode
+    assert "non_duplicates" not in a and a.get("histogram") is None
+    # integer/string columns keep the exact distribution pass (topk intact)
+    assert approx["columns"]["o_custkey"]["non_duplicates"] == \
+        exact["columns"]["o_custkey"]["non_duplicates"]
+
+
+def test_profiler_approx_one_job_numerics_only(spark):
+    """A floats-only table in approx mode runs exactly ONE Spark job (the
+    fused aggregate) — no value-counts shuffle, no distribution pass."""
+    from piperider_spark.profiler.core import ProfilerConfig, profile_table
+
+    df = spark.createDataFrame(
+        [(float(i), i / 7.0) for i in range(100)], "x double, y double"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("approx-one-job", "approx-one-job")
+    try:
+        r = profile_table(df, "t", ProfilerConfig(approx=True))
+    finally:
+        sc.setJobGroup("", "")
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup("approx-one-job")
+    sites = set()
+    for j in jobs:
+        info = st.getJobInfo(j)
+        for s in info.stageIds:
+            si = st.getStageInfo(s)
+            if si is not None:
+                sites.add(si.name.split(" at ")[-1])
+    # AQE may split the one action into partial/final scheduler jobs, but
+    # every stage must originate from the single fused-agg collect — no
+    # value-counts shuffle, no mapInPandas distribution pass.
+    assert len(sites) == 1, f"expected one action site, saw {sites}"
+    assert r["columns"]["x"]["distinct"] > 0 and r["columns"]["x"]["p50"] is not None
+
+
+# ---- nested types: struct flatten + array explode (profiler.py:358-418) -----
+
+def test_nested_struct_and_array(spark):
+    """STRUCT leaves profile as dot-path columns over the parent row space;
+    ARRAY columns profile as their item type over UNNESTED rows with an
+    ARRAY<item> schema label (reference profiler.py:358-418, 571-573)."""
+    from piperider_spark.profiler.core import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 10, "b": "x"}, [1, 2, 2, None], [{"f": 1.5}, {"f": 2.5}]),
+            (2, {"a": None, "b": "y"}, [], None),
+            (3, {"a": 30, "b": None}, [7], [{"f": None}]),
+        ],
+        "id int, s struct<a:int, b:string>, arr array<int>, aos array<struct<f:double>>",
+    )
+    r = profile_table(df, "t")
+    cols = r["columns"]
+    assert r["col_count"] == 5
+    sa = cols["s.a"]
+    assert sa["type"] == "integer" and sa["total"] == 3 and sa["non_nulls"] == 2
+    assert sa["distinct"] == 2 and sa["min"] == 10 and sa["max"] == 30
+    sb = cols["s.b"]
+    assert sb["type"] == "string" and sb["non_nulls"] == 2
+    arr = cols["arr"]
+    assert arr["schema_type"] == "ARRAY<INT>" and arr["type"] == "integer"
+    assert arr["total"] == 5 and arr["non_nulls"] == 4  # exploded item space
+    assert arr["distinct"] == 3 and arr["duplicates"] == 2
+    aosf = cols["aos.f"]
+    assert aosf["type"] == "numeric" and aosf["total"] == 3 and aosf["non_nulls"] == 2
+    assert aosf["min"] == 1.5 and aosf["max"] == 2.5
+
+
+def test_nested_only_arrays_keep_table_shape(spark):
+    """Array profiling must not disturb table-level row_count."""
+    from piperider_spark.profiler.core import profile_table
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a"]), (3, None)], "id int, tags array<string>"
+    )
+    r = profile_table(df, "t")
+    assert r["row_count"] == 3
+    tags = r["columns"]["tags"]
+    assert tags["total"] == 3 and tags["non_nulls"] == 3 and tags["distinct"] == 2
+    assert tags["schema_type"] == "ARRAY<STRING>"
+    assert tags["topk"]["values"] == ["a", "b"] and tags["topk"]["counts"] == [2, 1]
+
+
+# ---- untyped-ingest invalids algebra (reference fixtures 283-309 etc.) ------
+
+def _staged(spark, vals, decl):
+    from piperider_spark.profiler.core import ProfilerConfig, profile_table
+
+    df = spark.createDataFrame([(v,) for v in vals], "col string")
+    return profile_table(df, "t", ProfilerConfig(declared_types={"col": decl}))[
+        "columns"
+    ]["col"]
+
+
+def test_numeric_invalid_untyped(spark):
+    """Mirror of reference test_numeric_invalid (tests/profiler/
+    test_profiler.py:283-309, minus the sqlite-only blob row): '0' and '0.0'
+    both valid and EQUAL (distinct 1), 'abc' invalid."""
+    r = _staged(spark, ["0", "0.0", "abc", None], "integer")
+    assert r["total"] == 4 and r["non_nulls"] == 3
+    assert r["valids"] == 2 and r["invalids"] == 1
+    assert r["distinct"] == 1
+    assert r["duplicates"] == 2 and r["non_duplicates"] == 0
+    assert almost_equal(r["distinct_p"], 1 / 2)
+    assert almost_equal(r["invalids_p"], 1 / 4)
+    assert r["schema_type"] == "INTEGER" and r["type"] == "integer"
+
+
+def test_datetime_invalid_untyped(spark):
+    """Mirror of reference test_datetime_invalid (424-454, minus blob):
+    text parses via timestamp cast, numeric strings via unixepoch, 'abc'
+    invalid; '2021-01-01' == '2021-01-01 00:00:00' (distinct collapse)."""
+    r = _staged(
+        spark,
+        ["2021-01-01", "2021-01-01 00:00:00", None, "0", "1.3", "abc", "2021-02-13"],
+        "datetime",
+    )
+    assert r["total"] == 7 and r["non_nulls"] == 6
+    assert r["valids"] == 5 and r["invalids"] == 1
+    assert r["distinct"] == 4
+    assert r["duplicates"] == 2 and r["non_duplicates"] == 3
+    assert r["min"].startswith("1970-01-01")
+
+
+def test_boolean_invalid_untyped(spark):
+    """Mirror of reference test_boolean_invalid (486-512, minus blob):
+    only 0/1/true/false literals valid; '2.3' and '123' invalid."""
+    r = _staged(spark, ["0", "1", "2.3", "1", "123", None], "boolean")
+    assert r["total"] == 6 and r["non_nulls"] == 5
+    assert r["valids"] == 3 and r["invalids"] == 2
+    assert r["distinct"] == 2
+    assert r["trues"] == 2 and r["falses"] == 1
+
+
+def test_string_untyped_always_valid(spark):
+    """String staging declared string: no blob case in Spark ⇒ invalids 0
+    (reference 802-809: only blobs are invalid for strings)."""
+    r = _staged(spark, ["hello", "hello", "hello world", "123", None], "string")
+    assert r["valids"] == 4 and r["invalids"] == 0
+    assert r["distinct"] == 3
+
+
+def test_integer_quantiles_beyond_double_precision(spark):
+    """Exact percentile_disc on bigint magnitudes beyond 2^53: the double
+    representation collapses 2^53+1 onto 2^53, so quantiles must come from
+    the int64 path (ADVICE: reference computes percentile_disc on the
+    native type)."""
+    from piperider_spark.profiler.core import profile_table
+
+    big = 2**53
+    df = spark.createDataFrame(
+        [(big + 1,), (big + 2,), (big + 3,), (big + 3,)], "col bigint"
+    )
+    r = profile_table(df, "t")["columns"]["col"]
+    assert r["p5"] == big + 1
+    assert r["p50"] == big + 2
+    assert r["p95"] == big + 3
