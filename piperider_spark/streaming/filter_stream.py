@@ -13,15 +13,17 @@ Composition:
   signals UDF + native rules + scrub (identical code to batch) →
   writeStream (append) + optional watermarked per-minute metrics agg.
 
-Scale notes: state per conversation is one string (the previous turn text,
-truncated to 1 KB — byte-equality on longer turns is decided on the prefix
-+ length, an explicit spec choice to bound state), so 10^9 live
-conversations ≈ tens of GB of state across the cluster, within RocksDB
-state-store norms. Watermark on ts ages out idle conversations.
+Scale notes: state per conversation is a fixed-size digest of the previous
+turn (md5 hex + length — exact byte-equality semantics with bounded state;
+a digest collision would need an md5 collision inside one conversation),
+so 10^9 live conversations ≈ tens of GB of state across the cluster,
+within RocksDB state-store norms. Watermark on ts ages out idle
+conversations.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -40,8 +42,6 @@ from pyspark.sql.types import (
 
 from piperider_spark.rules.spec import DEFAULT_SPEC, RuleSpec
 
-STATE_PREFIX_LEN = 1024
-
 _DUP_OUT_TYPE = StructType(
     [
         StructField("conv_id", StringType()),
@@ -56,7 +56,7 @@ _DUP_OUT_TYPE = StructType(
 _DUP_STATE_TYPE = StructType(
     [
         StructField("last_turn_idx", IntegerType()),
-        StructField("last_text_prefix", StringType()),
+        StructField("last_text_md5", StringType()),
         StructField("last_text_len", IntegerType()),
     ]
 )
@@ -65,7 +65,7 @@ _DUP_STATE_TYPE = StructType(
 def _fingerprint(text: Any) -> tuple[str, int] | None:
     if text is None or not isinstance(text, str):
         return None
-    return text[:STATE_PREFIX_LEN], len(text)
+    return hashlib.md5(text.encode("utf-8", "surrogatepass")).hexdigest(), len(text)
 
 
 def _dup_state_fn(
@@ -73,32 +73,40 @@ def _dup_state_fn(
 ) -> Iterator[pd.DataFrame]:
     """Lag-1 text equality within a conversation, from keyed state.
 
-    Rows inside a micro-batch are processed in turn_idx order; the state
-    carries the last turn across micro-batches.
+    All of the group's Arrow chunks are concatenated and sorted ONCE by
+    turn_idx before flags are computed — a conversation whose micro-batch
+    rows span multiple chunks would otherwise be processed in chunk order
+    and compare against the wrong neighbor (exactly the long-conversation
+    skew case this module targets). The state carries the last turn's
+    digest across micro-batches.
     """
     (conv_id,) = key
     if state.exists:
-        last_idx, last_prefix, last_len = state.get
+        last_idx, last_md5, last_len = state.get
     else:
-        last_idx, last_prefix, last_len = -1, None, -1
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx", kind="mergesort")
-        flags = []
-        for text in pdf["text"]:
-            fp = _fingerprint(text)
-            dup = fp is not None and last_prefix is not None and fp == (last_prefix, last_len)
-            flags.append(bool(dup))
-            if fp is None:
-                last_prefix, last_len = None, -1
-            else:
-                last_prefix, last_len = fp
-        pdf = pdf.assign(r_duplicate_turn=flags)
-        if len(pdf):
-            last_idx = int(pdf["turn_idx"].iloc[-1])
-        out.append(pdf[[f.name for f in _DUP_OUT_TYPE.fields]])
-    state.update((last_idx, last_prefix, last_len))
-    yield from out
+        last_idx, last_md5, last_len = -1, None, -1
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((last_idx, last_md5, last_len))
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1
+        else chunks[0]
+    ).sort_values("turn_idx", kind="mergesort")
+    flags = []
+    for text in pdf["text"]:
+        fp = _fingerprint(text)
+        dup = fp is not None and last_md5 is not None and fp == (last_md5, last_len)
+        flags.append(bool(dup))
+        if fp is None:
+            last_md5, last_len = None, -1
+        else:
+            last_md5, last_len = fp
+    pdf = pdf.assign(r_duplicate_turn=flags)
+    last_idx = int(pdf["turn_idx"].iloc[-1])
+    state.update((last_idx, last_md5, last_len))
+    yield pdf[[f.name for f in _DUP_OUT_TYPE.fields]]
 
 
 def with_streaming_dup_flag(stream_df: DataFrame) -> DataFrame:
@@ -114,8 +122,8 @@ def with_streaming_dup_flag(stream_df: DataFrame) -> DataFrame:
 
 def stream_decisions(stream_df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
     """Full streaming plan: stateful dup flag → batch-identical signals,
-    rules and scrub (shared code — the frozen spec guarantees the streaming
-    and batch outputs agree row-for-row)."""
+    rules and scrub (shared code; with the digest-exact duplicate state the
+    streaming and batch outputs agree row-for-row)."""
     from piperider_spark.pipeline import build_decisions
 
     flagged = with_streaming_dup_flag(stream_df)

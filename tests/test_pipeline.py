@@ -104,3 +104,30 @@ def test_resume(spark, transcripts_pdf, tmp_path_factory):
     met = spark.read.parquet(r1.metrics_path).toPandas()
     assert met["n_turns"].sum() == len(transcripts_pdf)
     assert set(met["bucket"]) == {0, 1, 2, 3}
+
+    # metrics are idempotent under re-processing: force-reprocess bucket 0
+    # (simulating a crash after the metrics write but before the lineage
+    # commit) and check nothing double-counts
+    import shutil
+
+    shutil.rmtree(r1.lineage_path)
+    r3 = run_pipeline(spark, inp, out, n_buckets=4)
+    assert r3.buckets_processed == 4
+    met3 = spark.read.parquet(r1.metrics_path).toPandas()
+    assert met3["n_turns"].sum() == len(transcripts_pdf)
+
+    # wave filters prune at the scan: the staged input is partitioned by
+    # bucket and the wave predicate must appear as a PartitionFilter
+    import os
+
+    from pyspark.sql import functions as F
+
+    staged = os.path.join(out, "staged")
+    plan = (
+        spark.read.parquet(staged)
+        .where(F.col("bucket").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [bucket" in plan, plan[:500]

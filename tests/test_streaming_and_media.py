@@ -43,8 +43,9 @@ def test_streaming_matches_batch_oracle(spark, stream_dirs):
     want = oracle_labels(pdf).reset_index(drop=True)
     assert len(got) == len(want)
     assert (got["conv_id"].values == want["conv_id"].values).all()
+    # digest-exact duplicate state ⇒ streaming == batch row-for-row
     agree = (got["keep"].values == want["keep"].values).mean()
-    assert agree >= 0.99, f"keep agreement {agree:.4f}"
+    assert agree == 1.0, f"keep agreement {agree:.4f}"
     # scrub parity on kept rows (the pipeline short-circuits dropped rows)
     kept = got["keep"].values & want["keep"].values
     scr_ok = (
