@@ -48,8 +48,11 @@ HEADLINE = [
     "json_props_events",
     "text_stats_documents",
     "quality_filter_documents",
-    "minhash_signatures_documents",
-    "ngram_jaccard_pairs_documents",
+    # dedup headline entries are the ENGINE paths (xxhash64); the md5
+    # oracle twins stay gated in CORRECTNESS but out of the headline —
+    # the quadratic ngram_jaccard pair query is gate-only by design
+    "minhash_signatures_fast",
+    "minhash_lsh_pairs_fast",
     "simhash_documents",
     "cosine_topk_embeddings",
     "knn_join_embeddings",
@@ -59,6 +62,8 @@ HEADLINE = [
     "top_customer_per_nation",
     "events_pivot_daily",
     "token_stats_by_lang",
+    "profile_array_embeddings",
+    "metric_quarterly_revenue",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

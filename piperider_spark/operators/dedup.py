@@ -42,6 +42,18 @@ from pyspark.sql import functions as F
 from piperider_spark.functions.text import fingerprint, md5_60bit, word_shingles
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Re-split narrow inputs (e.g. one parquet row group) so string-heavy
+    shingle/token stages run at cluster parallelism. No-op when the scan is
+    already parallel — at 100 TB the input has thousands of row groups and
+    this adds nothing; on a small single-file table it is the difference
+    between 1 task and ``defaultParallelism`` tasks doing the regex work."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -93,7 +105,8 @@ def shingle_pairs_jaccard(
     Oracle-verifiable; at corpus scale use :func:`minhash_lsh_pairs`.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
+        _ensure_parallel(df)
+        .select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -150,10 +163,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, sig_0..sig_{n-1}).
 
-    One explode + one groupBy(doc): the shuffle is keyed on doc id, combine
-    is map-side (min is partially aggregable). Docs with no shingles (empty
-    text) are excluded — they have no similarity identity.
+    Plan: explode shingles → n scalar hash expressions per shingle row
+    (each computed exactly once, fully codegen'd) → groupBy(doc) with
+    map-side partial min, so the shuffle carries one partial row per doc.
+    A per-row ``array_min(transform(...))`` projection would avoid even
+    that shuffle, but higher-order functions fall out of whole-stage
+    codegen and the shingle array gets recomputed per signature —
+    measured 2.4× SLOWER; don't "optimize" back to it.
+
+    Narrow inputs (a single parquet row group) are re-split first so the
+    string-heavy shingle/hash stage runs at cluster parallelism; when the
+    scan is already parallel (the 100 TB case — thousands of row groups)
+    the repartition is skipped, leaving the partial-agg shuffle as the
+    plan's only exchange. Docs with no shingles (empty text) are excluded
+    — they have no similarity identity.
     """
+    df = _ensure_parallel(df)
     sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
     aggs = [F.min(_perm_hash(F.col("s"), j, hash_fn)).alias(f"sig_{j}") for j in range(n_hashes)]
     return sh.groupBy("id").agg(*aggs)
@@ -178,6 +203,7 @@ def minhash_lsh_pairs(
     (boilerplate shingles) instead of quadratic blowup.
     """
     rows_per_band = n_hashes // n_bands
+    df = _ensure_parallel(df)  # shared by the signature build AND the verify join
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_fn)
     band_cols = [
         F.struct(
@@ -260,7 +286,7 @@ def simhash_signatures(
     a single shuffle (the same fused-agg trick as the profiler). Result
     ``simhash`` is a non-negative bigint of ``bits`` bits.
     """
-    toks = df.select(
+    toks = _ensure_parallel(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")

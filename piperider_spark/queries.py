@@ -1142,6 +1142,31 @@ def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("minhash_signatures_fast")
+def minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path MinHash signatures: xxhash64 permutations (JVM-native —
+    no md5-hex + conv() string math per shingle). Rows-only gate; the md5
+    variant above is the oracle-gated twin with identical plan shape."""
+    return dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), n_hashes=4, hash_fn="xxhash64"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register("minhash_lsh_pairs_fast")
+def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path MinHash+LSH near-dup pairs (xxhash64 hashing) — the
+    corpus-scale dedup path as actually run in production. Rows-only gate;
+    recall vs exact Jaccard is pinned in tests and the md5 twin is fully
+    oracle-gated."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        n_hashes=8,
+        n_bands=4,
+        threshold=0.5,
+        hash_fn="xxhash64",
+    )
+
+
 _SIMHASH_SIG_SQL = r"""
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t

@@ -177,3 +177,23 @@ def test_derived_metric_divide_guard(spark):
     out = derived_metric({"a": num, "b": den}, "a / nullif(b - 1, 0)")
     vals = [r.value for r in out.collect()]
     assert vals == [None, None]  # b-1 == 0 on day1? no: day1 count=1 → null; day2 count=1 → null
+
+
+def test_minhash_lsh_xxhash64_recall_vs_exact(spark):
+    """The xxhash64 engine path must match the md5 path's recall bound —
+    same banding statistics, different permutation hash."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.shingle_pairs_jaccard(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, n_hashes=8, n_bands=4, threshold=0.9, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert all(p in exact for p in lsh)  # exact-verify step: no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"recall={recall:.2f} over {len(exact)} pairs"
