@@ -118,6 +118,54 @@ def flatten_schema(df: DataFrame) -> tuple[DataFrame, list[tuple[str, Any]]]:
 _ORIG_SUFFIX = "::orig"
 
 
+def infer_declared_types(
+    df: DataFrame, sample: int = 10_000, threshold: float = 0.5
+) -> dict[str, str]:
+    """Majority-vote type sniffing for an all-string staging DataFrame (the
+    CSV/JSON untyped-ingest analogue of read_csv_auto's detection — dirty
+    cells must NOT flip a column to string, they become `invalids`).
+
+    One aggregate over a bounded sample computes per-column parse counts
+    for each candidate type; the winner is the first candidate (boolean →
+    integer → numeric → datetime) whose parse rate among non-null cells
+    clears ``threshold``. Boolean additionally requires at least one
+    literal true/false (otherwise 0/1 columns type as integer, matching
+    the usual sniffer conventions).
+    """
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if not str_cols:
+        return {}
+    s = df.limit(sample)
+    exprs = []
+    for name in str_cols:
+        c = _fc(name)
+        low = F.lower(F.trim(c))
+        exprs += [
+            F.count(c).alias(f"{name}::nn"),
+            F.count(c.try_cast("bigint")).alias(f"{name}::int"),
+            F.count(c.try_cast("double")).alias(f"{name}::num"),
+            F.count(_valid_expr(c, "datetime")).alias(f"{name}::dt"),
+            F.count(_valid_expr(c, "boolean")).alias(f"{name}::bool"),
+            F.count_if(low.isin("true", "false")).alias(f"{name}::tf"),
+        ]
+    row = s.agg(*exprs).collect()[0].asDict()
+    out: dict[str, str] = {}
+    for name in str_cols:
+        nn = row[f"{name}::nn"]
+        if not nn:
+            continue
+        need = threshold * nn
+        if row[f"{name}::tf"] > 0 and row[f"{name}::bool"] >= need:
+            out[name] = "boolean"
+        elif row[f"{name}::int"] >= need:
+            out[name] = "integer"
+        elif row[f"{name}::num"] >= need:
+            out[name] = "numeric"
+        elif row[f"{name}::dt"] >= need and row[f"{name}::dt"] > row[f"{name}::num"]:
+            out[name] = "datetime"
+    return out
+
+
 def _valid_expr(c, declared: str):
     """Validity transform for a string staging column, mirroring the
     reference's sqlite dynamic-typing rules (NULL ⇒ invalid):

@@ -66,6 +66,39 @@ class DataSource:
                 return FORMAT_READERS[fmt](spark, cand, self.options)
         raise FileNotFoundError(f"table {table!r} not found under {self.path}")
 
+    def read_table_untyped(
+        self, spark: SparkSession, table: str
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Untyped-ingest staging read for text formats: every column comes
+        back as STRING, plus a declared-type map to feed the profiler's
+        ``ProfilerConfig(declared_types=...)`` so valids/invalids follow the
+        reference's dynamic-typing algebra (profiler.py:748-750) instead of
+        silently nulling unparsable cells at scan time. Typed formats
+        (parquet/orc) are returned as-is with an empty map (invalids == 0 by
+        construction). Declared types come from majority-vote sniffing over
+        a sample (infer_declared_types) -- Spark's own inference flips a
+        column with even one dirty cell to plain string, hiding exactly the
+        invalids the profile exists to count."""
+        from piperider_spark.profiler.core import infer_declared_types
+
+        fmt = self.fmt
+        if self.database is None:
+            for ext, f in _EXTENSIONS.items():
+                if os.path.exists(os.path.join(self.path, f"{table}{ext}")):
+                    fmt = f
+                    break
+        if fmt not in ("csv", "json"):
+            return self.read_table(spark, table), {}
+        if fmt == "csv":
+            raw = spark.read.options(header=True, **self.options).csv(
+                os.path.join(self.path, f"{table}.csv")
+            )
+        else:
+            raw = spark.read.options(
+                primitivesAsString=True, **self.options
+            ).json(os.path.join(self.path, f"{table}.json"))
+        return raw, infer_declared_types(raw)
+
     def reflect_schema(self, spark: SparkSession, table: str) -> T.StructType:
         return self.read_table(spark, table).schema
 

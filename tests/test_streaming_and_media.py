@@ -185,3 +185,33 @@ def test_source_registry(spark, tmp_path):
     assert [f.name for f in src.reflect_schema(spark, "letters").fields] == ["c1", "c2"]
     with pytest.raises(FileNotFoundError):
         src.read_table(spark, "missing")
+
+
+def test_untyped_csv_profile_invalids(spark, tmp_path):
+    """CSV ingest through the untyped staging path: unparsable cells count
+    as invalids in the profile (reference dynamic-typing algebra) instead
+    of silently nulling at scan time."""
+    from piperider_spark.profiler.core import ProfilerConfig, profile_table
+    from piperider_spark.sources import DataSource
+
+    (tmp_path / "m.csv").write_text(
+        "amount,when,flag\n1,2021-01-01,true\noops,2021-01-02,1\n3,nope,7\n,,\n"
+    )
+    src = DataSource("t", path=str(tmp_path))
+    raw, declared = src.read_table_untyped(spark, "m")
+    assert declared == {"amount": "integer", "when": "datetime", "flag": "boolean"}
+    r = profile_table(raw, "m", ProfilerConfig(declared_types=declared))["columns"]
+    a = r["amount"]
+    assert a["non_nulls"] == 3 and a["valids"] == 2 and a["invalids"] == 1
+    w = r["when"]
+    assert w["valids"] == 2 and w["invalids"] == 1
+    f = r["flag"]
+    assert f["valids"] == 2 and f["invalids"] == 1
+
+    # parquet stays typed: empty declared map
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": [1, 2]}), str(tmp_path / "p.parquet"))
+    _, d2 = src.read_table_untyped(spark, "p")
+    assert d2 == {}
