@@ -64,6 +64,7 @@ HEADLINE = [
     "token_stats_by_lang",
     "profile_array_embeddings",
     "metric_quarterly_revenue",
+    "bpe_token_stats_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

@@ -87,6 +87,21 @@ def en_stopword_hits(text: Column | str) -> Column:
     return F.regexp_count(_c(text), F.lit(pat))
 
 
+# BPE-ish pre-tokenizer: the GPT-2 pattern family, restricted to the subset
+# both Java regex (Spark) and RE2 (DuckDB) support — no lookahead, so
+# whitespace runs are simply not counted as tokens. Branch order matters
+# (leftmost-first in both engines): contractions, then letter runs, then
+# digit runs, then punctuation runs.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — the
+    corpus-accounting estimate of model-token counts (whitespace tokens
+    undercount CJK/punctuation-heavy text). NULL text counts 0."""
+    return F.regexp_count(F.coalesce(_c(text), F.lit("")), F.lit(BPE_TOKEN_RE))
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite heuristic quality score in [0,1]: penalize repetition,
     reward stopword evidence, penalize punctuation excess. Deterministic

@@ -172,6 +172,135 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") ->
     return df.select("id", "media").mapInPandas(run, _RESIZE_TYPE)
 
 
+_FAKE_AUDIO_MAGIC = b"FAUD"
+_FAKE_VIDEO_MAGIC = b"FVID"
+
+
+def fake_encode_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Deterministic fake audio payload: magic + rate + count + int16 PCM."""
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.md5(f"aud:{seed}".encode()).digest()[:8], "big")
+    )
+    pcm = rng.integers(-(2**14), 2**14, size=n_samples, dtype=np.int16)
+    return _FAKE_AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
+
+
+def _decode_fake_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    if payload[:4] != _FAKE_AUDIO_MAGIC:
+        raise ValueError("not a fake audio payload")
+    rate, n = struct.unpack("<II", payload[4:12])
+    return rate, np.frombuffer(payload[12:], dtype=np.int16)[:n]
+
+
+def _decode_real_audio(payload: bytes):  # pragma: no cover
+    raise NotImplementedError(
+        "real audio decoding requires librosa/soundfile (not in this "
+        "container); use codec='fake' or register a codec"
+    )
+
+
+_AUDIO_CODECS = {"fake": _decode_fake_audio, "audio": _decode_real_audio}
+
+_AUDIO_FEATURE_TYPE = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_sec", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("peak", FloatType()),
+        StructField("zero_cross_rate", FloatType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode + per-clip audio features (duration, RMS, peak, zero-crossing
+    rate) via mapInPandas — one Arrow batch of payloads in, bounded memory."""
+    decode = _AUDIO_CODECS[codec]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["id"], pdf["media"]):
+                rate, pcm = decode(bytes(payload))
+                x = pcm.astype(np.float32) / 2**15
+                zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        float(len(x) / rate) if rate else 0.0,
+                        float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                        float(np.abs(x).max()) if len(x) else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_FEATURE_TYPE.fields])
+
+    return df.select("id", "media").mapInPandas(run, _AUDIO_FEATURE_TYPE)
+
+
+def fake_encode_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic fake video payload: magic + dims + frame count + frames
+    of raw RGB (each frame md5-seeded so frames differ deterministically)."""
+    out = [_FAKE_VIDEO_MAGIC, struct.pack("<III", width, height, n_frames)]
+    for f in range(n_frames):
+        rng = np.random.default_rng(
+            int.from_bytes(hashlib.md5(f"vid:{seed}:{f}".encode()).digest()[:8], "big")
+        )
+        out.append(
+            rng.integers(0, 256, size=width * height * 3, dtype=np.uint8).tobytes()
+        )
+    return b"".join(out)
+
+
+_FRAME_TYPE = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("media", BinaryType()),  # fake-image payload per frame
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 10, codec: str = "fake") -> DataFrame:
+    """Frame-sampling: every ``stride``-th frame of each video becomes one
+    output row whose payload is a standalone fake-image (so the sampled
+    frames feed directly into extract_image_features / resize_images —
+    adjacent mapInPandas stages stay in one python worker stage).
+
+    Memory note: frames are sliced straight out of the payload buffer one
+    at a time — the full frame list is never materialized."""
+    if codec != "fake":  # pragma: no cover
+        raise NotImplementedError("real video decoding requires pyav/cv2")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["id"], pdf["media"]):
+                buf = bytes(payload)
+                if buf[:4] != _FAKE_VIDEO_MAGIC:
+                    raise ValueError("not a fake video payload")
+                w, h, n = struct.unpack("<III", buf[4:16])
+                fsz = w * h * 3
+                for fi in range(0, n, max(stride, 1)):
+                    frame = buf[16 + fi * fsz : 16 + (fi + 1) * fsz]
+                    rows.append(
+                        (
+                            int(mid),
+                            fi,
+                            _FAKE_MAGIC + struct.pack("<II", w, h) + frame,
+                            w,
+                            h,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_TYPE.fields])
+
+    return df.select("id", "media").mapInPandas(run, _FRAME_TYPE)
+
+
 def media_metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only profile — never touches payload bytes (columnar
     pruning: the parquet scan reads only meta.*)."""

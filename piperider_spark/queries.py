@@ -976,6 +976,32 @@ def metric_weekly_revenue_per_order(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "bpe_token_stats_documents",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(coalesce(text, ''),
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+'))
+             AS n_bpe_tokens,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways: whitespace tokens and BPE-ish pre-tokenizer
+    tokens (GPT-2 pattern family restricted to the Java-regex ∩ RE2 subset)
+    — the model-token accounting a training-data pipeline budgets with.
+    Native regexp_count, zero Python."""
+    from piperider_spark.functions.text import bpe_token_count
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "metric_quarterly_revenue",
     """
     WITH bounds AS (

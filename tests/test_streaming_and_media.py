@@ -215,3 +215,46 @@ def test_untyped_csv_profile_invalids(spark, tmp_path):
     pq.write_table(pa.table({"x": [1, 2]}), str(tmp_path / "p.parquet"))
     _, d2 = src.read_table_untyped(spark, "p")
     assert d2 == {}
+
+
+def test_audio_features_and_frame_sampling(spark):
+    """Audio decode/feature path and video frame-sampling path: real Spark
+    plumbing (mapInPandas batch shapes), deterministic fake codecs."""
+    from piperider_spark.multimodal.media import (
+        extract_audio_features,
+        extract_image_features,
+        fake_encode_audio,
+        fake_encode_video,
+        sample_frames,
+    )
+
+    audio = spark.createDataFrame(
+        [(i, fake_encode_audio(16000, 16000 * 2, seed=i), "audio", (None, None, 16000, None))
+         for i in range(8)],
+        "id long, media binary, media_type string, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    feats = {r.id: r for r in extract_audio_features(audio).collect()}
+    assert len(feats) == 8
+    assert all(abs(r.duration_sec - 2.0) < 1e-6 for r in feats.values())
+    assert all(0 < r.rms < 1 and 0 < r.zero_cross_rate < 1 for r in feats.values())
+    # determinism
+    again = {r.id: r for r in extract_audio_features(audio).collect()}
+    assert again[3].rms == feats[3].rms
+
+    video = spark.createDataFrame(
+        [(i, fake_encode_video(16, 12, 25, seed=i), "video", (16, 12, None, 25))
+         for i in range(4)],
+        "id long, media binary, media_type string, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    frames = sample_frames(video, stride=10)
+    rows = frames.collect()
+    # 25 frames, stride 10 -> frame_idx 0, 10, 20 per video
+    assert len(rows) == 4 * 3
+    assert sorted({r.frame_idx for r in rows}) == [0, 10, 20]
+    # sampled frames chain directly into the image feature extractor
+    ff = extract_image_features(
+        frames.select("id", "media")
+    ).collect()
+    assert len(ff) == 12 and all(r.width == 16 and r.height == 12 for r in ff)
