@@ -65,6 +65,7 @@ HEADLINE = [
     "profile_array_embeddings",
     "metric_quarterly_revenue",
     "bpe_token_stats_documents",
+    "ivf_topk_embeddings",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

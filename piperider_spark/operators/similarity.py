@@ -149,6 +149,68 @@ def ann_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (deterministic coarse centroids, cell-probe search)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: md5-seeded standard
+    normals, L2-normalized (a k-means-free stand-in; a production build
+    would train these on a sample and broadcast them — nothing else in the
+    plan changes)."""
+    h = int.from_bytes(hashlib.md5(f"ivf:{seed}".encode()).digest()[:8], "big")
+    c = np.random.default_rng(h).standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
+    """Cell assignment: argmax centroid dot product, ties to the larger
+    cell id (lexicographic struct max — identical semantics in DuckDB's
+    max(struct_pack(...)), which the oracle uses)."""
+    structs = [
+        F.struct(
+            dot(vec, F.array(*[F.lit(float(v)) for v in centroids[j]])).alias("s"),
+            F.lit(j).alias("j"),
+        )
+        for j in range(centroids.shape[0])
+    ]
+    return F.array_max(F.array(*structs))["j"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    topk: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid,
+    probe only the query's ``nprobe`` best cells, exact cosine inside them.
+
+    At corpus scale the cell id is a precomputed PARTITION column (written
+    once at ingest), so the probe predicate prunes to nprobe/n_cells of the
+    files at the scan — the same pruning physics as the pipeline's bucket
+    waves; here the cell is computed on the fly for the oracle-checkable
+    form. Probed fraction ≈ nprobe/n_cells of the corpus vs. the brute
+    path's full scan per query."""
+    cents = _ivf_centroids(len(query_vec), n_cells, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    scores = cents @ qv
+    probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
+    cell = ivf_cell(F.col(vec_col), cents)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.where(cell.isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------
 

@@ -1282,3 +1282,45 @@ def ann_bucketed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "embeddings")
     qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.ann_bucketed(df, list(qvec), n_planes=8, topk=10)
+
+
+def _ivf_cents_sql(dim: int = 64, n_cells: int = 16, seed: int = 11) -> str:
+    cents = similarity._ivf_centroids(dim, n_cells, seed)
+    rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in cents[j])}]::DOUBLE[])"
+        for j in range(n_cells)
+    )
+    return f"(VALUES\n        {rows}) c(j, cv)"
+
+
+@register(
+    "ivf_topk_embeddings",
+    f"""
+    WITH cents AS (SELECT * FROM {_ivf_cents_sql()}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+      SELECT j FROM cents, q
+      ORDER BY list_dot_product(qv, cv) DESC, j DESC LIMIT 4
+    ),
+    cells AS (
+      SELECT vec_id,
+             (max(struct_pack(s := list_dot_product(embedding::DOUBLE[], cv),
+                              j := j))).j AS cell
+      FROM embeddings, cents GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 6)
+             AS cosine_sim
+    FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+    WHERE cells.cell IN (SELECT j FROM qcells)
+    ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (literals in both
+    engines), nprobe=4 of 16 cells probed, exact cosine inside the probed
+    cells — the partition-prunable scale path alongside the hyperplane-LSH
+    ring. Cell assignment = lexicographic struct max in both engines."""
+    df = load(spark, sf_dir, "embeddings")
+    qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(df, list(qvec), n_cells=16, nprobe=4, topk=10)

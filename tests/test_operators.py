@@ -197,3 +197,22 @@ def test_minhash_lsh_xxhash64_recall_vs_exact(spark):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.8, f"recall={recall:.2f} over {len(exact)} pairs"
+
+
+def test_ivf_topk_hits_cluster(spark):
+    """On clustered vectors, probing nprobe cells must recover the query's
+    cluster members (cluster mates land in the same coarse cell)."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 32)) * 3
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):
+            rows.append((vid, (c + rng.standard_normal(32) * 0.05).tolist(), ci))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    q = rows[0][1]
+    got = [r.vec_id for r in similarity.ivf_topk(df, q, n_cells=8, nprobe=2, topk=10).collect()]
+    assert 0 in got
+    assert all(v < 20 for v in got), got  # all from the query's cluster
+    assert len(got) == 10
