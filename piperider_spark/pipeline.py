@@ -137,9 +137,20 @@ def run_pipeline(
     # design filtered on a derived bucket column, which cannot prune files —
     # each wave re-scanned the full input (O(waves) scans; at the documented
     # 10^4-bucket scale that is the pipeline's dominant cost). One extra
-    # full write buys O(1) scans of each byte. The staged write is itself
-    # resumable: skipped when its _SUCCESS marker exists.
-    if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+    # full write buys O(1) scans of each byte. Reuse is gated on a staging
+    # manifest (input path + n_buckets), never on mere existence: a resumed
+    # run must not silently read stale data staged from a different input
+    # or with a different bucket modulus, and resume=False always restages.
+    staging_meta = {"input_path": os.path.abspath(input_path), "n_buckets": n_buckets}
+    meta_path = os.path.join(staged_path, "_staging_meta.json")
+    reuse = resume and os.path.exists(os.path.join(staged_path, "_SUCCESS"))
+    if reuse:
+        try:
+            with open(meta_path) as fh:
+                reuse = json.load(fh) == staging_meta
+        except (OSError, ValueError):
+            reuse = False
+    if not reuse:
         (
             spark.read.parquet(input_path)
             .withColumn("bucket", _bucket_col(n_buckets))
@@ -148,6 +159,8 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(staged_path)
         )
+        with open(meta_path, "w") as fh:
+            json.dump(staging_meta, fh)
     src = spark.read.parquet(staged_path)
 
     done: set[int] = set()

@@ -170,22 +170,34 @@ def _valid_expr(c, declared: str):
     """Validity transform for a string staging column, mirroring the
     reference's sqlite dynamic-typing rules (NULL ⇒ invalid):
 
-    * integer/numeric — try_cast to double (accepts '0' and '0.0' like
-      sqlite's int/real typeof pass-through; rejects text — profiler.py:
-      931-939). Integer semantics are kept via is_integer downstream.
+    * integer — try_cast via double (accepts '0' and '0.0' like sqlite's
+      int/real typeof pass-through; rejects text — profiler.py:931-939),
+      then to bigint so integer columns render as integers (labels, topk,
+      int64-exact quantiles). Fractional strings truncate toward zero —
+      a documented divergence from sqlite, the only reference backend
+      where a real can sit in an integer column at all.
+    * numeric — try_cast to double.
     * datetime — text parse first, then unixepoch for numeric strings
       (datetime(c) / datetime(c,'unixepoch'), profiler.py:1296-1305).
+      The epoch branch is range-bounded to years 1..9999 — sqlite's
+      datetime(c,'unixepoch') likewise NULLs out-of-range input, and an
+      unbounded value (e.g. a millisecond-epoch string) would otherwise
+      crash the profile at collect() with a year-out-of-range error.
     * boolean — only literal true/false/1/0 (profiler.py:1503-1511).
     * string — text staging is always valid text (only sqlite blobs are
       invalid for strings, profiler.py:802-809; Spark strings have no blob
       case).
     """
-    if declared in ("integer", "numeric"):
+    if declared == "integer":
+        return c.try_cast("double").try_cast("bigint")
+    if declared == "numeric":
         return c.try_cast("double")
     if declared == "datetime":
-        return F.coalesce(
-            c.try_cast("timestamp"), F.timestamp_seconds(c.try_cast("double"))
+        d = c.try_cast("double")
+        epoch = F.when(
+            (d >= -62135596800) & (d <= 253402300799), F.timestamp_seconds(d)
         )
+        return F.coalesce(c.try_cast("timestamp"), epoch)
     if declared == "boolean":
         low = F.lower(F.trim(c))
         return F.when(low.isin("1", "true"), F.lit(True)).when(
@@ -826,8 +838,11 @@ class Profiler:
         # semantics; arrays-of-struct recurse into `path.field` leaves.
         for path, arr_col in array_cols:
             exploded = src_df.select(F.explode(arr_col).alias(path))
+            # limit=0: src_df is already row-limited, and item metrics must
+            # cover ALL items of the sampled rows — re-applying the limit to
+            # exploded item rows would under-sample arrays
             sub = Profiler(
-                ProfilerConfig(limit=cfg.limit, duplicate_rows=False, approx=cfg.approx)
+                ProfilerConfig(limit=0, duplicate_rows=False, approx=cfg.approx)
             ).profile_table(exploded, f"{table_name}.{path}")
             for cname, cprof in sub["columns"].items():
                 if cname == path:  # array of scalars: ARRAY<item> label

@@ -81,22 +81,29 @@ class DataSource:
         invalids the profile exists to count."""
         from piperider_spark.profiler.core import infer_declared_types
 
-        fmt = self.fmt
-        if self.database is None:
-            for ext, f in _EXTENSIONS.items():
-                if os.path.exists(os.path.join(self.path, f"{table}{ext}")):
-                    fmt = f
-                    break
+        if self.database is not None:
+            # catalog tables are typed — invalids == 0 by construction
+            return self.read_table(spark, table), {}
+        resolved = None
+        for ext, f in _EXTENSIONS.items():
+            cand = os.path.join(self.path, f"{table}{ext}")
+            if os.path.exists(cand):
+                resolved, fmt = cand, f
+                break
+        else:
+            cand = os.path.join(self.path, table)
+            if os.path.isdir(cand):
+                resolved, fmt = cand, self.fmt  # directory of part files
+        if resolved is None:
+            raise FileNotFoundError(f"table {table!r} not found under {self.path}")
         if fmt not in ("csv", "json"):
             return self.read_table(spark, table), {}
         if fmt == "csv":
-            raw = spark.read.options(header=True, **self.options).csv(
-                os.path.join(self.path, f"{table}.csv")
-            )
+            raw = spark.read.options(header=True, **self.options).csv(resolved)
         else:
-            raw = spark.read.options(
-                primitivesAsString=True, **self.options
-            ).json(os.path.join(self.path, f"{table}.json"))
+            raw = spark.read.options(primitivesAsString=True, **self.options).json(
+                resolved
+            )
         return raw, infer_declared_types(raw)
 
     def reflect_schema(self, spark: SparkSession, table: str) -> T.StructType:

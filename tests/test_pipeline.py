@@ -131,3 +131,30 @@ def test_resume(spark, transcripts_pdf, tmp_path_factory):
         .toString()
     )
     assert "PartitionFilters: [bucket" in plan, plan[:500]
+
+
+def test_staging_not_reused_across_inputs_or_bucketing(spark, tmp_path):
+    """The staged input must be keyed on (input path, n_buckets): a run
+    against a different input or bucket modulus restages instead of
+    silently processing stale data; resume=False always restages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = generate_transcripts(500, seed=1)
+    b = generate_transcripts(900, seed=2)
+    inp_a, inp_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False), inp_a)
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), inp_b)
+    out = str(tmp_path / "out")
+
+    run_pipeline(spark, inp_a, out, n_buckets=2)
+    # different input, resume off → must process B, not stale staged A
+    run_pipeline(spark, inp_b, out, n_buckets=2, resume=False)
+    dec = spark.read.parquet(out + "/decisions")
+    assert dec.count() == len(b)
+
+    # different n_buckets → restage with the new modulus
+    run_pipeline(spark, inp_b, out, n_buckets=4, resume=False)
+    met = spark.read.parquet(out + "/metrics").toPandas()
+    assert set(met["bucket"]) == {0, 1, 2, 3}
+    assert met["n_turns"].sum() == len(b)

@@ -447,3 +447,39 @@ def test_integer_quantiles_beyond_double_precision(spark):
     assert r["p5"] == big + 1
     assert r["p50"] == big + 2
     assert r["p95"] == big + 3
+
+
+def test_datetime_untyped_out_of_range_epoch_is_invalid(spark):
+    """A millisecond-epoch string (or any numeric beyond year 9999) must
+    count as INVALID, not crash the profile at collect() with a
+    year-out-of-range error (sqlite's datetime(c,'unixepoch') likewise
+    NULLs out-of-range input)."""
+    vals = ["2021-01-01"] * 3 + ["1609459200000", None]
+    r = _staged(spark, vals, "datetime")
+    assert r["non_nulls"] == 4 and r["valids"] == 3 and r["invalids"] == 1
+    assert r["max"].startswith("2021-01-01")
+
+
+def test_integer_untyped_renders_as_integer(spark):
+    """Declared-integer staging columns materialize as bigint: integer
+    histogram labels / topk / quantiles render as ints, not '2.0'."""
+    r = _staged(spark, ["1", "2", "2", "3"], "integer")
+    assert r["valids"] == 4 and r["invalids"] == 0
+    assert r["min"] == 1 and r["max"] == 3
+    assert r["topk"]["values"][0] == "2"  # not '2.0'
+    assert r["histogram"]["labels"][0] == "1"
+    assert r["p50"] == 2
+
+
+def test_array_profile_covers_all_items_of_limited_rows(spark):
+    """With a row limit, array item metrics cover ALL items of the sampled
+    rows (the limit must not be re-applied to exploded item rows)."""
+    from piperider_spark.profiler.core import ProfilerConfig, profile_table
+
+    df = spark.createDataFrame(
+        [(i, list(range(8))) for i in range(100)], "id int, arr array<int>"
+    )
+    r = profile_table(df, "t", ProfilerConfig(limit=50))
+    arr = r["columns"]["arr"]
+    assert arr["total"] == 50 * 8
+    assert arr["non_nulls"] == 400 and arr["distinct"] == 8
