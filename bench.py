@@ -66,6 +66,9 @@ HEADLINE = [
     "metric_quarterly_revenue",
     "bpe_token_stats_documents",
     "ivf_topk_embeddings",
+    "deterministic_sample_documents",
+    "quota_sample_documents",
+    "canonical_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

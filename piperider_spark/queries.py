@@ -975,6 +975,77 @@ def metric_weekly_revenue_per_order(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_DOC_HASH_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "deterministic_sample_documents",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DOC_HASH_SQL} % 100 < 20
+    """,
+)
+def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~20% sample by portable id hash — stable across runs,
+    partitionings and engines (operators/sampling.py); a pure codegen'd
+    filter, no shuffle."""
+    from piperider_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        load(spark, sf_dir, "documents"), "doc_id", pct=20
+    ).select("doc_id", "lang")
+
+
+@register(
+    "quota_sample_documents",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_DOC_HASH_SQL}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 30
+    """,
+)
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: at most 30 docs per language, chosen by stable hash
+    order — corpus balancing with one bounded window shuffle."""
+    from piperider_spark.operators.sampling import quota_sample
+
+    return quota_sample(
+        load(spark, sf_dir, "documents"), "lang", "doc_id", quota=30
+    ).select("doc_id", "lang")
+
+
+@register(
+    "canonical_documents",
+    r"""
+    SELECT doc_id, fp FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY length(text) DESC, doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL)
+    WHERE rn = 1
+    """,
+)
+def canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup retention policy: one canonical doc per fingerprint group —
+    the longest text wins, ties to the smallest doc_id. One window shuffle
+    on the 16-byte fingerprint (same exchange class as exact dedup)."""
+    from piperider_spark.operators.sampling import canonical_by_quality
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("fp", fingerprint("text"))
+    )
+    return canonical_by_quality(
+        docs, "fp", F.length(F.col("text")), "doc_id"
+    ).select("doc_id", "fp")
+
+
 @register(
     "bpe_token_stats_documents",
     r"""

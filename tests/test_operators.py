@@ -216,3 +216,29 @@ def test_ivf_topk_hits_cluster(spark):
     assert 0 in got
     assert all(v < 20 for v in got), got  # all from the query's cluster
     assert len(got) == 10
+
+
+def test_sampling_operators(spark):
+    from piperider_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    s = sampling.deterministic_sample(docs, "doc_id", pct=20)
+    k = s.count()
+    assert 0.1 * n < k < 0.3 * n  # ~20%
+    # stability: same rows every run
+    ids1 = {r.doc_id for r in s.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 20).select("doc_id").collect()}
+    assert ids1 == ids2
+
+    q = sampling.quota_sample(docs, "lang", "doc_id", quota=10)
+    per = {r["lang"]: r["n"] for r in q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 10 for v in per.values()) and len(per) > 1
+
+    rows = [(1, "g1", 5), (2, "g1", 9), (3, "g1", 9), (4, "g2", 1)]
+    df = spark.createDataFrame(rows, "id long, grp string, q long")
+    got = {
+        r.id
+        for r in sampling.canonical_by_quality(df, "grp", "q", "id").collect()
+    }
+    assert got == {2, 4}  # max quality, ties to smallest id
