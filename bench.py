@@ -69,6 +69,7 @@ HEADLINE = [
     "deterministic_sample_documents",
     "quota_sample_documents",
     "canonical_documents",
+    "concat_chunk_pack_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

@@ -1,0 +1,88 @@
+"""Sequence packing: concat-then-chunk assignment for pretraining data.
+
+The standard pretraining pack: lay every document's tokens end-to-end in a
+deterministic global order, then slice the stream into fixed ``max_len``
+context windows. Each document gets its global ``start_offset`` and the
+chunk range it lands in (documents may straddle a boundary — that IS the
+concat-then-chunk semantics).
+
+Spark-first scalable design — the naive form is a GLOBAL cumulative sum,
+i.e. a single-partition window that cannot scale. Here it is two-phase:
+
+  1. deterministic bucketing (portable md5 of the id) defines the global
+     order ``(bucket, id)``;
+  2. per-bucket cumsum — a parallel window per bucket (shuffle on bucket);
+  3. bucket totals (tiny: n_buckets rows) → driver prefix-sum → broadcast
+     join of per-bucket offsets.
+
+The same two-phase trick the reference uses for histograms (stats first,
+then bucketed pass — profiler.py:1030-1032) applied to prefix sums; at
+10^12 docs each bucket's window is ~1/n_buckets of the data and the only
+driver-side state is n_buckets numbers.
+
+The DuckDB oracle computes the identical assignment with one global window
+ordered by (bucket, id) — small-scale exact twin of the distributed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from piperider_spark.functions.text import md5_60bit
+
+
+def concat_chunk_pack(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    max_len: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign every row a global token ``start_offset`` and its chunk range
+    under concat-then-chunk packing at ``max_len``.
+
+    Returns (id, len, start_offset, first_chunk, last_chunk, n_chunks).
+    Rows with len <= 0 are excluded (they occupy no tokens).
+    """
+    idc = F.col(id_col)
+    ln = F.col(len_col).cast("long")
+    bucketed = df.where(ln > 0).select(
+        idc.alias("id"),
+        ln.alias("len"),
+        F.pmod(md5_60bit(idc.cast("string")), F.lit(n_buckets)).alias("__b"),
+    )
+
+    # phase 1+2: per-bucket inclusive cumsum (parallel window per bucket)
+    w = Window.partitionBy("__b").orderBy("id")
+    local = bucketed.withColumn("__cend", F.sum("len").over(w))
+
+    # phase 3: bucket totals → driver prefix sums → broadcast offsets.
+    # n_buckets rows on the driver — the same legitimate two-phase pattern
+    # as the reference's histogram min/max pass.
+    totals = {
+        r["__b"]: r["t"]
+        for r in bucketed.groupBy("__b").agg(F.sum("len").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += totals.get(b, 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__b int, __off long")
+
+    end = F.col("__off") + F.col("__cend")
+    start = end - F.col("len")
+    return (
+        local.join(F.broadcast(off_df), "__b")
+        .select(
+            "id",
+            "len",
+            start.alias("start_offset"),
+            F.floor(start / max_len).cast("long").alias("first_chunk"),
+            F.floor((end - 1) / max_len).cast("long").alias("last_chunk"),
+            (
+                F.floor((end - 1) / max_len) - F.floor(start / max_len) + 1
+            ).cast("long").alias("n_chunks"),
+        )
+    )

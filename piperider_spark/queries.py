@@ -979,6 +979,43 @@ _DOC_HASH_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
 
 
 @register(
+    "concat_chunk_pack_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             {_DOC_HASH_SQL} % 64 AS b
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY b, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cend
+      FROM t WHERE n_tok > 0
+    )
+    SELECT doc_id AS id,
+           CAST(n_tok AS BIGINT) AS len,
+           CAST(cend - n_tok AS BIGINT) AS start_offset,
+           CAST((cend - n_tok) // 2048 AS BIGINT) AS first_chunk,
+           CAST((cend - 1) // 2048 AS BIGINT) AS last_chunk,
+           CAST((cend - 1) // 2048 - (cend - n_tok) // 2048 + 1 AS BIGINT) AS n_chunks
+    FROM c
+    """,
+)
+def concat_chunk_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing assignment at a 2048-token context: global
+    token offsets via the two-phase (bucketed) cumulative sum — the
+    distributed plan whose small-scale exact twin is one global window in
+    the oracle."""
+    from piperider_spark.operators.packing import concat_chunk_pack
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    return concat_chunk_pack(docs, "doc_id", "n_tok", max_len=2048)
+
+
+@register(
     "deterministic_sample_documents",
     f"""
     SELECT doc_id, lang FROM documents

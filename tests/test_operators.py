@@ -242,3 +242,26 @@ def test_sampling_operators(spark):
         for r in sampling.canonical_by_quality(df, "grp", "q", "id").collect()
     }
     assert got == {2, 4}  # max quality, ties to smallest id
+
+
+def test_concat_chunk_pack_invariants(spark):
+    """Packing invariants: offsets are a disjoint, contiguous, gap-free
+    tiling of [0, total_tokens); chunk spans agree with offsets."""
+    from piperider_spark.operators.packing import concat_chunk_pack
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) as n_tok")
+        .where("text is not null and length(trim(text)) > 0")
+    )
+    out = concat_chunk_pack(docs, "doc_id", "n_tok", max_len=512).collect()
+    spans = sorted((r.start_offset, r.start_offset + r.len) for r in out)
+    assert spans[0][0] == 0
+    for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+        assert s1 == e0  # contiguous, no gaps or overlaps
+    total = spans[-1][1]
+    assert total == sum(r.len for r in out)
+    for r in out:
+        assert r.first_chunk == r.start_offset // 512
+        assert r.last_chunk == (r.start_offset + r.len - 1) // 512
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
