@@ -70,6 +70,7 @@ HEADLINE = [
     "quota_sample_documents",
     "canonical_documents",
     "concat_chunk_pack_documents",
+    "contamination_flags_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

@@ -270,6 +270,46 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# decontamination (n-gram overlap vs an eval/benchmark set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_shared`` k-gram shingles with
+    ANY eval/benchmark document — the standard decontamination sweep.
+
+    Plan: the eval side is tiny by nature (benchmarks are thousands of
+    docs, not billions), so its distinct shingle set BROADCASTS and the
+    sweep over the training corpus is one broadcast semi-join-shaped
+    aggregation — no shuffle of the training side at all when
+    ``min_shared == 1`` would admit a true semi-join; with a threshold we
+    count matches per doc, which shuffles only the matching (rare) rows.
+
+    Returns (id, n_shared_shingles) for contaminated docs only.
+    """
+    tr = _ensure_parallel(train).select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    ev = (
+        eval_df.select(F.explode(word_shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1084,6 +1084,30 @@ def canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_flags_documents",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+    SELECT doc_id AS id, count(*) AS n_shared_shingles
+    FROM tr JOIN ev USING (s)
+    GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def contamination_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id >= 20) sharing >= 2
+    3-gram shingles with the eval set (doc_id < 20). The eval shingle set
+    broadcasts — the corpus sweep never shuffles the training side's
+    non-matching rows."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.contamination_flags(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        min_shared=2,
+    )
+
+
+@register(
     "bpe_token_stats_documents",
     r"""
     SELECT doc_id,

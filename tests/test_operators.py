@@ -265,3 +265,21 @@ def test_concat_chunk_pack_invariants(spark):
         assert r.first_chunk == r.start_offset // 512
         assert r.last_chunk == (r.start_offset + r.len - 1) // 512
         assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+
+
+def test_contamination_flags_broadcast_and_semantics(spark):
+    from piperider_spark.operators import dedup as dd
+
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over dogs"),
+         (11, "completely unrelated text about spark plans"),
+         (12, "quick brown fox story continues here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    got = {r.id: r.n_shared_shingles for r in dd.contamination_flags(train, ev).collect()}
+    assert 10 in got and 12 in got and 11 not in got
+    plan = dd.contamination_flags(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval shingles broadcast
