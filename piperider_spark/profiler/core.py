@@ -602,6 +602,16 @@ class Profiler:
             else:
                 fields.append((f.name, *classify_type(f.dataType)))
 
+        # A single-row-group input would run job 1's fused agg AND job 2's
+        # exploded value-counts map side on ONE task — re-split those to
+        # cluster parallelism. Threshold is strictly serial scans only: for
+        # already-multi-partition inputs the repartition's full-table
+        # shuffle (paid once per job, shuffles aren't shared across
+        # actions) measured as a wash against the extra map parallelism.
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < 2 <= target:
+            df = df.repartition(target)
+
         # ---- job 1: one fused aggregation over every column --------------
         agg_exprs = [F.count(F.lit(1)).alias("::total")]
         for name, generic, _is_int in fields:
