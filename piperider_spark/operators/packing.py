@@ -47,10 +47,19 @@ def concat_chunk_pack(
     """
     idc = F.col(id_col)
     ln = F.col(len_col).cast("long")
-    bucketed = df.where(ln > 0).select(
-        idc.alias("id"),
-        ln.alias("len"),
-        F.pmod(md5_60bit(idc.cast("string")), F.lit(n_buckets)).alias("__b"),
+    # persist: the totals action and the final windowed plan both consume
+    # `bucketed`; without it the input scans twice AND a nondeterministic
+    # upstream (sample/limit/AQE re-plan) could make the offsets disagree
+    # with the rows the window sums — silently breaking the tiling
+    # invariant. The persisted projection is (id, len, bucket) — tiny.
+    bucketed = (
+        df.where(ln > 0)
+        .select(
+            idc.alias("id"),
+            ln.alias("len"),
+            F.pmod(md5_60bit(idc.cast("string")), F.lit(n_buckets)).alias("__b"),
+        )
+        .persist()
     )
 
     # phase 1+2: per-bucket inclusive cumsum (parallel window per bucket)
@@ -71,18 +80,21 @@ def concat_chunk_pack(
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "__b int, __off long")
 
+    # chunk math in INTEGER division (`div`) — `/` is IEEE double division,
+    # which misassigns chunks once global offsets approach 2^53 (reachable
+    # at the documented 10^12-doc scale)
     end = F.col("__off") + F.col("__cend")
     start = end - F.col("len")
-    return (
-        local.join(F.broadcast(off_df), "__b")
-        .select(
-            "id",
-            "len",
-            start.alias("start_offset"),
-            F.floor(start / max_len).cast("long").alias("first_chunk"),
-            F.floor((end - 1) / max_len).cast("long").alias("last_chunk"),
-            (
-                F.floor((end - 1) / max_len) - F.floor(start / max_len) + 1
-            ).cast("long").alias("n_chunks"),
-        )
+    with_offsets = local.join(F.broadcast(off_df), "__b").select(
+        "id", "len", start.alias("start_offset"), (end - 1).alias("__last_tok")
+    )
+    first = F.expr(f"start_offset div {int(max_len)}")
+    last = F.expr(f"__last_tok div {int(max_len)}")
+    return with_offsets.select(
+        "id",
+        "len",
+        "start_offset",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
     )

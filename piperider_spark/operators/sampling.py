@@ -32,7 +32,7 @@ from piperider_spark.functions.text import md5_60bit
 def sample_hash(id_col: Column | str, buckets: int = 100) -> Column:
     """Stable per-row sample bucket in [0, buckets): portable md5 of the id
     string — identical in DuckDB as
-    ``('0x'||substr(md5(CAST(id AS VARCHAR),1,15))::BIGINT % buckets``."""
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % buckets``."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.pmod(md5_60bit(c.cast("string")), F.lit(buckets))
 

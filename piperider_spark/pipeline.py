@@ -161,6 +161,16 @@ def run_pipeline(
         )
         with open(meta_path, "w") as fh:
             json.dump(staging_meta, fh)
+        # Restaging means the prior run's work does not apply (different
+        # input, different modulus, or an explicit fresh run) — clear ALL
+        # prior outputs. Stale lineage would mark buckets done and return
+        # the old outputs wholesale; stale decisions/metrics partitions
+        # would survive dynamic overwrite wherever the new input happens to
+        # put zero rows in a bucket the old input populated.
+        import shutil
+
+        for stale in (lineage_path, decisions_path, metrics_path):
+            shutil.rmtree(stale, ignore_errors=True)
     src = spark.read.parquet(staged_path)
 
     done: set[int] = set()

@@ -189,7 +189,15 @@ def _valid_expr(c, declared: str):
       case).
     """
     if declared == "integer":
-        return c.try_cast("double").try_cast("bigint")
+        # exact bigint parse FIRST — routing everything through double
+        # would corrupt integer strings beyond 2^53; the double leg exists
+        # only for the '0.0' real pass-through, range-guarded so overflow
+        # counts as invalid instead of saturating to Long.MAX
+        d = c.try_cast("double")
+        bounded = F.when(
+            (d >= -9.223372036854775e18) & (d <= 9.223372036854775e18), d
+        ).try_cast("bigint")
+        return F.coalesce(c.try_cast("bigint"), bounded)
     if declared == "numeric":
         return c.try_cast("double")
     if declared == "datetime":

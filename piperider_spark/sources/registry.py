@@ -92,8 +92,9 @@ class DataSource:
                 break
         else:
             cand = os.path.join(self.path, table)
-            if os.path.isdir(cand):
-                resolved, fmt = cand, self.fmt  # directory of part files
+            if os.path.exists(cand):
+                # extensionless file or directory of part files
+                resolved, fmt = cand, self.fmt
         if resolved is None:
             raise FileNotFoundError(f"table {table!r} not found under {self.path}")
         if fmt not in ("csv", "json"):

@@ -158,3 +158,23 @@ def test_staging_not_reused_across_inputs_or_bucketing(spark, tmp_path):
     met = spark.read.parquet(out + "/metrics").toPandas()
     assert set(met["bucket"]) == {0, 1, 2, 3}
     assert met["n_turns"].sum() == len(b)
+
+
+def test_resume_true_with_changed_input_reprocesses(spark, tmp_path):
+    """resume=True + a manifest mismatch (changed input) must reprocess
+    every bucket — stale lineage from the old input must not mark buckets
+    done and return the old outputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = generate_transcripts(400, seed=3)
+    b = generate_transcripts(700, seed=4)
+    inp_a, inp_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False), inp_a)
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), inp_b)
+    out = str(tmp_path / "out")
+
+    run_pipeline(spark, inp_a, out, n_buckets=2)
+    r = run_pipeline(spark, inp_b, out, n_buckets=2)  # resume=True default
+    assert r.buckets_processed == 2 and r.buckets_skipped == 0
+    assert spark.read.parquet(out + "/decisions").count() == len(b)

@@ -483,3 +483,13 @@ def test_array_profile_covers_all_items_of_limited_rows(spark):
     arr = r["columns"]["arr"]
     assert arr["total"] == 50 * 8
     assert arr["non_nulls"] == 400 and arr["distinct"] == 8
+
+
+def test_integer_untyped_exact_beyond_double_precision(spark):
+    """Declared-integer staging parses exact bigint FIRST: values beyond
+    2^53 keep their exact value, and magnitudes beyond int64 count as
+    INVALID (not saturated to Long.MAX)."""
+    big = str(2**53 + 1)
+    r = _staged(spark, [big, "7", "1e30", None], "integer")
+    assert r["valids"] == 2 and r["invalids"] == 1  # 1e30 overflows int64
+    assert r["max"] == 2**53 + 1  # exact, not 2^53
