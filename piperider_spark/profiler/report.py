@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 from datetime import datetime, timezone
 from typing import Any
 
@@ -75,7 +76,14 @@ def build_run_report(
         "tables": {},
     }
     for name, df in tables.items():
+        t0 = time.perf_counter()
         tbl = profiler.profile_table(df, name)
+        duration = time.perf_counter() - t0
+        # self-instrumentation like the reference's per-table timings
+        # (profiler.py:555-562, 665-668); the fused design has no
+        # per-column statements, so wall time is table-granular
+        tbl["profile_duration"] = f"{duration:.2f}"
+        tbl["elapsed_milli"] = int(duration * 1000)
         tbl.update(table_file_metadata(df))
         report["tables"][name] = tbl
     return clean_nulls(report)
