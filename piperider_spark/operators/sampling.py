@@ -45,19 +45,74 @@ def deterministic_sample(
     return df.where(sample_hash(id_col, buckets) < pct)
 
 
+_HASH_SPACE = 1 << 60  # md5_60bit range
+
+
 def quota_sample(
-    df: DataFrame, stratum_col: str, id_col: str, quota: int
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quota: int,
+    prefilter_mult: float = 8.0,
 ) -> DataFrame:
     """At most ``quota`` rows per stratum, chosen by hash order (stable,
     engine-independent) with the id as tiebreak — e.g. balance a corpus to
-    n docs per language."""
-    w = Window.partitionBy(stratum_col).orderBy(
-        md5_60bit(F.col(id_col).cast("string")), F.col(id_col)
+    n docs per language.
+
+    Skew-safe two-phase plan: a naive rank window ships EVERY row of a
+    dominant stratum (90%-English corpora are normal) to one task before
+    discarding all but ``quota``. Instead:
+
+      1. per-stratum counts (map-side partial agg, tiny result);
+      2. broadcast a hash threshold ≈ ``prefilter_mult × quota/count`` of
+         the hash space per stratum — the scan-level filter keeps ~mult×
+         quota rows per stratum;
+      3. exact rank window over the survivors only;
+      4. exactness check: a stratum with fewer than min(quota, count)
+         survivors (astronomically unlikely at mult=8, but possible)
+         falls back to the unpruned window FOR THAT STRATUM alone.
+
+    The selected rows are identical to the naive plan's — the quota
+    smallest hashes are by definition below any threshold that admits
+    ≥ quota rows — so the small-scale oracle twin stays one plain window.
+    """
+    h = md5_60bit(F.col(id_col).cast("string"))
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.least(
+        F.lit(_HASH_SPACE),
+        F.ceil(F.lit(float(prefilter_mult * quota * _HASH_SPACE)) / F.col("__n")).cast(
+            "long"
+        ),
     )
-    return (
-        df.withColumn("__rank", F.row_number().over(w))
+    thr_df = counts.select(stratum_col, thr.alias("__thr"), "__n")
+    pruned = df.join(F.broadcast(thr_df), stratum_col).where(h < F.col("__thr"))
+
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    ranked = pruned.withColumn("__rank", F.row_number().over(w))
+    picked = ranked.where(F.col("__rank") <= quota)
+
+    # exactness fallback: strata whose prefilter under-admitted. Start from
+    # the counts side — a stratum with ZERO survivors has no row in the
+    # survivors aggregate at all and must still be flagged.
+    survivors = pruned.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__s"))
+    short = (
+        thr_df.select(stratum_col, "__n")
+        .join(survivors, stratum_col, "left")
+        .where(
+            F.coalesce(F.col("__s"), F.lit(0)) < F.least(F.lit(quota), F.col("__n"))
+        )
+        .select(stratum_col)
+    )
+    fallback = (
+        df.join(F.broadcast(short), stratum_col)
+        .withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= quota)
-        .drop("__rank")
+    )
+    keep_cols = df.columns
+    return (
+        picked.join(F.broadcast(short), stratum_col, "left_anti")
+        .select(*keep_cols)
+        .unionByName(fallback.select(*keep_cols))
     )
 
 
@@ -69,11 +124,22 @@ def canonical_by_quality(
 ) -> DataFrame:
     """Keep exactly one row per group: the highest-quality one (ties broken
     by smallest id — deterministic in both engines). The retention policy
-    half of exact dedup: group on the fingerprint, keep the best doc."""
+    half of exact dedup: group on the fingerprint, keep the best doc.
+
+    Skew-safe: duplicate groups can be enormous (the empty-document
+    fingerprint at corpus scale), and a rank window would ship a whole
+    group to one task. This plan is all partial-aggregable: max quality per
+    group, join back for the tied rows (few), min id among them, then one
+    semi-join to recover the full row — every exchange combines map-side,
+    no single-task group materialization.
+    """
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
-    w = Window.partitionBy(group_col).orderBy(q.desc(), F.col(id_col).asc())
+    qd = df.withColumn("__q", q)
+    best_q = qd.groupBy(group_col).agg(F.max("__q").alias("__bq"))
+    tied = qd.join(best_q, group_col).where(F.col("__q") == F.col("__bq"))
+    best_id = tied.groupBy(group_col).agg(F.min(id_col).alias("__bid"))
     return (
-        df.withColumn("__rank", F.row_number().over(w))
-        .where(F.col("__rank") == 1)
-        .drop("__rank")
+        qd.join(best_id, group_col)
+        .where(F.col(id_col) == F.col("__bid"))
+        .select(*df.columns)
     )

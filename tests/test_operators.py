@@ -283,3 +283,50 @@ def test_contamination_flags_broadcast_and_semantics(spark):
     assert 10 in got and 12 in got and 11 not in got
     plan = dd.contamination_flags(train, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # eval shingles broadcast
+
+
+def test_quota_sample_prefilter_exactness_and_fallback(spark):
+    """The two-phase pruned plan must select EXACTLY the naive window's
+    rows; an under-admitting prefilter (forced with a tiny multiplier)
+    must trigger the per-stratum fallback and still be exact."""
+    from pyspark.sql import Window
+    from piperider_spark.functions.text import md5_60bit
+    from piperider_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        md5_60bit(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    naive = {
+        r.doc_id
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 7")
+        .select("doc_id")
+        .collect()
+    }
+    pruned = {
+        r.doc_id
+        for r in sampling.quota_sample(docs, "lang", "doc_id", 7).select("doc_id").collect()
+    }
+    assert pruned == naive
+    forced = {
+        r.doc_id
+        for r in sampling.quota_sample(
+            docs, "lang", "doc_id", 7, prefilter_mult=0.001
+        ).select("doc_id").collect()
+    }
+    assert forced == naive  # fallback path is exact too
+
+
+def test_canonical_by_quality_mega_group(spark):
+    """Agg-based canonical selection (no per-group window) stays correct on
+    a dominant duplicate group."""
+    from piperider_spark.operators import sampling
+
+    rows = [(i, "big", i % 7) for i in range(5000)] + [(9001, "small", 3)]
+    df = spark.createDataFrame(rows, "id long, grp string, q long")
+    got = {r.id: r.q for r in sampling.canonical_by_quality(df, "grp", "q", "id").collect()}
+    assert got[9001] == 3
+    big_winner = [i for i in got if i != 9001]
+    assert len(big_winner) == 1
+    assert got[big_winner[0]] == 6 and big_winner[0] == 6  # smallest id among q==6
