@@ -330,3 +330,37 @@ def test_canonical_by_quality_mega_group(spark):
     big_winner = [i for i in got if i != 9001]
     assert len(big_winner) == 1
     assert got[big_winner[0]] == 6 and big_winner[0] == 6  # smallest id among q==6
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join without any shuffle: the one-time bucketBy
+    write pays the exchange, every later join on the key is free."""
+    from piperider_spark.operators.bucketing import cobucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 8
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", "custkey", 8
+    )
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast: at this tiny SF the planner would
+        # broadcast and skip bucketing — the co-location claim is about
+        # large-large recurring joins, where SMJ is the strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "b_orders", "b_customer", "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange" not in plan, plan[:800]
+        # same result as the plain (shuffling) join
+        plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
