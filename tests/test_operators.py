@@ -364,3 +364,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join output must equal the plain join on a Zipf-headed key,
+    and the physical join key must include the salt (hot key spread)."""
+    from piperider_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one key
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i, f"p{i}") for i in range(2000)],
+        "row_id long, k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 2000, 1)], "k long, attr string"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = salted_join(fact, dim, "k", "row_id", salt_n=8)
+        plain = fact.join(dim, "k")
+        assert salted.count() == plain.count()
+        s = {(r.row_id, r.attr) for r in salted.select("row_id", "attr").collect()}
+        p = {(r.row_id, r.attr) for r in plain.select("row_id", "attr").collect()}
+        assert s == p
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan  # join key carries the salt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
