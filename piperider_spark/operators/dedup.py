@@ -104,10 +104,10 @@ def shingle_pairs_jaccard(
     → count shared → jaccard = shared / (|A| + |B| - shared).
     Oracle-verifiable; at corpus scale use :func:`minhash_lsh_pairs`.
     """
-    sh = (
-        _ensure_parallel(df)
-        .select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
-        .distinct()
+    # word_shingles already emits distinct shingles per doc — no extra
+    # distinct shuffle needed
+    sh = _ensure_parallel(df).select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
@@ -203,8 +203,18 @@ def minhash_lsh_pairs(
     (boilerplate shingles) instead of quadratic blowup.
     """
     rows_per_band = n_hashes // n_bands
-    df = _ensure_parallel(df)  # shared by the signature build AND the verify join
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k, hash_fn)
+    df = _ensure_parallel(df)
+    # ONE shingle materialization, persisted across its four consumers
+    # (signature aggregation, both verify joins, set sizes): tokenizing +
+    # shingling is the CPU-dominant step, and the previous plan ran it
+    # twice over the full corpus. word_shingles already emits distinct
+    # shingles per doc, so no extra distinct shuffle is needed either.
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
+    ).persist()
+    sigs = sh.groupBy("id").agg(
+        *[F.min(_perm_hash(F.col("s"), j, hash_fn)).alias(f"sig_{j}") for j in range(n_hashes)]
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -241,11 +251,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
-        .distinct()
-    )
+    # exact verify on the candidate set only — reuses the persisted shingles
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
