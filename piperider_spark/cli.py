@@ -27,12 +27,34 @@ def cmd_profile(args: argparse.Namespace) -> int:
     spark = get_spark("piperider_spark.profile")
     src = DataSource("cli", path=args.source)
     tables = args.table or src.list_tables(spark)
-    cfg = ProfilerConfig(
-        limit=args.limit, duplicate_rows=args.duplicate_rows, approx=args.approx
-    )
-    report = build_run_report(
-        {t: src.read_table(spark, t) for t in tables}, datasource_name=args.source, config=cfg
-    )
+    if args.untyped:
+        # text formats as string staging + sniffed declared types, so dirty
+        # cells count as invalids instead of silently nulling at scan time
+        # (the reference's sqlite dynamic-typing behaviour). declared_types
+        # is per table — profile one table per report call.
+        report: dict = None
+        for t in tables:
+            raw, declared = src.read_table_untyped(spark, t)
+            cfg = ProfilerConfig(
+                limit=args.limit,
+                duplicate_rows=args.duplicate_rows,
+                approx=args.approx,
+                declared_types=declared,
+            )
+            part = build_run_report({t: raw}, datasource_name=args.source, config=cfg)
+            if report is None:
+                report = part
+            else:
+                report["tables"].update(part["tables"])
+    else:
+        cfg = ProfilerConfig(
+            limit=args.limit, duplicate_rows=args.duplicate_rows, approx=args.approx
+        )
+        report = build_run_report(
+            {t: src.read_table(spark, t) for t in tables},
+            datasource_name=args.source,
+            config=cfg,
+        )
     path = write_run_json(report, args.output)
     print(path)
     return 0
@@ -91,6 +113,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--limit", type=int, default=0)
     pp.add_argument("--duplicate-rows", action="store_true")
     pp.add_argument("--approx", action="store_true")
+    pp.add_argument(
+        "--untyped",
+        action="store_true",
+        help="text formats: string staging + sniffed types; dirty cells → invalids",
+    )
     pp.set_defaults(fn=cmd_profile)
 
     pc = sub.add_parser("compare", help="compare two run.json reports")

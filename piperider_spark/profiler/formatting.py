@@ -6,6 +6,12 @@ Reimplements the output algebra of the reference (not the SQL machinery):
     the num_float_hist fixture, tests/profiler/test_profiler.py:212-230)
   * percentage — ratio or None when total is falsy (profiler.py:81-86)
   * json_safe — Decimal→float, NaN/Inf→str (runner.py:283-306 hygiene)
+
+Provenance note: format_float/percentage intentionally reproduce the
+reference's ~40-line output formatters near-verbatim — histogram-label
+byte-parity is a stated correctness requirement (SURVEY §2.8), and the
+reference is Apache-2.0. Everything else in this repo is an independent
+Spark-first design; this is the one deliberate textual overlap.
 """
 
 from __future__ import annotations

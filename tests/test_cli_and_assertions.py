@@ -113,3 +113,25 @@ def test_table_file_metadata(spark):
     assert md["bytes"] > 0
     assert md["freshness"] > 0
     assert md["created"] <= md["last_altered"]
+
+
+def test_cli_profile_untyped(spark, tmp_path):
+    """--untyped: CSV dirty cells become invalids in the run.json."""
+    import json as _json
+
+    from piperider_spark.cli import main
+
+    (tmp_path / "m.csv").write_text("amount\n1\noops\n3\n")
+    out = tmp_path / "runs"
+    rc = main(
+        [
+            "profile",
+            "--source", str(tmp_path),
+            "--output", str(out),
+            "--untyped",
+        ]
+    )
+    assert rc == 0
+    run = _json.load(open(out / "latest" / "run.json"))
+    col = run["tables"]["m"]["columns"]["amount"]
+    assert col["type"] == "integer" and col["invalids"] == 1 and col["valids"] == 2
