@@ -71,6 +71,7 @@ HEADLINE = [
     "canonical_documents",
     "concat_chunk_pack_documents",
     "contamination_flags_documents",
+    "dup_clusters_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

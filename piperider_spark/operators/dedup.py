@@ -276,6 +276,73 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster ids for every vertex of the near-dup pair graph:
+    (id, cluster_id) with cluster_id = min id reachable — the step after
+    pair mining that turns pairwise matches into dedup groups.
+
+    Iterative min-label propagation: each round joins labels across edges
+    and takes the elementwise min, driver-checked for convergence
+    (label-sum is monotonically decreasing, so equality ⇒ fixpoint).
+    Rounds needed = graph diameter; duplicate clusters are
+    near-cliques (diameter ~2-3), so this converges in a handful of
+    rounds even at corpus scale. For adversarial long-path graphs the
+    large-star/small-star O(log n) variant is the upgrade path — not
+    needed for dedup-shaped graphs. Each round is one shuffle join + one
+    partial-agg groupBy.
+
+    Iteration hygiene: every round's labels are localCheckpoint'ed —
+    persist alone does NOT truncate the logical plan, and a
+    self-referencing join per round doubles the plan until analysis
+    itself OOMs (measured at ~10 rounds). Checkpointing resets lineage
+    to the materialized blocks, keeping plan size O(1) in rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # decontamination (n-gram overlap vs an eval/benchmark set)
 # ---------------------------------------------------------------------------
 

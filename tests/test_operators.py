@@ -392,3 +392,83 @@ def test_salted_join_matches_plain_join(spark):
         assert "__salt" in plan  # join key carries the salt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tokenize_and_shingles_match_python_spec(spark):
+    """Pin the exact tokenize/shingle semantics the whole oracle surface
+    relies on (Java regex ∩ RE2: ASCII \\s only, space-only trim, empty
+    edge tokens preserved) against an explicit python reference, over an
+    adversarial corpus."""
+    import re
+
+    from piperider_spark.functions.text import tokens, word_shingles
+
+    cases = [
+        "", " ", "  ", "a", "a b c d e", "\tx", "x\t", "a  b\t\tc\nd",
+        "héllo wörld straße", "日本語 テスト 文字", "a'b c-d e_f",
+        " nbsp is not a separator", "trailing space ", " leading",
+        ("tok " * 200).strip(), "one\x0btab\x0cfeeds\rreturns",
+    ]
+    WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def py_tokens(text):
+        t = text.strip(" ")  # Spark/DuckDB trim strips SPACES only
+        return [] if t == "" else WS.split(t)
+
+    def py_shingles(text, k=3):
+        toks = py_tokens(text.lower())
+        if not toks:
+            return []
+        if len(toks) < k:
+            return [" ".join(toks)]
+        out, seen = [], set()
+        for i in range(len(toks) - k + 1):
+            s = " ".join(toks[i : i + k])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, text string")
+    got = {
+        r.i: (r.toks, r.sh)
+        for r in df.select(
+            "i", tokens("text").alias("toks"), word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i][0] == py_tokens(c), f"tokens mismatch on {c!r}: {got[i][0]}"
+        assert got[i][1] == py_shingles(c), f"shingles mismatch on {c!r}: {got[i][1]}"
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must match a python union-find on an adversarial
+    graph (chain — worst diameter — plus a clique and a pair)."""
+    from piperider_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]       # chain: 10..20 → one cluster
+        + [(a, b) for a in (30, 31, 32) for b in (31, 32, 33) if a < b]  # clique
+        + [(50, 51)]
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == expected
