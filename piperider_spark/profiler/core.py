@@ -699,7 +699,8 @@ class Profiler:
                     continue
                 plan = _datetime_bucket_plan(vmin, vmax)
                 shell = _datetime_histogram_shell(plan)
-                shell["grain"] = plan["grain"]
+                # no extra keys: the reference's histogram dict is exactly
+                # {labels, counts, bin_edges} (schema.json forbids more)
                 hist_by_col[name] = shell
                 kyears = plan["interval"].years if plan["grain"] == "yearly" else 1
                 hist_plans[i] = (

@@ -182,7 +182,8 @@ def test_date_hist_yearly(spark):
     assert r["min"] == "1900-05-26" and r["max"] == "2022-07-26"
     assert h["counts"][0] == 1 and h["counts"][-1] == 2
     assert h["bin_edges"][0] == "1900-01-01" and h["bin_edges"][-1] == "2023-01-01"
-    assert h["grain"] == "yearly"
+    # yearly grain: consecutive bin edges are Jan-1 of successive years
+    assert h["bin_edges"][1] == "1903-01-01"  # ceil(123/50)=3-year interval
 
 
 def test_date_hist_monthly(spark):
@@ -493,3 +494,23 @@ def test_integer_untyped_exact_beyond_double_precision(spark):
     r = _staged(spark, [big, "7", "1e30", None], "integer")
     assert r["valids"] == 2 and r["invalids"] == 1  # 1e30 overflows int64
     assert r["max"] == 2**53 + 1  # exact, not 2^53
+
+
+def test_report_validates_against_reference_schema(spark):
+    """The assembled run.json validates against the reference's OWN strict
+    JSON schema (additionalProperties: false throughout) — shape parity is
+    checked by the reference's validator, not by our assertions."""
+    import json as _json
+
+    from jsonschema import Draft7Validator
+
+    from piperider_spark.profiler.report import build_run_report
+
+    tables = {
+        t: spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        for t in ("orders", "events", "documents")
+    }
+    report = build_run_report(tables)
+    schema = _json.load(open("/root/reference/piperider_cli/profiler/schema.json"))
+    errs = list(Draft7Validator(schema).iter_errors(report))
+    assert not errs, [e.message for e in errs[:5]]
