@@ -130,6 +130,73 @@ def stream_decisions(stream_df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> Dat
     return build_decisions(flagged, spec)
 
 
+_FIRST_SEEN_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("is_first", BooleanType()),
+    ]
+)
+_FIRST_SEEN_STATE = StructType([StructField("seen", BooleanType())])
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-seen-wins within a fingerprint group: exactly one row across
+    the whole stream keeps ``is_first`` (deterministic: rows inside a batch
+    are ordered by (ts, conv_id, turn_idx) before flagging)."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((True,)) if state.exists else None
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ).sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+    flags = [False] * len(pdf)
+    if not state.exists and key[0] != "__null__":
+        flags[0] = True
+    state.update((True,))
+    pdf = pdf.assign(is_first=flags)
+    yield pdf[[f.name for f in _FIRST_SEEN_OUT.fields]]
+
+
+def stream_exact_dedup(stream_df: DataFrame) -> DataFrame:
+    """Cross-document streaming exact dedup: the stream is keyed by the
+    text fingerprint (md5 of whitespace-normalized lowercase text — the
+    same exact-dedup key as batch ``operators/dedup``), and keyed state
+    remembers whether the fingerprint was ever seen; only the first
+    occurrence keeps ``is_first = true``.
+
+    Scale notes: state is ONE boolean per distinct fingerprint — the
+    streaming twin of the batch hash-groupBy, bounded by corpus
+    distinctness, not stream length; RocksDB state store + a state TTL
+    (``applyInPandasWithState`` timeout, or periodic state rewrite from
+    the batch fingerprint table) bound it in unbounded deployments.
+    NULL-text rows have no dedup identity: they pass through with
+    ``is_first = false`` (the quality rules drop empty text anyway).
+    """
+    from piperider_spark.functions.text import fingerprint
+
+    keyed = stream_df.withColumn(
+        "__fp", F.coalesce(fingerprint("text"), F.lit("__null__"))
+    )
+    return (
+        keyed.groupBy("__fp")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=_FIRST_SEEN_OUT,
+            stateStructType=_FIRST_SEEN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def keep_rate_by_minute(decisions: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked per-minute keep/drop counts — the streaming analogue of
     the per-bucket metrics rows (late turns beyond the watermark are

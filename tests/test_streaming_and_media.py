@@ -258,3 +258,65 @@ def test_audio_features_and_frame_sampling(spark):
         frames.select("id", "media")
     ).collect()
     assert len(ff) == 12 and all(r.width == 16 and r.height == 12 for r in ff)
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-seen-wins dedup == batch exact dedup (canonical =
+    first by (ts, conv_id, turn_idx))."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.functions.text import fingerprint
+    from piperider_spark.streaming.filter_stream import stream_exact_dedup
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=1500, seed=21)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    out = stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select conv_id, turn_idx, is_first from dedup_stream"
+    ).toPandas()
+
+    batch = spark.read.parquet(str(inp))
+    w = Window.partitionBy("fp").orderBy("ts", "conv_id", "turn_idx")
+    want = (
+        batch.where(F.col("text").isNotNull())
+        .withColumn("fp", fingerprint("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("conv_id", "turn_idx", (F.col("rn") == 1).alias("is_first"))
+        .toPandas()
+    )
+    g = {(r.conv_id, r.turn_idx): r.is_first for _, r in got.iterrows()}
+    mismatch = [
+        (r.conv_id, r.turn_idx)
+        for _, r in want.iterrows()
+        if g[(r.conv_id, r.turn_idx)] != r.is_first
+    ]
+    assert not mismatch, mismatch[:5]
+    assert sum(g.values()) == int(want["is_first"].sum())
