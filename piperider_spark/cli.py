@@ -32,7 +32,7 @@ def cmd_profile(args: argparse.Namespace) -> int:
         # cells count as invalids instead of silently nulling at scan time
         # (the reference's sqlite dynamic-typing behaviour). declared_types
         # is per table — profile one table per report call.
-        report: dict = None
+        report: dict = build_run_report({}, datasource_name=args.source)
         for t in tables:
             raw, declared = src.read_table_untyped(spark, t)
             cfg = ProfilerConfig(
@@ -42,10 +42,7 @@ def cmd_profile(args: argparse.Namespace) -> int:
                 declared_types=declared,
             )
             part = build_run_report({t: raw}, datasource_name=args.source, config=cfg)
-            if report is None:
-                report = part
-            else:
-                report["tables"].update(part["tables"])
+            report["tables"].update(part["tables"])
     else:
         cfg = ProfilerConfig(
             limit=args.limit, duplicate_rows=args.duplicate_rows, approx=args.approx

@@ -154,14 +154,18 @@ def _perm_hash(shingle: Column, j: int, hash_fn: str = "md5") -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame,
+    df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 8,
     k: int = 3,
     hash_fn: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: (id, sig_0..sig_{n-1}).
+    """Per-doc MinHash signature: (id, sig_0..sig_{n-1}). ``shingles``
+    (an exploded (id, s) frame) overrides the internal shingling so
+    callers that already materialized shingles reuse them — keeping the
+    hash aggregation defined in exactly one place.
 
     Plan: explode shingles → n scalar hash expressions per shingle row
     (each computed exactly once, fully codegen'd) → groupBy(doc) with
@@ -178,10 +182,13 @@ def minhash_signatures(
     plan's only exchange. Docs with no shingles (empty text) are excluded
     — they have no similarity identity.
     """
-    df = _ensure_parallel(df)
-    sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s"))
+    if shingles is None:
+        df = _ensure_parallel(df)
+        shingles = df.select(
+            F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
+        )
     aggs = [F.min(_perm_hash(F.col("s"), j, hash_fn)).alias(f"sig_{j}") for j in range(n_hashes)]
-    return sh.groupBy("id").agg(*aggs)
+    return shingles.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -212,8 +219,12 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
     ).persist()
-    sigs = sh.groupBy("id").agg(
-        *[F.min(_perm_hash(F.col("s"), j, hash_fn)).alias(f"sig_{j}") for j in range(n_hashes)]
+    # NOTE: the returned DataFrame is lazy, so this function cannot
+    # unpersist `sh` itself; a driver running many pair-mining sweeps
+    # should spark.catalog.clearCache() between corpora (or materialize +
+    # unpersist around the call) to release the shingle cache.
+    sigs = minhash_signatures(
+        n_hashes=n_hashes, hash_fn=hash_fn, shingles=sh
     )
     band_cols = [
         F.struct(
@@ -318,27 +329,37 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        # carry the previous label so convergence is an exact changed-row
+        # count — works for ANY orderable id type (a sum-based check casts
+        # string ids to NULL and "converges" instantly, and can alias via
+        # 64-bit wraparound on hash-sized numeric ids)
+        upd = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
+        changed = upd.where(F.col("label") != F.col("__old")).count()
+        labels = upd.select("id", "label")
+        if changed == 0:  # min-labels are monotone ⇒ fixpoint
             break
-        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter — raise it or use the "
+            "large-star/small-star variant)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -75,42 +75,54 @@ def quota_sample(
     The selected rows are identical to the naive plan's — the quota
     smallest hashes are by definition below any threshold that admits
     ≥ quota rows — so the small-scale oracle twin stays one plain window.
+    NULL strata sample as their own stratum (the internal join key is
+    null-coalesced), matching the window plan's NULL-partition behavior.
     """
     h = md5_60bit(F.col(id_col).cast("string"))
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    # non-null internal stratum key: equi-joins drop NULL keys, but NULL
+    # strata must sample like any other (the naive window treats NULL as a
+    # partition)
+    st = F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00__null__"))
+    dfk = df.withColumn("__st", st)
+    counts = dfk.groupBy("__st").agg(F.count(F.lit(1)).alias("__n"))
     thr = F.least(
         F.lit(_HASH_SPACE),
         F.ceil(F.lit(float(prefilter_mult * quota * _HASH_SPACE)) / F.col("__n")).cast(
             "long"
         ),
     )
-    thr_df = counts.select(stratum_col, thr.alias("__thr"), "__n")
-    pruned = df.join(F.broadcast(thr_df), stratum_col).where(h < F.col("__thr"))
+    thr_df = counts.select("__st", thr.alias("__thr"), "__n")
+    # persist: the pruned relation is small (~mult×quota rows per stratum)
+    # and feeds both the rank window and the survivor counts — without it
+    # the base scan + join + hash filter would run twice
+    pruned = (
+        dfk.join(F.broadcast(thr_df), "__st").where(h < F.col("__thr")).persist()
+    )
 
-    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    w = Window.partitionBy("__st").orderBy(h, F.col(id_col))
     ranked = pruned.withColumn("__rank", F.row_number().over(w))
     picked = ranked.where(F.col("__rank") <= quota)
 
     # exactness fallback: strata whose prefilter under-admitted. Start from
     # the counts side — a stratum with ZERO survivors has no row in the
     # survivors aggregate at all and must still be flagged.
-    survivors = pruned.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__s"))
+    survivors = pruned.groupBy("__st").agg(F.count(F.lit(1)).alias("__s"))
     short = (
-        thr_df.select(stratum_col, "__n")
-        .join(survivors, stratum_col, "left")
+        thr_df.select("__st", "__n")
+        .join(survivors, "__st", "left")
         .where(
             F.coalesce(F.col("__s"), F.lit(0)) < F.least(F.lit(quota), F.col("__n"))
         )
-        .select(stratum_col)
+        .select("__st")
     )
     fallback = (
-        df.join(F.broadcast(short), stratum_col)
+        dfk.join(F.broadcast(short), "__st")
         .withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= quota)
     )
     keep_cols = df.columns
     return (
-        picked.join(F.broadcast(short), stratum_col, "left_anti")
+        picked.join(F.broadcast(short), "__st", "left_anti")
         .select(*keep_cols)
         .unionByName(fallback.select(*keep_cols))
     )
@@ -134,12 +146,18 @@ def canonical_by_quality(
     no single-task group materialization.
     """
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
-    qd = df.withColumn("__q", q)
-    best_q = qd.groupBy(group_col).agg(F.max("__q").alias("__bq"))
-    tied = qd.join(best_q, group_col).where(F.col("__q") == F.col("__bq"))
-    best_id = tied.groupBy(group_col).agg(F.min(id_col).alias("__bid"))
+    # non-null internal group key (equi-joins drop NULL keys; a NULL group
+    # must still keep its best row), and null-safe quality equality (a
+    # group whose qualities are ALL NULL keeps its smallest id — matching
+    # the rank-window semantics with NULLS LAST ordering). Requires id to
+    # be unique within a group (true for document/row ids).
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00__null__"))
+    qd = df.withColumn("__q", q).withColumn("__g", g)
+    best_q = qd.groupBy("__g").agg(F.max("__q").alias("__bq"))
+    tied = qd.join(best_q, "__g").where(F.col("__q").eqNullSafe(F.col("__bq")))
+    best_id = tied.groupBy("__g").agg(F.min(id_col).alias("__bid"))
     return (
-        qd.join(best_id, group_col)
+        qd.join(best_id, "__g")
         .where(F.col(id_col) == F.col("__bid"))
         .select(*df.columns)
     )

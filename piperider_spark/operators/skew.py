@@ -37,7 +37,18 @@ def salted_join(
     """Join ``skewed`` (big, hot-keyed; salted per row via ``row_col``)
     with ``other`` (replicated ``salt_n``×) on ``key`` — every hot key
     spreads over ``salt_n`` tasks. Columns of both inputs are preserved
-    (the internal salt column is dropped)."""
+    (the internal salt column is dropped).
+
+    Only join types that never emit unmatched RIGHT-side rows are valid:
+    the replicated side would surface ``salt_n`` null-padded copies of
+    each unmatched row under right/full outer semantics.
+    """
+    allowed = {"inner", "left", "leftouter", "left_outer", "cross"}
+    if how.replace("_", "").lower() not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only: the replicated "
+            f"side would duplicate unmatched rows under {how!r}"
+        )
     salt = F.pmod(F.xxhash64(F.col(row_col)), F.lit(salt_n))
     left = skewed.withColumn("__salt", salt.cast("int"))
     right = other.withColumn(

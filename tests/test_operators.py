@@ -472,3 +472,46 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_sampling_null_semantics(spark):
+    """NULL strata sample as their own stratum; NULL groups and all-NULL
+    quality groups still keep exactly one row (window-plan parity)."""
+    from piperider_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, None if i < 20 else "en") for i in range(40)], "id long, lang string"
+    )
+    q = sampling.quota_sample(df, "lang", "id", quota=5)
+    per = {r["lang"]: r["n"] for r in q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per.get(None) == 5 and per.get("en") == 5
+
+    rows = [
+        (1, None, 7),      # NULL group keeps its best row
+        (2, "g", None),    # all-NULL-quality group keeps smallest id
+        (3, "g", None),
+    ]
+    cdf = spark.createDataFrame(rows, "id long, grp string, q long")
+    got = {r.id for r in sampling.canonical_by_quality(cdf, "grp", "q", "id").collect()}
+    assert got == {1, 2}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    from piperider_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "row_id long, k long")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "k", "row_id", how="full")
+
+
+def test_connected_components_string_ids(spark):
+    """String ids (hex fingerprints) must propagate correctly — a sum-based
+    convergence check would cast them to NULL and stop after one round."""
+    from piperider_spark.operators.dedup import connected_components
+
+    edges = [("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "e": "b", "x": "x", "y": "x"}
