@@ -177,6 +177,57 @@ def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
     return F.array_max(F.array(*structs))["j"]
 
 
+def ivf_write_partitioned(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 11,
+) -> None:
+    """Materialize the corpus partitioned by IVF cell — the at-rest layout
+    the probe path prunes against (one directory per cell; an Iceberg
+    deployment uses a partition transform on the precomputed cell column
+    for the same effect)."""
+    dim = len(df.select(vec_col).first()[0])
+    cents = _ivf_centroids(dim, n_cells, seed)
+    (
+        df.withColumn("cell", ivf_cell(F.col(vec_col), cents))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    topk: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """Probe an :func:`ivf_write_partitioned` layout: the cell predicate is
+    a PARTITION filter, so the scan reads only nprobe/n_cells of the files
+    (asserted in tests) — no per-row cell computation at query time."""
+    cents = _ivf_centroids(len(query_vec), n_cells, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    scores = cents @ qv
+    probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

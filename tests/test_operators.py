@@ -515,3 +515,19 @@ def test_connected_components_string_ids(spark):
     df = spark.createDataFrame(edges, "id_a string, id_b string")
     got = {r.id: r.cluster_id for r in connected_components(df).collect()}
     assert got == {"b": "b", "c": "b", "d": "b", "e": "b", "x": "x", "y": "x"}
+
+
+def test_ivf_partitioned_probe_prunes_scan(spark, tmp_path):
+    """The at-rest IVF layout turns the probe into a PartitionFilter and
+    returns the same rows as the on-the-fly cell computation."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_partitioned(emb, path)
+    probed = similarity.ivf_topk_partitioned(spark, path, qvec)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:500]
+    onfly = similarity.ivf_topk(emb, qvec)
+    assert [(r.vec_id, r.cosine_sim) for r in probed.collect()] == [
+        (r.vec_id, r.cosine_sim) for r in onfly.collect()
+    ]
