@@ -65,14 +65,26 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> 
 
 def exact_dup_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc: fingerprint, group size, and keep flag (first doc_id in each
-    fingerprint group survives). One shuffle on the 16-byte fingerprint."""
-    w = Window.partitionBy("fp")
-    wo = Window.partitionBy("fp").orderBy(F.col(id_col))
-    return (
-        with_fingerprint(df, text_col)
-        .select(id_col, "fp")
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
-        .withColumn("is_canonical", F.row_number().over(wo) == 1)
+    fingerprint group survives).
+
+    Skew-safe: group size and canonical id come from a partial-aggregable
+    groupBy + broadcast-eligible join rather than windows over the
+    fingerprint — a window would ship a whole duplicate group (the
+    empty-document fingerprint at corpus scale) to one task."""
+    fped = with_fingerprint(df, text_col).select(
+        id_col, "fp", F.coalesce(F.col("fp"), F.lit("\x00__null__")).alias("__k")
+    )
+    # null-coalesced internal key: an equi-join drops NULL keys, but
+    # NULL-text docs must group together like the window plan's NULL
+    # partition did
+    stats = fped.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min(id_col).alias("__canon")
+    )
+    return fped.join(stats, "__k").select(
+        id_col,
+        "fp",
+        "group_size",
+        (F.col(id_col) == F.col("__canon")).alias("is_canonical"),
     )
 
 

@@ -531,3 +531,17 @@ def test_ivf_partitioned_probe_prunes_scan(spark, tmp_path):
     assert [(r.vec_id, r.cosine_sim) for r in probed.collect()] == [
         (r.vec_id, r.cosine_sim) for r in onfly.collect()
     ]
+
+
+def test_exact_dup_flags_skew_safe_and_null_group(spark):
+    """exact_dup_flags: agg+join plan (no per-group window), NULL-text
+    docs grouped together like the window plan's NULL partition."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.group_size, r.is_canonical) for r in dedup.exact_dup_flags(df).collect()}
+    assert rows[1] == (2, True) and rows[2] == (2, False) and rows[3] == (1, True)
+    assert rows[4] == (2, True) and rows[5] == (2, False)
+    plan = dedup.exact_dup_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
