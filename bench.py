@@ -71,7 +71,9 @@ HEADLINE = [
     "canonical_documents",
     "concat_chunk_pack_documents",
     "contamination_flags_documents",
-    "dup_clusters_documents",
+    # clustering headline is the LSH engine path; the exact-pair twin
+    # (dup_clusters_documents) is oracle-gate-only, like ngram_jaccard
+    "dup_clusters_fast",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

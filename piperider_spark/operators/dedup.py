@@ -329,9 +329,15 @@ def connected_components(
     itself OOMs (measured at ~10 rounds). Checkpointing resets lineage
     to the materialized blocks, keeping plan size O(1) in rounds.
     """
+    # materialize the pair relation ONCE before the symmetric union — the
+    # union references it twice, and without this the entire upstream
+    # mining DAG (e.g. the full LSH pipeline) executes twice inside one
+    # action (measured 2× the mining cost)
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )

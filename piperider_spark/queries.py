@@ -1116,6 +1116,22 @@ def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register("dup_clusters_fast")
+def dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path near-dup clustering: components over the xxhash64
+    MinHash-LSH pair graph — the corpus-scale composition (LSH mining →
+    clustering). Rows-only gate; the exact-pair twin above is fully
+    oracle-gated."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        n_hashes=8,
+        n_bands=4,
+        threshold=0.5,
+        hash_fn="xxhash64",
+    )
+    return dedup.connected_components(pairs)
+
+
 @register(
     "contamination_flags_documents",
     f"""
