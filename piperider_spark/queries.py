@@ -203,6 +203,39 @@ def topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_histogram_customer",
+    """
+    WITH lens AS (SELECT length(c_name) AS ln FROM customer WHERE c_name IS NOT NULL),
+    stats AS (SELECT min(ln) AS mn, max(ln) AS mx FROM lens),
+    params AS (
+      SELECT mn, mx, CASE WHEN mx > mn THEN (mx - mn + 49) // 50 ELSE 1 END AS itv
+      FROM stats
+    )
+    SELECT CAST(least((ln - mn) // itv,
+                      (mx - mn + 1 + itv - 1) // itv - 1) AS bigint) AS bucket,
+           count(*) AS cnt
+    FROM lens, params
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def length_histogram_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-length histogram (the reference's histogram_length for string
+    columns — same integer ceil-interval rule over length(c), profiler.py:
+    812-820 + 1655-1663)."""
+    df = load(spark, sf_dir, "customer").where(F.col("c_name").isNotNull())
+    ln = F.length("c_name")
+    mn, mx = df.agg(F.min(ln), F.max(ln)).collect()[0]
+    itv = (mx - mn + 49) // 50 if mx > mn else 1
+    nb = (mx - mn + 1 + itv - 1) // itv
+    bucket = F.least(F.floor((ln - F.lit(mn)) / F.lit(itv)), F.lit(nb - 1)).cast("bigint")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "histogram_part_size",
     """
     WITH stats AS (

@@ -26,9 +26,18 @@ FORMAT_READERS = {
     ).csv(path),
     "json": lambda spark, path, opts: spark.read.options(**opts).json(path),
     "orc": lambda spark, path, opts: spark.read.options(**opts).orc(path),
+    # raw text corpora: one document per line (`value` column) — pass
+    # wholetext=True via options for one document per FILE
+    "txt": lambda spark, path, opts: spark.read.options(**opts).text(path),
 }
 
-_EXTENSIONS = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+_EXTENSIONS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".orc": "orc",
+    ".txt": "txt",
+}
 
 
 @dataclass

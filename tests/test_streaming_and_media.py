@@ -320,3 +320,13 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     ]
     assert not mismatch, mismatch[:5]
     assert sum(g.values()) == int(want["is_first"].sum())
+
+
+def test_text_source_format(spark, tmp_path):
+    from piperider_spark.sources import DataSource
+
+    (tmp_path / "corpus.txt").write_text("doc one line\ndoc two line\n")
+    src = DataSource("t", path=str(tmp_path))
+    assert "corpus" in src.list_tables(spark)
+    df = src.read_table(spark, "corpus")
+    assert df.columns == ["value"] and df.count() == 2
