@@ -182,6 +182,61 @@ def profile_datetime_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_boolean_lineitem",
+    """
+    WITH b AS (SELECT l_returnflag = 'R' AS flag FROM lineitem)
+    SELECT count(*) AS total,
+           count(flag) AS non_nulls,
+           count(*) FILTER (WHERE flag) AS trues,
+           count(*) FILTER (WHERE NOT flag) AS falses,
+           count(DISTINCT flag) AS n_distinct
+    FROM b
+    """,
+)
+def profile_boolean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean profile metrics (reference trues/falses algebra,
+    profiler.py:1523-1534) over a derived boolean column."""
+    flag = (F.col("l_returnflag") == "R").alias("flag")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(flag)
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("flag").alias("non_nulls"),
+            F.count_if(F.col("flag")).alias("trues"),
+            F.count_if(~F.col("flag")).alias("falses"),
+            F.count_distinct("flag").alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "datetime_histogram_events_daily",
+    """
+    SELECT date_diff('day',
+                     (SELECT min(CAST(ts AS DATE)) FROM events),
+                     CAST(ts AS DATE)) AS bucket,
+           count(*) AS cnt
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def datetime_histogram_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grain datetime histogram (range ≤ 60 days → daily,
+    profiler.py:1421-1454); bucket = days since the range min — the
+    reference's two-phase min/max + bucketed group-by."""
+    df = load(spark, sf_dir, "events")
+    dmin = df.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+    bucket = F.datediff(F.col("ts").cast("date"), F.lit(dmin)).cast("bigint")
+    return (
+        df.where(F.col("ts").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "topk_event_type",
     """
     SELECT event_type AS value, count(*) AS cnt
