@@ -42,15 +42,25 @@ from pyspark.sql import functions as F
 from piperider_spark.functions.text import fingerprint, md5_60bit, word_shingles
 
 
-def _ensure_parallel(df: DataFrame) -> DataFrame:
+def _ensure_parallel(df: DataFrame, width: int | None = None) -> DataFrame:
     """Re-split narrow inputs (e.g. one parquet row group) so string-heavy
     shingle/token stages run at cluster parallelism. No-op when the scan is
     already parallel — at 100 TB the input has thousands of row groups and
     this adds nothing; on a small single-file table it is the difference
-    between 1 task and ``defaultParallelism`` tasks doing the regex work."""
+    between 1 task and ``width`` tasks doing the regex work.
+
+    ``width`` defaults to full cluster parallelism — right for the
+    shingle+hash stages, whose per-row regex cost dominates task overhead
+    (measured at sf0.1: widths 1/8/32 → 5.7/1.5/1.2 s for signatures).
+    Lighter per-row stages (simhash's whitespace tokens) pass a smaller
+    width: there task-scheduling overhead dominates and a quarter-width
+    re-split measured 2.5× faster than full width on the same input."""
+    from piperider_spark.session import plan_width
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
+    width = width or target
+    if plan_width(df) < max(width // 2, 2):
+        return df.repartition(width)
     return df
 
 
@@ -128,9 +138,13 @@ def shingle_pairs_jaccard(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # No broadcast hint on `sizes`: it has one row per document — unbounded
+    # at corpus scale. AQE broadcasts it at runtime when it is actually
+    # small; at scale a shuffle join on `id` keyed by few candidate rows is
+    # cheap. (This function is the small-scale oracle twin anyway.)
     return (
-        pairs.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -220,6 +234,14 @@ def minhash_lsh_pairs(
     a candidate iff some band's concatenated signature matches; candidates
     are then exactly verified. ``max_bucket_size`` drops degenerate buckets
     (boilerplate shingles) instead of quadratic blowup.
+
+    Materializing operator: the result is computed eagerly (localCheckpoint)
+    so the internal shingle cache can be released before returning — a lazy
+    return would leak the persisted shingle frame into the caller's session
+    (each pair-mining sweep accreting cached partitions until storage
+    eviction). The returned DataFrame reads the checkpointed pair blocks;
+    candidate pairs are tiny relative to the corpus, so holding them
+    materialized is the cheap side of the trade.
     """
     rows_per_band = n_hashes // n_bands
     df = _ensure_parallel(df)
@@ -231,10 +253,6 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
     ).persist()
-    # NOTE: the returned DataFrame is lazy, so this function cannot
-    # unpersist `sh` itself; a driver running many pair-mining sweeps
-    # should spark.catalog.clearCache() between corpora (or materialize +
-    # unpersist around the call) to release the shingle cache.
     sigs = minhash_signatures(
         n_hashes=n_hashes, hash_fn=hash_fn, shingles=sh
     )
@@ -274,7 +292,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only — reuses the persisted shingles
+    # Exact verify on the candidate set only — reuses the persisted
+    # shingles. `sizes` carries NO broadcast hint: it has one row per
+    # document with ≥1 shingle — O(corpus) rows, a guaranteed OOM if
+    # force-broadcast at 10^12-doc scale. AQE broadcasts it at runtime
+    # when it is actually small and keeps a shuffle join (cheap — the
+    # probe side `shared` holds only candidate pairs) when it is not.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
@@ -282,9 +305,12 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
-        shared.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+    # ONE action materializes the whole pipeline (every stage above is lazy
+    # until this localCheckpoint), then the shingle cache is released —
+    # the caller gets a DataFrame backed by the checkpointed pair blocks.
+    out = (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -295,7 +321,10 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -433,28 +462,36 @@ def simhash_signatures(
 ) -> DataFrame:
     """Per-doc SimHash: bitwise majority vote over token md5-hashes.
 
-    Plan: explode tokens → one groupBy(doc) computing, for every bit b,
-    sum(±1) via shiftright/bitand — ``bits`` fused aggregate expressions in
-    a single shuffle (the same fused-agg trick as the profiler). Result
-    ``simhash`` is a non-negative bigint of ``bits`` bits.
+    Plan: explode tokens → project the 60-bit md5 ONCE per token (a
+    separate projection, not inlined into the aggregates — an expression
+    referenced by ``bits`` aggregate buffers is re-evaluated per buffer,
+    which measured 2.5× slower with the md5 inside) → one groupBy(doc)
+    computing, for every bit b, the set-bit count ``sum((h>>b)&1)`` plus
+    the token count — ``bits``+1 fused aggregate expressions in a single
+    shuffle (the same fused-agg trick as the profiler). The majority vote
+    ``sum(±1) > 0`` is equivalent to ``2·cnt_b > n``, so the plain bit-sum
+    (no CASE branch in the hot loop) preserves the frozen semantics and the
+    DuckDB oracle bit-for-bit. Result ``simhash`` is a non-negative bigint
+    of ``bits`` bits.
     """
-    toks = _ensure_parallel(df).select(
+    target = df.sparkSession.sparkContext.defaultParallelism
+    toks = _ensure_parallel(df, width=max(target // 4, 2)).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
         ).alias("t"),
     ).where(F.length("t") > 0)
-    h = md5_60bit(F.col("t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v_{b}")
+    hashed = toks.select("id", md5_60bit(F.col("t")).alias("h"))
+    counts = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
         for b in range(bits)
     ]
-    agg = toks.groupBy("id").agg(*votes)
+    agg = hashed.groupBy("id").agg(*counts, F.count(F.lit(1)).alias("n"))
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.col(f"c_{b}") * 2 > F.col("n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
     return agg.select("id", sim.alias("simhash"))
 

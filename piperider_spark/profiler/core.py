@@ -616,8 +616,10 @@ class Profiler:
         # already-multi-partition inputs the repartition's full-table
         # shuffle (paid once per job, shuffles aren't shared across
         # actions) measured as a wash against the extra map parallelism.
+        from piperider_spark.session import plan_width
+
         target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < 2 <= target:
+        if plan_width(df) < 2 <= target:
             df = df.repartition(target)
 
         # ---- job 1: one fused aggregation over every column --------------

@@ -63,7 +63,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    """Registry in driver-facing order: fully oracle-gated entries first
+    (registration order), rows-only engine twins last. The driver walks the
+    dict in order under a bounded budget (CORRECTNESS_r02 recorded exactly
+    the first 50 of 52 registered entries), so the entries that carry the
+    strong rows+schema+hash gate must never be the ones that fall off."""
+    ordered = [n for n in _QUERIES if n in _ORACLE] + [n for n in _QUERIES if n not in _ORACLE]
+    return {n: _QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

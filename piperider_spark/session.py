@@ -92,6 +92,22 @@ def iceberg_conf(catalog: str = "ice", warehouse: str = "/tmp/iceberg-warehouse"
     }
 
 
+def plan_width(df) -> int:
+    """Estimated scan parallelism WITHOUT touching ``df.rdd`` (which forces
+    a full analysis + RDD conversion of the plan per call). File sources:
+    the file count is the lower bound on scan tasks (small files never merge
+    below one task per file; large files only split *finer*, so
+    under-estimating width at most triggers a harmless repartition of an
+    already-parallel scan — and at 100 TB there are thousands of files, so
+    the callers' re-split guards are no-ops). Non-file plans (in-memory,
+    post-shuffle): assume cluster parallelism."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive for exotic sources
+        files = []
+    return len(files) if files else df.sparkSession.sparkContext.defaultParallelism
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -545,3 +545,39 @@ def test_exact_dup_flags_skew_safe_and_null_group(spark):
     assert rows[4] == (2, True) and rows[5] == (2, False)
     plan = dedup.exact_dup_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_minhash_lsh_pairs_releases_shingle_cache(spark):
+    """The operator materializes eagerly and unpersists its internal
+    shingle frame: the only persisted RDD it may leave behind is the
+    single localCheckpoint backing the returned pairs (r2 verdict: a lazy
+    return leaked the persisted shingles into the caller's session)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, threshold=0.9)
+    out.count()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    new = {int(k) for k in jmap.keySet().toArray()} - before
+    assert len(new) <= 1, f"leaked persisted RDDs: {sorted(new)}"
+
+
+def test_lsh_sizes_join_not_force_broadcast(spark):
+    """The per-document `sizes` relation is O(corpus) rows and must never
+    carry a broadcast hint (r2 verdict scale-killer). The only allowed
+    hint in the dedup module is on the bounded `oversized` bucket-key
+    list; shingle_pairs_jaccard's lazy plan must contain no hint at all."""
+    import inspect
+
+    src = inspect.getsource(dedup)
+    hints = [ln.strip() for ln in src.splitlines() if "F.broadcast(" in ln]
+    # allowed: `oversized` (few keys by construction) and the eval-set
+    # shingles (benchmarks are thousands of docs by nature)
+    assert hints == [
+        'banded = banded.join(F.broadcast(oversized), ["band", "key"], "left_anti")',
+        'tr.join(F.broadcast(ev), "s")',
+    ], hints
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lazy = dedup.shingle_pairs_jaccard(docs, threshold=0.9)
+    analyzed = lazy._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
