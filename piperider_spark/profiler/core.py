@@ -53,6 +53,16 @@ class ProfilerConfig:
     limit: int = 0                 # row-limit sampling (profiler.py:720-731)
     duplicate_rows: bool = False   # off by default, "time costing" (docs/config.md:29-35)
     approx: bool = False           # opt-in approx distinct/quantiles for 10^12-row scale
+    # Safety valve for the exact distribution pass: job 2's per-column
+    # value-count set must fit one python worker. Job 1 estimates a column's
+    # cardinality with a cheap HLL; columns whose estimate exceeds this cap
+    # are auto-routed to the sketch path (approx distinct + percentile_approx
+    # quantiles, no topk/histogram/non-dup) and tagged
+    # ``_distribution_mode: "approx"`` — instead of relying on callers
+    # reading the scale caveat in this module's docstring. 5×10^7 distinct
+    # (value, count) pairs ≈ a few GB in the pandas worker: safely below the
+    # ~10^8 practical ceiling, far above any column exact fixtures profile.
+    exact_distribution_cap: int = 50_000_000
     # Untyped-ingest validity: {column: declared generic type}. For STRING
     # staging columns (CSV/JSON ingest) the declared type drives a try_cast
     # validity transform — the reference's sqlite dynamic-typing algebra
@@ -222,10 +232,15 @@ _QUANTILES = (0.05, 0.25, 0.50, 0.75, 0.95)
 _QKEYS = ("p5", "p25", "p50", "p75", "p95")
 
 
-def _agg_exprs(col: str, generic: str, approx: bool) -> list:
+def _agg_exprs(col: str, generic: str, approx: bool, guard: bool = True) -> list:
     c = _fc(col)
     q = _fc(col)  # quantile target
     exprs = [F.count(c).alias(f"{col}::non_nulls")]
+    if guard and not approx and generic in ("string", "integer", "numeric", "datetime"):
+        # cheap HLL cardinality estimate feeding the exact-distribution
+        # guard (ProfilerConfig.exact_distribution_cap) — boolean/other
+        # columns are bounded/skipped and need none
+        exprs.append(F.approx_count_distinct(c, 0.05).alias(f"{col}::acd"))
     if generic == "string":
         ln = F.length(c)
         exprs += [
@@ -625,7 +640,9 @@ class Profiler:
         # ---- job 1: one fused aggregation over every column --------------
         agg_exprs = [F.count(F.lit(1)).alias("::total")]
         for name, generic, _is_int in fields:
-            agg_exprs += _agg_exprs(name, generic, cfg.approx)
+            agg_exprs += _agg_exprs(
+                name, generic, cfg.approx, guard=cfg.exact_distribution_cap > 0
+            )
         for name in declared:
             # non_nulls comes from the RAW staging column; count(valid c)
             # below is `valids` (the reference's algebra, profiler.py:748-750)
@@ -660,11 +677,37 @@ class Profiler:
             if cfg.approx
             else set()
         )
+        # exact-mode cardinality guard: a column whose HLL estimate exceeds
+        # the cap would degenerate job 2's per-column pandas pass (and the
+        # exact-quantile cumsum) — auto-route it to the sketch path instead
+        # of relying on callers to opt into approx mode themselves
+        overcap = set()
+        if not cfg.approx and cfg.exact_distribution_cap:
+            overcap = {
+                name
+                for name, generic, _ in fields
+                if generic in ("string", "integer", "numeric", "datetime")
+                and (row.get(f"{name}::acd") or 0) > cfg.exact_distribution_cap
+            }
         vc_cols = [
             name
             for name, generic, _ in fields
-            if generic != "other" and name not in skip_vc
+            if generic != "other" and name not in skip_vc and name not in overcap
         ]
+        # over-cap numerics still get quantiles — from a percentile_approx
+        # sketch pass over just those columns (one extra bounded job, paid
+        # only when the guard fires; never at fixture scale)
+        overcap_numeric = [n for n in overcap if n in numeric_cols]
+        if overcap_numeric:
+            qrow = df.agg(
+                *[
+                    F.percentile_approx(_fc(n), list(_QUANTILES), 10000).alias(
+                        f"{n}::quantiles"
+                    )
+                    for n in overcap_numeric
+                ]
+            ).collect()[0]
+            row.update(qrow.asDict())
         uniq: dict[str, tuple[int, int]] = {}
         topk: dict[str, dict] = {}
         quantiles: dict[str, list] = {}
@@ -768,6 +811,22 @@ class Profiler:
                         "distinct_p": percentage(approx_distinct, valids),
                     }
                 )
+            elif name in overcap:
+                # cardinality-guard route: sketch distinct, quantiles from
+                # the percentile_approx pass; topk/histogram/non-dup are
+                # exactly what the guard exists to avoid. The underscore
+                # keys are in-memory markers only (the report sink strips
+                # them so run.json keeps validating the reference schema).
+                acd = rv(name, "acd")
+                col.update(
+                    {
+                        "distinct": acd,
+                        "distinct_p": percentage(acd, valids),
+                        "_distribution_mode": "approx",
+                    }
+                )
+                if generic in ("integer", "numeric"):
+                    col["_quantile_mode"] = "approx"
             elif generic != "other":
                 distinct, non_dup = uniq.get(name, (0, 0))
                 duplicates = valids - non_dup
@@ -822,7 +881,7 @@ class Profiler:
                         "histogram": hist_by_col.get(name) if valids else None,
                     }
                 )
-                if self.config.approx:
+                if self.config.approx or name in overcap:
                     qs = row.get(f"{name}::quantiles")
                     for k, v in zip(_QKEYS, qs or [None] * 5):
                         col[k] = json_safe(v)

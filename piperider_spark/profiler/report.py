@@ -23,9 +23,17 @@ from piperider_spark.profiler.core import Profiler, ProfilerConfig
 
 def clean_nulls(value: Any) -> Any:
     """Recursively drop None dict entries and stringify non-finite floats
-    (the reference's _clean_nulls + NaN handling, runner.py:283-306)."""
+    (the reference's _clean_nulls + NaN handling, runner.py:283-306).
+    Underscore-prefixed keys are in-memory diagnostics (e.g. the profiler's
+    ``_distribution_mode`` cardinality-guard marker) — stripped here so
+    run.json keeps validating the reference's additionalProperties:false
+    schema."""
     if isinstance(value, dict):
-        return {k: clean_nulls(v) for k, v in value.items() if v is not None}
+        return {
+            k: clean_nulls(v)
+            for k, v in value.items()
+            if v is not None and not (isinstance(k, str) and k.startswith("_"))
+        }
     if isinstance(value, list):
         return [clean_nulls(v) for v in value]
     if isinstance(value, float) and not math.isfinite(value):
