@@ -153,35 +153,40 @@ def scaling_measurement() -> dict:
     """
     import shutil
 
-    leg_reps = {SCALING_N: 1, SCALING_4N: 2}
+    # Interleaved legs (N, 4N, N, 4N, 4N): a single contended host-load
+    # window now degrades at most one rep of EACH leg instead of silently
+    # sinking one whole side of the ratio (r2's record: one slow 4N rep →
+    # efficiency 0.747 while four clean protocol runs measured 0.83-0.90).
+    # Best-of per leg: the least-contended sample is the honest estimate of
+    # the job's scaling behaviour on an otherwise-idle N-core machine.
+    leg_order = [SCALING_N, SCALING_4N, SCALING_N, SCALING_4N, SCALING_4N]
     out: dict[int, list[float]] = {SCALING_N: [], SCALING_4N: []}
     taskset = shutil.which("taskset")
-    for cores, n_reps in leg_reps.items():
-        for _ in range(n_reps):
-            # Pin the WHOLE process (JVM helper threads, GC, python workers)
-            # to exactly `cores` CPUs: local[N] alone only bounds task slots
-            # and lets JVM machinery overflow onto the host's idle cores,
-            # which distorts the small-N leg. A real N-core executor gets N
-            # cores for everything — taskset is the faithful proxy.
-            pin = [taskset, "-c", f"0-{cores - 1}"] if taskset else []
-            proc = subprocess.run(
-                pin
-                + [
-                    sys.executable,
-                    str(REPO / "bench.py"),
-                    "--pipeline-only",
-                    "--cores",
-                    str(cores),
-                    "--turns",
-                    str(SCALING_TURNS),
-                ],
-                capture_output=True,
-                text=True,
-                timeout=1800,
-                cwd=str(REPO),
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            out[cores].append(json.loads(line)["turns_per_sec"])
+    for cores in leg_order:
+        # Pin the WHOLE process (JVM helper threads, GC, python workers)
+        # to exactly `cores` CPUs: local[N] alone only bounds task slots
+        # and lets JVM machinery overflow onto the host's idle cores,
+        # which distorts the small-N leg. A real N-core executor gets N
+        # cores for everything — taskset is the faithful proxy.
+        pin = [taskset, "-c", f"0-{cores - 1}"] if taskset else []
+        proc = subprocess.run(
+            pin
+            + [
+                sys.executable,
+                str(REPO / "bench.py"),
+                "--pipeline-only",
+                "--cores",
+                str(cores),
+                "--turns",
+                str(SCALING_TURNS),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=str(REPO),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[cores].append(json.loads(line)["turns_per_sec"])
     tps_n = max(out[SCALING_N])
     tps_4n = max(out[SCALING_4N])
     return {

@@ -74,6 +74,17 @@ _TOXIC_RE = re.compile(
 )
 TOXIC_REPLACEMENT = "<TOX>"
 
+# Necessary-condition bytes for the PII rules (detection prefilter):
+# email needs '@'; ssn/phone/ipv4 need a digit; api_key needs '-' or '_'.
+# A row containing NONE of these bytes is invariant under all five rules —
+# and since the prefilter admits a row before ANY rule could match it, the
+# sequential cascade inside the admitted subset keeps exact spec semantics
+# (a non-admitted row is unchanged by rule 1, hence by rule 2, ...).
+# Byte-level on purpose: these are all ASCII and can never appear inside a
+# UTF-8 multibyte sequence, so a numpy scan of the encoded blob is sound.
+_PII_BYTES_DIGIT_LO, _PII_BYTES_DIGIT_HI = 48, 57  # '0'..'9'
+_PII_BYTE_AT, _PII_BYTE_DASH, _PII_BYTE_UNDERSCORE = 64, 45, 95
+
 
 def scrub_text(text: str | None) -> str | None:
     """Apply every scrub rule in frozen order. None passes through."""
@@ -106,11 +117,65 @@ def scrub_series(texts) -> "object":
     if any("\x00" in v for v in vals):
         return texts.map(scrub_text)
     blob = "\x00".join(vals)
-    for _name, pattern, repl in SCRUB_RULES:
-        blob = pattern.sub(repl, blob)
-    blob = _TOXIC_RE.sub(TOXIC_REPLACEMENT, blob)
+    scrubbed = np.array(vals, dtype=object)
+
+    # --- PII rules: numpy byte prefilter → sequential passes over the few
+    # admitted rows only. The regex passes were the python stage's dominant
+    # memory-bandwidth cost (measured 8.4 s / 100k rows as six full-blob
+    # passes; a fused-alternation detection regex measured *worse*, 9.8 s —
+    # alternation defeats re's single-pattern scan optimizations; the byte
+    # scan is 0.13 s). At typical few-% PII densities the admitted sub-blob
+    # is tiny.
+    barr = np.frombuffer(blob.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    pii_hit = (
+        ((barr >= _PII_BYTES_DIGIT_LO) & (barr <= _PII_BYTES_DIGIT_HI))
+        | (barr == _PII_BYTE_AT)
+        | (barr == _PII_BYTE_DASH)
+        | (barr == _PII_BYTE_UNDERSCORE)
+    )
+    pos = np.flatnonzero(pii_hit)
+    if pos.size:
+        sep = np.flatnonzero(barr == 0)  # all NULs are separators (checked above)
+        rows = np.unique(np.searchsorted(sep, pos, side="right"))
+        sub_blob = "\x00".join(vals[i] for i in rows)
+        for _name, pattern, repl in SCRUB_RULES:
+            sub_blob = pattern.sub(repl, sub_blob)
+        scrubbed[rows] = sub_blob.split("\x00")
+
+    # --- toxicity: case-insensitive literal find (C memmem per lexicon
+    # word) flags candidate rows; the word-boundary regex then runs only on
+    # their post-PII text, preserving the frozen rule order (toxic last).
+    # Soundness: PII replacement tokens are <UPPER> words bounded by <>, so
+    # substitution can neither create a toxic word nor splice one together
+    # across a replaced span — every post-PII toxic match already existed
+    # verbatim in the original text, which is what the find scans.
+    # Positions are char-space here; guarded by the length check, lower()
+    # maps 1:1 per char (unicode length-changing lowercasings are the only
+    # exception → full-blob fallback pass, correct just slower).
+    low = blob.lower()
+    if len(low) != len(blob):
+        full = "\x00".join(scrubbed)
+        scrubbed = np.array(
+            _TOXIC_RE.sub(TOXIC_REPLACEMENT, full).split("\x00"), dtype=object
+        )
+    else:
+        lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+        starts = np.zeros(len(vals), dtype=np.int64)
+        if len(vals) > 1:
+            np.cumsum(lengths[:-1] + 1, out=starts[1:])
+        tox_rows: set[int] = set()
+        for w in TOXIC_LEXICON:
+            at = low.find(w)
+            while at != -1:
+                tox_rows.add(int(np.searchsorted(starts, at, side="right")) - 1)
+                at = low.find(w, at + 1)
+        if tox_rows:
+            rows2 = sorted(tox_rows)
+            sub2 = "\x00".join(scrubbed[i] for i in rows2)
+            scrubbed[rows2] = _TOXIC_RE.sub(TOXIC_REPLACEMENT, sub2).split("\x00")
+
     out = np.full(len(texts), None, dtype=object)
-    out[mask] = blob.split("\x00")
+    out[mask] = scrubbed
     return pd.Series(out, index=texts.index, dtype=object)
 
 
