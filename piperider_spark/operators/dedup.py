@@ -410,6 +410,88 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (the two-phase MapReduce algorithm from the public literature — Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    O(log² n) rounds on ANY graph, vs diameter rounds for the plain
+    min-label propagation in :func:`connected_components`. Same contract:
+    (id, cluster_id = min id in the component), any orderable id type.
+
+    This is the adversarial-diameter escape hatch (a 10^6-node path graph
+    converges in ~10 rounds here and 10^6 rounds there); dedup graphs are
+    near-cliques where plain propagation needs 2-3 rounds and less work per
+    round, so that stays the default.
+
+    large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u});
+    small-star(u, over edges directed high→low): attach every smaller
+    neighbor and u itself to the group min. Both are one groupBy + one
+    join per round; every round localCheckpoints (same plan-growth hygiene
+    as the label-propagation loop).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            d.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return (
+            moved.unionByName(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # fixpoint ⇔ identical edge sets (both are distinct by construction)
+        same_count = new_edges.count() == edges.count()
+        if same_count and new_edges.subtract(edges).limit(1).count() == 0:
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every edge points a node at its component min; roots
+    # (the mins themselves) appear only on the v side
+    roots = edges.select(F.col("v").alias("id")).distinct().join(
+        edges.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    )
+    return edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).unionByName(
+        roots.select("id", F.col("id").alias("cluster_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination (n-gram overlap vs an eval/benchmark set)
 # ---------------------------------------------------------------------------

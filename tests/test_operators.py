@@ -581,3 +581,37 @@ def test_lsh_sizes_join_not_force_broadcast(spark):
     lazy = dedup.shingle_pairs_jaccard(docs, threshold=0.9)
     analyzed = lazy._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in analyzed.lower()
+
+
+def test_connected_components_star_path_graph(spark):
+    """large-star/small-star converges on a length-1000 path in O(log n)
+    rounds (plain propagation needs 1000) and produces min-id labels."""
+    from piperider_spark.operators.dedup import connected_components_star
+
+    n = 1000
+    edges = [(f"v{i:05d}", f"v{i + 1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r.id: r.cluster_id for r in connected_components_star(df, max_iter=15).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"v00000"}
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Both algorithms produce identical (id, cluster_id) maps on a mixed
+    graph (chain + clique + pair + isolated edge)."""
+    from piperider_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]
+        + [(a, b) for a in (30, 31, 32) for b in (31, 32, 33) if a < b]
+        + [(50, 51), (7, 7), (60, 61), (61, 60)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    star = {r.id: r.cluster_id for r in connected_components_star(df).collect()}
+    # self-loop (7,7) contributes a vertex in the propagation variant only;
+    # star drops u==v edges — compare on the shared vertex set
+    assert {k: v for k, v in lp.items() if k != 7} == star
