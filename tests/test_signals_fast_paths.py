@@ -115,3 +115,47 @@ def test_perplexity_sensible_ordering():
     s = pd.Series([fluent, gibberish])
     p = perplexity_batch(s)
     assert p.iloc[0] < p.iloc[1]
+
+
+def test_non_ascii_whitespace_set_matches_re():
+    """The byte fast-path's guard regex must list EXACTLY the non-ASCII
+    characters Python's \\s matches (and the ASCII set must be 9-13,
+    28-31, 32) — the soundness condition for counting token runs on
+    UTF-8 bytes."""
+    import re
+    import sys
+
+    from piperider_spark.signals.core import _NON_ASCII_WS_RE
+
+    want = {c for c in range(sys.maxunicode + 1) if re.match(r"\s", chr(c))}
+    assert {c for c in want if c < 128} == set(range(9, 14)) | set(range(28, 33))
+    got = {c for c in range(128, 0x10000) if _NON_ASCII_WS_RE.match(chr(c))}
+    assert got == {c for c in want if c >= 128}
+    assert not {c for c in want if c >= 0x10000}  # all \s chars are BMP
+
+
+def test_tokenize_fast_count_equals_marker_path():
+    """Byte-level token counts == marker-substitution counts, including
+    unicode-whitespace rows (which must route to the marker path) and
+    multibyte token text."""
+    from piperider_spark.signals.core import _tokenize_batch
+
+    rows = [
+        "plain ascii words here",
+        "",
+        "   ",
+        "tabs\tand\nnewlines\rsplit",
+        "unicode nbsp sep　ideographic",   # non-ASCII ws → marker path
+        "数据管道 已经 完成",                                 # multibyte tokens, ascii space
+        "mixé accénts çedilla",
+        "x" * 500,
+        "\x1c\x1dfile group seps\x1e\x1f",
+    ]
+    toks, counts = _tokenize_batch(rows)
+    # serial oracle per row
+    import re
+
+    ws = re.compile(r"\S+")
+    expected = [len(ws.findall(r.lower())) for r in rows]
+    assert counts.tolist() == expected
+    assert len(toks) == sum(expected)
