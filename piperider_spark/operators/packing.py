@@ -90,11 +90,19 @@ def concat_chunk_pack(
     )
     first = F.expr(f"start_offset div {int(max_len)}")
     last = F.expr(f"__last_tok div {int(max_len)}")
-    return with_offsets.select(
+    # materializing return: the checkpoint executes the windowed plan while
+    # `bucketed` is still cached (keeping offsets and window sums reading
+    # the SAME rows — the determinism guarantee the persist exists for),
+    # then releases that cache. Storage is a wash: the checkpointed result
+    # is the same narrow one-row-per-doc shape as the projection it
+    # replaces, and a lazy return would leak the persisted frame.
+    out = with_offsets.select(
         "id",
         "len",
         "start_offset",
         first.alias("first_chunk"),
         last.alias("last_chunk"),
         (last - first + 1).alias("n_chunks"),
-    )
+    ).localCheckpoint(eager=True)
+    bucketed.unpersist()
+    return out

@@ -121,11 +121,18 @@ def quota_sample(
         .where(F.col("__rank") <= quota)
     )
     keep_cols = df.columns
-    return (
+    # materializing return: one action executes the plan, then the pruned
+    # cache is released — a lazy return would leak one persisted relation
+    # per call into the session (same defect class as the r2 LSH verdict
+    # item). The checkpointed result is ≤ quota × strata rows — tiny.
+    out = (
         picked.join(F.broadcast(short), "__st", "left_anti")
         .select(*keep_cols)
         .unionByName(fallback.select(*keep_cols))
+        .localCheckpoint(eager=True)
     )
+    pruned.unpersist()
+    return out
 
 
 def canonical_by_quality(
