@@ -113,8 +113,18 @@ def run_pipeline_bench(spark, input_path: str, reps: int = 1) -> dict:
     from piperider_spark.pipeline import build_decisions
 
     src = spark.read.parquet(input_path)
-    n_turns = src.count()
-    # warm-up: JVM/codegen + python worker spin-up, excluded from timing
+    n_turns = src.count()  # metadata-only: parquet footers, no data pages
+    # warm-up 1: pull the data pages into the OS page cache — count() reads
+    # only footers and the limit-plan warm-up only a slice, so the first
+    # timed rep otherwise pays the cold ~260 MB read (~15% on the N leg)
+    import pathlib
+
+    p = pathlib.Path(input_path)
+    for f in [p] if p.is_file() else sorted(p.glob("**/*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    # warm-up 2: JVM/codegen + python worker spin-up, excluded from timing
     build_decisions(src.limit(2000)).write.mode("overwrite").format("noop").save()
     best = None
     for _ in range(max(reps, 1)):
