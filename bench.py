@@ -181,7 +181,15 @@ def scaling_measurement() -> dict:
     inner_reps = {SCALING_N: 1, SCALING_4N: 2}
     out: dict[int, list[float]] = {SCALING_N: [], SCALING_4N: []}
     taskset = shutil.which("taskset")
-    for cores in leg_order:
+    # Self-bounding: the first N and 4N legs always run (a valid ratio needs
+    # one sample each); further legs only start while inside the budget, so
+    # the whole bench finishes even under an unknown external timeout
+    # instead of being killed mid-protocol with nothing printed.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "480"))
+    t_start = time.time()
+    for i, cores in enumerate(leg_order):
+        if i >= 2 and time.time() - t_start > budget:
+            break
         # Pin the WHOLE process (JVM helper threads, GC, python workers)
         # to exactly `cores` CPUs: local[N] alone only bounds task slots
         # and lets JVM machinery overflow onto the host's idle cores,
@@ -206,8 +214,14 @@ def scaling_measurement() -> dict:
             timeout=1800,
             cwd=str(REPO),
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        out[cores].append(json.loads(line)["turns_per_sec"])
+        try:
+            line = proc.stdout.strip().splitlines()[-1]
+            out[cores].append(json.loads(line)["turns_per_sec"])
+        except (IndexError, ValueError, KeyError):
+            # a crashed leg (OOM, transient) must not kill the whole bench;
+            # the interleaved order guarantees later samples for both legs,
+            # and a mandatory-leg failure surfaces as an empty rep list below
+            continue
     tps_n = max(out[SCALING_N])
     tps_4n = max(out[SCALING_4N])
     return {
