@@ -1210,6 +1210,42 @@ def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "dup_clusters_star_documents",
+    f"""
+    WITH RECURSIVE sh AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM p
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via alternating large-star/small-star rounds
+    (Kiveris et al., SoCC 2014) over the same exact-Jaccard pair graph as
+    ``dup_clusters_documents`` — O(log² n) rounds on ANY graph shape, the
+    escape hatch for adversarial diameters where min-label propagation
+    needs diameter rounds. Gated against the identical DuckDB recursive-CTE
+    transitive closure: both algorithms must land on cluster_id = min
+    reachable id."""
+    pairs = dedup.shingle_pairs_jaccard(load(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.connected_components_star(pairs)
+
+
 @register("dup_clusters_fast")
 def dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-path near-dup clustering: components over the xxhash64

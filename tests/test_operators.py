@@ -54,6 +54,17 @@ def _norm(cols, rows):
     )
 
 
+def test_registry_first_50_entries_all_gated():
+    """The driver walks only the first 50 ``queries()`` entries
+    (CORRECTNESS_r02 recorded exactly 50 of 52); every one of those slots
+    must carry a full rows+schema+hash oracle gate — rows-only engine
+    twins belong strictly after."""
+    names = list(qmod.queries())
+    gated = qmod.oracle_sql()
+    ungated_head = [n for n in names[:50] if n not in gated]
+    assert ungated_head == [], f"rows-only entries inside the driver window: {ungated_head}"
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_duckdb_oracle(spark, duck, name):
     sdf = qmod.queries()[name](spark, SF_DIR)
