@@ -77,3 +77,43 @@ def test_perplexity_batch_equals_rowwise(texts):
     )
     if len(texts):
         assert np.allclose(whole, rowwise, rtol=0, atol=0)
+
+# Fast-path equivalence pins for the round-3 perf rewrites: str.split() vs
+# the \S+ findall token spec, and the byte-level perplexity cleaner vs the
+# frozen regex cleaner. Kelvin sign (K, lowers to 'k') and lone-surrogate
+# territory included on purpose.
+_weird_strategy = st.lists(
+    st.one_of(
+        text_strategy,
+        st.text(
+            alphabet=st.sampled_from(
+                list("aZ .K  　\x85\xa0\x1c\x1f") + ["İ", "Σ", "σ", "ς"]
+            ),
+            max_size=60,
+        ),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300))
+def test_split_equals_findall_token_spec(text):
+    from piperider_spark.signals.core import _WS_TOKEN_RE
+
+    assert text.lower().split() == _WS_TOKEN_RE.findall(text.lower())
+
+
+@settings(max_examples=300, deadline=None)
+@given(_weird_strategy)
+def test_ppl_cleaners_agree(texts):
+    from piperider_spark.signals.core import _ppl_clean_bytes, _ppl_clean_regex
+
+    vals = [(t or "").replace("\x00", " ") for t in texts]
+    if not vals:
+        return
+    idx_r, len_r = _ppl_clean_regex(vals)
+    idx_b, len_b = _ppl_clean_bytes(vals)
+    assert len_r.tolist() == len_b.tolist()
+    assert idx_r.tolist() == idx_b.tolist()
