@@ -157,6 +157,7 @@ def infer_declared_types(
             F.count(_valid_expr(c, "datetime")).alias(f"{name}::dt"),
             F.count(_valid_expr(c, "boolean")).alias(f"{name}::bool"),
             F.count_if(low.isin("true", "false")).alias(f"{name}::tf"),
+            F.count(_valid_expr(c, "uuid")).alias(f"{name}::uuid"),
         ]
     row = s.agg(*exprs).collect()[0].asDict()
     out: dict[str, str] = {}
@@ -173,6 +174,10 @@ def infer_declared_types(
             out[name] = "numeric"
         elif row[f"{name}::dt"] >= need and row[f"{name}::dt"] > row[f"{name}::num"]:
             out[name] = "datetime"
+        elif row[f"{name}::uuid"] >= need:
+            # disjoint from every parse above (a canonical UUID is neither a
+            # number, a datetime, nor a boolean literal), so order is safe
+            out[name] = "uuid"
     return out
 
 
@@ -221,6 +226,20 @@ def _valid_expr(c, declared: str):
         return F.when(low.isin("1", "true"), F.lit(True)).when(
             low.isin("0", "false"), F.lit(False)
         )
+    if declared == "uuid":
+        # canonical 8-4-4-4-12 hex form, case-insensitive, normalized to
+        # lowercase like postgres's UUID type renders it. The reference
+        # routes UUID-typed warehouse columns to UUIDColumnProfiler
+        # (profiler.py:604-606, 1559-1599) where the type system makes every
+        # non-null valid; Spark has no UUID type, so string staging + regex
+        # validity is the untyped-ingest analog (invalids = malformed).
+        return F.when(
+            c.rlike(
+                "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+                "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+            ),
+            F.lower(c),
+        )
     return c
 
 
@@ -236,7 +255,7 @@ def _agg_exprs(col: str, generic: str, approx: bool, guard: bool = True) -> list
     c = _fc(col)
     q = _fc(col)  # quantile target
     exprs = [F.count(c).alias(f"{col}::non_nulls")]
-    if guard and not approx and generic in ("string", "integer", "numeric", "datetime"):
+    if guard and not approx and generic in ("string", "integer", "numeric", "datetime", "uuid"):
         # cheap HLL cardinality estimate feeding the exact-distribution
         # guard (ProfilerConfig.exact_distribution_cap) — boolean/other
         # columns are bounded/skipped and need none
@@ -601,7 +620,7 @@ class Profiler:
             name: g
             for name, g in (cfg.declared_types or {}).items()
             if name in string_cols
-            and g in ("integer", "numeric", "datetime", "boolean", "string")
+            and g in ("integer", "numeric", "datetime", "boolean", "string", "uuid")
         }
         schema_types = {f.name: f.dataType.simpleString().upper() for f in df.schema.fields}
         if declared:
@@ -686,7 +705,7 @@ class Profiler:
             overcap = {
                 name
                 for name, generic, _ in fields
-                if generic in ("string", "integer", "numeric", "datetime")
+                if generic in ("string", "integer", "numeric", "datetime", "uuid")
                 and (row.get(f"{name}::acd") or 0) > cfg.exact_distribution_cap
             }
         vc_cols = [
@@ -786,7 +805,11 @@ class Profiler:
             invalids = non_nulls - valids
             col: dict[str, Any] = {
                 "name": name,
-                "type": generic,
+                # the reference reports UUID columns with generic type
+                # "other" (profiler.py:604-606; schema.json's type enum has
+                # no "uuid") while still computing distinct via
+                # UUIDColumnProfiler — mirrored here
+                "type": "other" if generic == "uuid" else generic,
                 "schema_type": schema_types[name],
                 # column total = full table row_count; samples = rows the
                 # metrics actually saw after the limit (profiler.py:481-488,
@@ -827,6 +850,17 @@ class Profiler:
                 )
                 if generic in ("integer", "numeric"):
                     col["_quantile_mode"] = "approx"
+            elif generic == "uuid":
+                # reference UUIDColumnProfiler result shape: counts algebra
+                # + distinct only (profiler.py:1585-1599) — no duplicates/
+                # topk/histogram keys
+                distinct, _non_dup = uniq.get(name, (0, 0))
+                col.update(
+                    {
+                        "distinct": distinct,
+                        "distinct_p": percentage(distinct, valids),
+                    }
+                )
             elif generic != "other":
                 distinct, non_dup = uniq.get(name, (0, 0))
                 duplicates = valids - non_dup

@@ -562,3 +562,64 @@ def test_cardinality_guard_markers_stripped_from_report(spark):
     col = report["tables"]["t"]["columns"]["hi"]
     assert "_distribution_mode" not in col and "_quantile_mode" not in col
     assert col["p50"] is not None
+
+
+def test_uuid_declared_profile(spark):
+    """UUID columns: the reference routes warehouse UUID types to
+    UUIDColumnProfiler (profiler.py:604-606, 1559-1599) — generic type
+    "other" in run.json, counts algebra + distinct only. Spark has no UUID
+    type, so the declared-type path stages strings with canonical-form
+    regex validity, case-normalized like postgres renders UUIDs."""
+    u1 = "123e4567-e89b-12d3-a456-426614174000"
+    r = _staged(
+        spark,
+        [u1, u1.upper(), "00000000-0000-0000-0000-000000000000",
+         "not-a-uuid", "123e4567e89b12d3a456426614174000", None],
+        "uuid",
+    )
+    assert r["total"] == 6 and r["non_nulls"] == 5
+    # upper/lower forms are the SAME uuid (postgres normalization);
+    # missing-hyphen form is invalid under the canonical-form spec
+    assert r["valids"] == 3 and r["invalids"] == 2
+    assert r["distinct"] == 2
+    assert r["type"] == "other" and r["schema_type"] == "UUID"
+    # reference UUID result shape: no duplicates/topk/histogram keys
+    for absent in ("duplicates", "non_duplicates", "topk", "histogram"):
+        assert absent not in r
+
+
+def test_uuid_inferred_from_strings(spark):
+    from piperider_spark.profiler.core import infer_declared_types
+
+    import uuid as uuid_mod
+
+    vals = [str(uuid_mod.UUID(int=i)) for i in range(8)] + ["oops", None]
+    df = spark.createDataFrame([(v,) for v in vals], "uid string")
+    assert infer_declared_types(df) == {"uid": "uuid"}
+
+
+def test_uuid_profile_report_validates_reference_schema(spark):
+    """A run.json containing a UUID-profiled column must still validate
+    against the reference's own schema.json (type lands in the enum as
+    'other'; no extra keys)."""
+    import jsonschema
+    import json as json_mod
+
+    from piperider_spark.profiler.core import ProfilerConfig, Profiler
+    from piperider_spark.profiler.report import build_run_report
+
+    u = "123e4567-e89b-12d3-a456-42661417400"
+    df = spark.createDataFrame(
+        [(u + "0",), (u + "1",), ("bad",), (None,)], "uid string"
+    )
+    report = build_run_report(
+        {"t": df},
+        created_at="2026-01-01T00:00:00+00:00",
+        config=ProfilerConfig(declared_types={"uid": "uuid"}),
+    )
+    schema = json_mod.load(
+        open("/root/reference/piperider_cli/profiler/schema.json")
+    )
+    jsonschema.validate(report, schema)
+    col = report["tables"]["t"]["columns"]["uid"]
+    assert col["type"] == "other" and col["distinct"] == 2
