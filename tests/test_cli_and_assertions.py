@@ -135,3 +135,197 @@ def test_cli_profile_untyped(spark, tmp_path):
     run = _json.load(open(out / "latest" / "run.json"))
     col = run["tables"]["m"]["columns"]["amount"]
     assert col["type"] == "integer" and col["invalids"] == 1 and col["valids"] == 2
+
+
+# ---- dbt-artifact source (reference dbtutil.py:125-290) ---------------------
+
+
+def _dbt_state(tmp_path):
+    manifest = {
+        "nodes": {
+            "model.proj.orders_clean": {
+                "unique_id": "model.proj.orders_clean",
+                "resource_type": "model",
+                "name": "orders_clean",
+                "schema": "analytics",
+                "database": "db",
+                "fqn": ["proj", "marts", "orders_clean"],
+                "tags": ["nightly"],
+                "config": {"materialized": "table"},
+                "description": "cleaned orders",
+                "columns": {
+                    "o_orderkey": {"name": "o_orderkey", "description": "pk"}
+                },
+            },
+            "model.proj.tmp_cte": {
+                "unique_id": "model.proj.tmp_cte",
+                "resource_type": "model",
+                "name": "tmp_cte",
+                "schema": "analytics",
+                "database": "db",
+                "fqn": ["proj", "tmp_cte"],
+                "tags": [],
+                "config": {"materialized": "ephemeral"},
+                "columns": {},
+            },
+            "model.proj.orders_view": {
+                "unique_id": "model.proj.orders_view",
+                "resource_type": "model",
+                "name": "orders_view",
+                "schema": "analytics",
+                "database": "db",
+                "fqn": ["proj", "orders_view"],
+                "tags": [],
+                "config": {"materialized": "view"},
+                "columns": {},
+            },
+            "seed.proj.country_codes": {
+                "unique_id": "seed.proj.country_codes",
+                "resource_type": "seed",
+                "name": "country_codes",
+                "schema": "analytics",
+                "database": "db",
+                "fqn": ["proj", "country_codes"],
+                "tags": [],
+                "config": {"materialized": "seed"},
+                "columns": {},
+            },
+            "test.proj.not_null_orders_clean_o_orderkey": {
+                "unique_id": "test.proj.not_null_orders_clean_o_orderkey",
+                "resource_type": "test",
+                "name": "not_null_orders_clean_o_orderkey",
+                "column_name": "o_orderkey",
+                "depends_on": {"nodes": ["model.proj.orders_clean"]},
+            },
+            "test.proj.src_rowcount": {
+                "unique_id": "test.proj.src_rowcount",
+                "resource_type": "test",
+                "name": "src_rowcount",
+                "column_name": None,
+                "depends_on": {"nodes": ["source.proj.raw.events_raw"]},
+            },
+            "test.proj.compiled_only": {
+                "unique_id": "test.proj.compiled_only",
+                "resource_type": "test",
+                "name": "compiled_only",
+                "column_name": None,
+                "depends_on": {"nodes": ["model.proj.orders_clean"]},
+            },
+        },
+        "sources": {
+            "source.proj.raw.events_raw": {
+                "unique_id": "source.proj.raw.events_raw",
+                "resource_type": "source",
+                "name": "events_raw",
+                "source_name": "raw",
+                "schema": "raw",
+                "database": "db",
+                "fqn": ["proj", "raw", "events_raw"],
+                "tags": [],
+                "columns": {},
+            }
+        },
+    }
+    run_results = {
+        "results": [
+            {
+                "unique_id": "test.proj.not_null_orders_clean_o_orderkey",
+                "status": "fail",
+                "failures": 2,
+                "message": "got 2 nulls",
+            },
+            {
+                "unique_id": "test.proj.src_rowcount",
+                "status": "pass",
+                "failures": 0,
+                "message": None,
+            },
+            {
+                "unique_id": "test.proj.compiled_only",
+                "status": "success",
+                "failures": None,
+                "message": None,
+            },
+        ]
+    }
+    import json
+
+    (tmp_path / "manifest.json").write_text(json.dumps(manifest))
+    (tmp_path / "run_results.json").write_text(json.dumps(run_results))
+    return str(tmp_path)
+
+
+def test_dbt_candidate_selection(tmp_path):
+    from piperider_spark.sources.dbt import dbt_state_candidates, load_manifest
+
+    m = load_manifest(_dbt_state(tmp_path))
+    names = {s.name for s in dbt_state_candidates(m)}
+    # table + seed + source chosen; ephemeral and view excluded by default
+    assert names == {"orders_clean", "country_codes", "events_raw"}
+    with_views = {s.name for s in dbt_state_candidates(m, include_views=True)}
+    assert "orders_view" in with_views
+    tagged = {s.name for s in dbt_state_candidates(m, tag="nightly")}
+    assert tagged == {"orders_clean"}
+    picked = {
+        s.name
+        for s in dbt_state_candidates(m, resources={"proj.marts.orders_clean"})
+    }
+    assert picked == {"orders_clean"}
+
+
+def test_dbt_test_results_shape(tmp_path):
+    from piperider_spark.sources.dbt import (
+        dbt_test_results,
+        load_manifest,
+        load_run_results,
+    )
+
+    d = _dbt_state(tmp_path)
+    tests = dbt_test_results(load_manifest(d), load_run_results(d))
+    by_id = {t["id"]: t for t in tests}
+    # compiled-only (status success) excluded, executed pass+fail kept
+    assert set(by_id) == {
+        "test.proj.not_null_orders_clean_o_orderkey",
+        "test.proj.src_rowcount",
+    }
+    failed = by_id["test.proj.not_null_orders_clean_o_orderkey"]
+    assert failed["status"] == "failed" and failed["table"] == "orders_clean"
+    assert failed["column"] == "o_orderkey" and failed["source"] == "dbt"
+    # source-attributed test gets the source_name.name table form
+    assert by_id["test.proj.src_rowcount"]["table"] == "raw.events_raw"
+    assert by_id["test.proj.src_rowcount"]["status"] == "passed"
+
+
+def test_profile_dbt_state_end_to_end(spark, tmp_path):
+    """manifest → subjects → fused profiler → report with descriptions and
+    executed dbt tests; the result must validate the reference's own
+    run.json schema."""
+    import json
+
+    import jsonschema
+
+    from piperider_spark.sources.dbt import profile_dbt_state
+
+    d = _dbt_state(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None)], "o_orderkey int, o_flag string"
+    ).createOrReplaceTempView("orders_clean")
+    spark.createDataFrame([("US",), ("DE",)], "code string").createOrReplaceTempView(
+        "country_codes"
+    )
+    report = profile_dbt_state(
+        spark, d, created_at="2026-01-01T00:00:00+00:00"
+    )
+    # events_raw has no resolvable relation -> skipped, others profiled
+    assert set(report["tables"]) == {"orders_clean", "country_codes"}
+    t = report["tables"]["orders_clean"]
+    assert t["description"] == "cleaned orders"
+    assert t["ref_id"] == "model.proj.orders_clean"
+    assert t["columns"]["o_orderkey"]["description"] == "pk"
+    assert t["row_count"] == 3
+    assert {x["id"] for x in report["tests"]} == {
+        "test.proj.not_null_orders_clean_o_orderkey",
+        "test.proj.src_rowcount",
+    }
+    schema = json.load(open("/root/reference/piperider_cli/profiler/schema.json"))
+    jsonschema.validate(report, schema)
