@@ -255,6 +255,11 @@ def _agg_exprs(col: str, generic: str, approx: bool, guard: bool = True) -> list
     c = _fc(col)
     q = _fc(col)  # quantile target
     exprs = [F.count(c).alias(f"{col}::non_nulls")]
+    if generic == "uuid" and approx:
+        # approx mode: uuid columns are typically ~unique — sketch their
+        # distinct in job 1 and skip the exact value-counts shuffle
+        # entirely (they join skip_vc like quantile-only numerics)
+        exprs.append(F.approx_count_distinct(c, 0.02).alias(f"{col}::approx_distinct"))
     if guard and not approx and generic in ("string", "integer", "numeric", "datetime", "uuid"):
         # cheap HLL cardinality estimate feeding the exact-distribution
         # guard (ProfilerConfig.exact_distribution_cap) — boolean/other
@@ -693,6 +698,7 @@ class Profiler:
         # sketchable metrics).
         skip_vc = (
             {name for name in numeric_cols if name not in topk_cols}
+            | {name for name, generic, _ in fields if generic == "uuid"}
             if cfg.approx
             else set()
         )

@@ -110,9 +110,11 @@ def _tokenize_batch(vals: list[str]) -> tuple[list[str], np.ndarray] | None:
 
     Rows are lowercased individually (str.lower is context-sensitive at row
     edges — final sigma), joined on '\\x0b' (vertical tab: whitespace for
-    \\S+, essentially absent from real text), tokenized with ONE C findall;
-    per-row counts come from the marker trick (every token substituted with
-    \\x01 leaves only whitespace + separators, all single bytes in UTF-8).
+    \\S+, essentially absent from real text), tokenized with ONE C-level
+    str.split() (== findall(r'\\S+'), parity-pinned); per-row counts come
+    from a numpy byte scan when possible, else the marker trick (every
+    token substituted with \\x01 leaves only whitespace + separators, all
+    single bytes in UTF-8).
     Returns None when a row contains the separator OR a NUL byte → caller
     goes serial (pandas' factorize hashes C strings, so tokens differing
     only after a NUL would collide).

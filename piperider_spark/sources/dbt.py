@@ -104,10 +104,10 @@ def dbt_state_candidates(
         if tag:
             return tag in (node.get("tags") or [])
         material = (node.get("config") or {}).get("materialized")
-        # sources have no materialization config — always profilable,
-        # like the reference's chooser falling through for sources
-        if node.get("resource_type") == "source":
-            return True
+        # sources run through the SAME materialization check as the
+        # reference's chooser (dbtutil.py:199-204): they carry no
+        # `materialized` config, so None fails the whitelist and sources
+        # are excluded by default — selectable via tag or resource list
         return material in material_ok
 
     out: list[DbtSubject] = []
@@ -144,7 +144,9 @@ def dbt_test_results(
         table = None
         for dep in node.get("depends_on", {}).get("nodes", []):
             if dep.startswith("source"):
-                src = sources.get(dep) or {}
+                src = sources.get(dep)
+                if src is None:  # pruned/partial manifest — keep searching
+                    continue
                 table = f"{src.get('source_name')}.{src.get('name')}"
                 break
             dep_node = nodes.get(dep) or {}
@@ -195,21 +197,27 @@ def append_descriptions(report: dict, manifest: dict) -> None:
 
 def resolve_subject(spark: SparkSession, subject: DbtSubject) -> DataFrame | None:
     """Resolve a subject to a Spark relation: try the fully qualified
-    catalog name, then schema.name, then the bare name (temp views /
-    default database). Returns None when nothing resolves — the caller
-    decides whether that is an error (the reference skips unreflectable
-    relations the same way)."""
+    catalog name, then schema.name. The bare name is accepted only when it
+    resolves to a TEMPORARY view — an explicitly caller-registered stand-in
+    (the test-fixture / notebook case); a bare-name hit on a *permanent*
+    table in some unrelated default database would silently profile the
+    wrong relation, so it is rejected. Returns None when nothing resolves —
+    the caller skips, like the reference skips unreflectable relations."""
     candidates = []
     if subject.database and subject.schema:
         candidates.append(f"{subject.database}.{subject.schema}.{subject.name}")
     if subject.schema:
         candidates.append(f"{subject.schema}.{subject.name}")
-    candidates.append(subject.name)
     for qname in candidates:
         try:
             return spark.table(qname)
         except Exception:
             continue
+    try:
+        if spark.catalog.getTable(subject.name).tableType == "TEMPORARY":
+            return spark.table(subject.name)
+    except Exception:
+        pass
     return None
 
 
@@ -236,7 +244,11 @@ def profile_dbt_state(
     for s in subjects:
         df = resolve_subject(spark, s)
         if df is not None:
-            tables[s.name] = df
+            # same-named subjects (a source and a model, or same-named
+            # models across packages) must not silently overwrite each
+            # other — the collision loser keys by its qualified name
+            key = s.name if s.name not in tables else s.qualified_name()
+            tables[key] = df
     report = build_run_report(
         tables, datasource_name="dbt", config=config, created_at=created_at
     )

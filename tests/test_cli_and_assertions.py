@@ -260,8 +260,15 @@ def test_dbt_candidate_selection(tmp_path):
 
     m = load_manifest(_dbt_state(tmp_path))
     names = {s.name for s in dbt_state_candidates(m)}
-    # table + seed + source chosen; ephemeral and view excluded by default
-    assert names == {"orders_clean", "country_codes", "events_raw"}
+    # table + seed chosen; ephemeral and view excluded by default, and
+    # sources too (no materialized config -> fails the whitelist, exactly
+    # the reference chooser's behavior, dbtutil.py:199-204)
+    assert names == {"orders_clean", "country_codes"}
+    by_source_id = {
+        s.name
+        for s in dbt_state_candidates(m, resources={"source.proj.raw.events_raw"})
+    }
+    assert by_source_id == {"events_raw"}
     with_views = {s.name for s in dbt_state_candidates(m, include_views=True)}
     assert "orders_view" in with_views
     tagged = {s.name for s in dbt_state_candidates(m, tag="nightly")}

@@ -623,3 +623,23 @@ def test_uuid_profile_report_validates_reference_schema(spark):
     jsonschema.validate(report, schema)
     col = report["tables"]["t"]["columns"]["uid"]
     assert col["type"] == "other" and col["distinct"] == 2
+
+
+def test_uuid_approx_mode_skips_value_counts(spark):
+    """approx mode: uuid columns take sketch distinct from job 1 and skip
+    the exact value-counts shuffle (they are typically ~unique — exactly
+    the pass approx mode exists to avoid)."""
+    from piperider_spark.profiler.core import Profiler, ProfilerConfig
+
+    import uuid as uuid_mod
+
+    vals = [str(uuid_mod.UUID(int=i)) for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "uid string")
+    r = Profiler(
+        ProfilerConfig(approx=True, declared_types={"uid": "uuid"})
+    ).profile_table(df, "t")["columns"]["uid"]
+    assert r["type"] == "other" and r["valids"] == 50
+    # HLL rsd 0.02 on 50 values: exact-ish but assert a tolerant band
+    assert 45 <= r["distinct"] <= 55
+    for absent in ("duplicates", "non_duplicates", "topk", "histogram"):
+        assert absent not in r
