@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MATERIAL_WHITELIST = ("seed", "table", "incremental")  # dbtutil.py:173
 _RESOURCE_WHITELIST = ("model", "seed")  # dbtutil.py:174
@@ -255,3 +256,162 @@ def profile_dbt_state(
     append_descriptions(report, manifest)
     report["tests"] = dbt_test_results(manifest, load_run_results(dbt_state_dir))
     return report
+
+
+# ---------------------------------------------------------------------------
+# dbt metric definitions → metrics engine (dbtutil.py:299-357; runner.py:626-638)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DbtMetric:
+    """A parsed manifest metric (reference Metric, metrics_engine/metrics.py:44-74)."""
+
+    name: str
+    table: str | None
+    schema: str | None
+    database: str | None
+    expression: str | None
+    timestamp: str | None
+    calculation_method: str
+    time_grains: list[str]
+    filters: list[dict] = field(default_factory=list)
+    label: str | None = None
+    description: str | None = None
+    ref_id: str | None = None
+    numerator: str | None = None
+    denominator: str | None = None
+    ref_metrics: list["DbtMetric"] = field(default_factory=list)
+
+
+def dbt_state_metrics(
+    manifest: dict, tag: str | None = None, resources: set[str] | None = None
+) -> list[DbtMetric]:
+    """Parse manifest ``metrics`` into evaluatable definitions, mirroring the
+    reference ladder (dbtutil.py:299-357): non-derived metrics anchor to
+    their first ``depends_on`` model (skipped when the model wasn't
+    ``ref()``-ed — empty depends_on); ``window`` metrics are unsupported and
+    skipped; tag / resource-list filters as for profile subjects; derived
+    metrics get their parent definitions wired up after the first pass."""
+    nodes = manifest.get("nodes") or {}
+    out: list[DbtMetric] = []
+    metric_map: dict[str, DbtMetric] = {}
+    chosen_keys: list[str] = []
+    for key, metric in (manifest.get("metrics") or {}).items():
+        if metric.get("calculation_method") == "derived":
+            table = schema = database = None
+        else:
+            dep_nodes = metric.get("depends_on", {}).get("nodes", [])
+            if not dep_nodes:
+                continue
+            dep = nodes.get(dep_nodes[0]) or {}
+            table = dep.get("alias") or dep.get("name")
+            schema = dep.get("schema")
+            database = dep.get("database")
+        m = DbtMetric(
+            name=metric.get("name"),
+            table=table,
+            schema=schema,
+            database=database,
+            expression=metric.get("expression"),
+            timestamp=metric.get("timestamp"),
+            calculation_method=metric.get("calculation_method"),
+            time_grains=metric.get("time_grains") or [],
+            filters=metric.get("filters") or [],
+            label=metric.get("label"),
+            description=metric.get("description"),
+            ref_id=metric.get("unique_id"),
+        )
+        metric_map[key] = m
+        if resources is not None:
+            chosen = key in resources
+        elif tag is not None:
+            chosen = tag in (metric.get("tags") or [])
+        else:
+            chosen = True
+        if chosen:
+            if metric.get("window"):  # unsupported, like the reference
+                continue
+            chosen_keys.append(key)
+            out.append(m)
+    for key, m in metric_map.items():
+        if m.calculation_method == "derived":
+            for dep in (
+                (manifest.get("metrics") or {}).get(key, {})
+                .get("depends_on", {})
+                .get("nodes", [])
+            ):
+                parent = metric_map.get(dep)
+                if parent is not None:
+                    m.ref_metrics.append(parent)
+    return out
+
+
+def guard_division(expression: str) -> str:
+    """``a / b / c`` → ``a / nullif(b, 0) / nullif(c, 0)`` — the reference's
+    divide-by-zero rewrite for derived expressions (metrics.py:134-139)."""
+    if "/" not in expression:
+        return expression
+    parts = expression.split("/")
+    divisors = [f"nullif({p.strip()}, 0)" for p in parts[1:]]
+    return f"{parts[0].strip()} / {' / '.join(divisors)}"
+
+
+def evaluate_dbt_metric(
+    spark: SparkSession,
+    metric: DbtMetric,
+    grain: str = "day",
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Evaluate a parsed dbt metric as a (d, value) series at one grain via
+    the Spark metrics engine: aggregates run through
+    :func:`piperider_spark.operators.metrics_engine.metric_series` (spine
+    join + zero-fill), derived/ratio metrics recursively evaluate their
+    parents and apply the nullif-guarded expression over the d-join
+    (reference query composition, metrics.py:118-169)."""
+    from piperider_spark.operators.metrics_engine import derived_metric, metric_series
+
+    if metric.time_grains and grain not in metric.time_grains:
+        raise ValueError(
+            f"grain {grain!r} not in metric {metric.name!r} time_grains "
+            f"{metric.time_grains}"
+        )
+    if metric.calculation_method in ("derived", "ratio"):
+        expression = (
+            f"{metric.numerator}/{metric.denominator}"
+            if metric.calculation_method == "ratio"
+            else metric.expression
+        )
+        parents = {
+            p.name: evaluate_dbt_metric(spark, p, grain, start, end)
+            for p in metric.ref_metrics
+        }
+        return derived_metric(parents, guard_division(expression))
+    subject = DbtSubject(
+        name=metric.table,
+        schema=metric.schema,
+        database=metric.database,
+        unique_id=metric.ref_id or "",
+        resource_type="model",
+    )
+    df = resolve_subject(spark, subject)
+    if df is None:
+        raise ValueError(f"metric {metric.name!r}: relation {metric.table!r} not found")
+    where = (
+        " AND ".join(
+            f"{f['field']} {f['operator']} {f['value']}" for f in metric.filters
+        )
+        or None
+    )
+    src = df.withColumn("__m", F.expr(metric.expression))
+    return metric_series(
+        src,
+        ts_col=metric.timestamp,
+        value_col="__m",
+        calculation=metric.calculation_method,
+        grain=grain,
+        start=start,
+        end=end,
+        where=where,
+    )

@@ -336,3 +336,167 @@ def test_profile_dbt_state_end_to_end(spark, tmp_path):
     }
     schema = json.load(open("/root/reference/piperider_cli/profiler/schema.json"))
     jsonschema.validate(report, schema)
+
+
+def test_dbt_state_metrics_parse(tmp_path):
+    import json
+
+    from piperider_spark.sources.dbt import dbt_state_metrics, guard_division
+
+    manifest = {
+        "nodes": {
+            "model.proj.orders_clean": {
+                "unique_id": "model.proj.orders_clean",
+                "resource_type": "model",
+                "name": "orders_clean",
+                "alias": "orders_clean",
+                "schema": "analytics",
+                "database": "db",
+            }
+        },
+        "metrics": {
+            "metric.proj.revenue": {
+                "unique_id": "metric.proj.revenue",
+                "name": "revenue",
+                "label": "Revenue",
+                "calculation_method": "sum",
+                "expression": "amount",
+                "timestamp": "ts",
+                "time_grains": ["day", "month"],
+                "tags": ["finance"],
+                "filters": [
+                    {"field": "status", "operator": "=", "value": "'paid'"}
+                ],
+                "depends_on": {"nodes": ["model.proj.orders_clean"]},
+            },
+            "metric.proj.n_orders": {
+                "unique_id": "metric.proj.n_orders",
+                "name": "n_orders",
+                "calculation_method": "count",
+                "expression": "order_id",
+                "timestamp": "ts",
+                "time_grains": ["day", "month"],
+                "tags": [],
+                "filters": [],
+                "depends_on": {"nodes": ["model.proj.orders_clean"]},
+            },
+            "metric.proj.rev_per_order": {
+                "unique_id": "metric.proj.rev_per_order",
+                "name": "rev_per_order",
+                "calculation_method": "derived",
+                "expression": "revenue / n_orders",
+                "timestamp": None,
+                "time_grains": ["day", "month"],
+                "tags": [],
+                "filters": [],
+                "depends_on": {
+                    "nodes": ["metric.proj.revenue", "metric.proj.n_orders"]
+                },
+            },
+            "metric.proj.unrefd": {
+                "unique_id": "metric.proj.unrefd",
+                "name": "unrefd",
+                "calculation_method": "sum",
+                "expression": "x",
+                "timestamp": "ts",
+                "time_grains": ["day"],
+                "tags": [],
+                "filters": [],
+                # model not ref()'ed -> empty depends_on -> skipped
+                "depends_on": {"nodes": []},
+            },
+            "metric.proj.windowed": {
+                "unique_id": "metric.proj.windowed",
+                "name": "windowed",
+                "calculation_method": "sum",
+                "expression": "x",
+                "timestamp": "ts",
+                "time_grains": ["day"],
+                "tags": [],
+                "filters": [],
+                "window": {"count": 14, "period": "day"},
+                "depends_on": {"nodes": ["model.proj.orders_clean"]},
+            },
+        },
+    }
+    ms = dbt_state_metrics(manifest)
+    by_name = {m.name: m for m in ms}
+    # unref'd (empty depends_on) and windowed metrics skipped, like the
+    # reference (dbtutil.py:327-329, 345-350)
+    assert set(by_name) == {"revenue", "n_orders", "rev_per_order"}
+    assert by_name["revenue"].table == "orders_clean"
+    assert by_name["revenue"].schema == "analytics"
+    assert by_name["rev_per_order"].table is None
+    assert [p.name for p in by_name["rev_per_order"].ref_metrics] == [
+        "revenue",
+        "n_orders",
+    ]
+    assert {m.name for m in dbt_state_metrics(manifest, tag="finance")} == {"revenue"}
+    assert guard_division("a / b / c") == "a / nullif(b, 0) / nullif(c, 0)"
+    assert guard_division("a + b") == "a + b"
+
+
+def test_evaluate_dbt_metric_end_to_end(spark, tmp_path):
+    """Parsed dbt metrics evaluate through the Spark metrics engine:
+    filtered sum at daily grain with spine zero-fill, and a derived
+    metric with the reference's nullif division guard."""
+    from datetime import date
+
+    from piperider_spark.sources.dbt import (
+        DbtMetric,
+        evaluate_dbt_metric,
+    )
+
+    rows = [
+        ("2026-01-01 10:00:00", 10.0, "paid", 1),
+        ("2026-01-01 11:00:00", 5.0, "void", 2),
+        ("2026-01-03 09:00:00", 7.0, "paid", 3),
+    ]
+    spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "ts_s string, amount double, status string, order_id int",
+    ).selectExpr(
+        "cast(ts_s as timestamp) as ts", "amount", "status", "order_id"
+    ).createOrReplaceTempView("orders_clean")
+
+    revenue = DbtMetric(
+        name="revenue", table="orders_clean", schema=None, database=None,
+        expression="amount", timestamp="ts", calculation_method="sum",
+        time_grains=["day", "month"],
+        filters=[{"field": "status", "operator": "=", "value": "'paid'"}],
+    )
+    n_orders = DbtMetric(
+        name="n_orders", table="orders_clean", schema=None, database=None,
+        expression="order_id", timestamp="ts", calculation_method="count",
+        time_grains=["day", "month"],
+        filters=[{"field": "status", "operator": "=", "value": "'paid'"}],
+    )
+    rev = {
+        r["d"].isoformat() if hasattr(r["d"], "isoformat") else str(r["d"]): r["value"]
+        for r in evaluate_dbt_metric(
+            spark, revenue, "day", start=date(2026, 1, 1), end=date(2026, 1, 3)
+        ).collect()
+    }
+    # filter applied (void excluded), spine zero-fills Jan 2
+    assert rev == {"2026-01-01": 10.0, "2026-01-02": 0.0, "2026-01-03": 7.0}
+
+    derived = DbtMetric(
+        name="rev_per_order", table=None, schema=None, database=None,
+        expression="revenue / n_orders", timestamp=None,
+        calculation_method="derived", time_grains=["day", "month"],
+        ref_metrics=[revenue, n_orders],
+    )
+    d = {
+        str(r["d"]): r["value"]
+        for r in evaluate_dbt_metric(
+            spark, derived, "day", start=date(2026, 1, 1), end=date(2026, 1, 3)
+        ).collect()
+    }
+    # Jan 2: 0 orders -> nullif guard yields NULL, not a crash or 0/0
+    assert d["2026-01-01"] == 10.0 and d["2026-01-03"] == 7.0
+    assert d["2026-01-02"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        evaluate_dbt_metric(spark, revenue, "year")
