@@ -230,6 +230,8 @@ def profile_dbt_state(
     include_views: bool = False,
     config: Any = None,
     created_at: str | None = None,
+    with_metrics: bool = False,
+    today=None,
 ) -> dict:
     """End-to-end dbt-source profile: manifest → subjects → fused profiler
     → report decorated with descriptions + executed test results (the data
@@ -255,6 +257,10 @@ def profile_dbt_state(
     )
     append_descriptions(report, manifest)
     report["tests"] = dbt_test_results(manifest, load_run_results(dbt_state_dir))
+    if with_metrics:
+        report["metrics"] = query_dbt_metrics(
+            spark, dbt_state_metrics(manifest, tag=tag), today=today
+        )
     return report
 
 
@@ -415,3 +421,86 @@ def evaluate_dbt_metric(
         end=end,
         where=where,
     )
+
+
+# metrics.calculate-style windows: last N slots per grain + the current one
+# (reference metrics.py:239-249, 251-269)
+GRAIN_SLOTS = {"day": 30, "week": 12, "month": 12, "quarter": 12, "year": 10}
+
+
+def _compose_query_name(grain: str, label: bool = False) -> str:
+    g = "daily" if grain == "day" else f"{grain}ly"
+    return (g[0].upper() + g[1:]) if label else g  # metrics.py:146-155
+
+
+def _trunc_date(d, grain: str):
+    """Pure-python date_trunc for the query window bounds."""
+    from datetime import date as _date, timedelta
+
+    if grain == "day":
+        return d
+    if grain == "week":  # Monday, matching Spark/dbt date_trunc('week')
+        return d - timedelta(days=d.weekday())
+    if grain == "month":
+        return _date(d.year, d.month, 1)
+    if grain == "quarter":
+        return _date(d.year, 3 * ((d.month - 1) // 3) + 1, 1)
+    if grain == "year":
+        return _date(d.year, 1, 1)
+    raise ValueError(f"unknown grain {grain!r}")
+
+
+def _shift_grains(d, grain: str, n: int):
+    """start bound: n whole grains before a truncated date."""
+    from datetime import date as _date, timedelta
+
+    if grain == "day":
+        return d - timedelta(days=n)
+    if grain == "week":
+        return d - timedelta(weeks=n)
+    months = {"month": 1, "quarter": 3, "year": 12}[grain] * n
+    total = (d.year * 12 + d.month - 1) - months
+    return _date(total // 12, total % 12 + 1, 1)
+
+
+def query_dbt_metric(
+    spark: SparkSession, metric: DbtMetric, grain: str, today=None
+) -> dict:
+    """Evaluate one metric at one grain over the reference's query window
+    (last N slots + current, metrics.py:271-304) and shape the result as a
+    run.json BusinessMetric entry: headers [date_<grain>, <name>], data =
+    [[date_str, float], ...]. ``today`` is injectable for determinism."""
+    from datetime import date as _date
+
+    today = today or _date.today()
+    end = _trunc_date(today, grain)
+    start = _shift_grains(end, grain, GRAIN_SLOTS[grain])
+    series = evaluate_dbt_metric(spark, metric, grain, start=start, end=end)
+    data = [
+        [str(r["d"]), None if r["value"] is None else float(r["value"])]
+        for r in series.collect()
+    ]
+    return {
+        "name": f"{metric.name}_{_compose_query_name(grain)}",
+        "ref_id": metric.ref_id,
+        "label": f"{metric.label or metric.name} ({_compose_query_name(grain, label=True)})",
+        "description": metric.description,
+        "grain": grain,
+        "dimensions": [],
+        "headers": [f"date_{grain}", metric.name],
+        "data": data,
+    }
+
+
+def query_dbt_metrics(
+    spark: SparkSession, metrics: list[DbtMetric], today=None
+) -> list[dict]:
+    """All metrics × their supported grains (unknown grains skipped, like
+    the reference's _get_query_param, metrics.py:95-101)."""
+    out = []
+    for m in metrics:
+        for grain in m.time_grains or []:
+            if grain not in GRAIN_SLOTS:
+                continue
+            out.append(query_dbt_metric(spark, m, grain, today=today))
+    return out

@@ -500,3 +500,48 @@ def test_evaluate_dbt_metric_end_to_end(spark, tmp_path):
 
     with pytest.raises(ValueError):
         evaluate_dbt_metric(spark, revenue, "year")
+
+
+def test_query_dbt_metric_business_metric_shape(spark):
+    """query_dbt_metric returns the run.json BusinessMetric shape over the
+    reference's last-N-slots window, and a report carrying it validates
+    the reference schema."""
+    import json
+    from datetime import date
+
+    import jsonschema
+
+    from piperider_spark.sources.dbt import DbtMetric, query_dbt_metric
+
+    spark.createDataFrame(
+        [("2026-01-05 10:00:00", 10.0), ("2025-11-20 11:00:00", 5.0)],
+        "ts_s string, amount double",
+    ).selectExpr("cast(ts_s as timestamp) as ts", "amount").createOrReplaceTempView(
+        "rev_model"
+    )
+    m = DbtMetric(
+        name="revenue", table="rev_model", schema=None, database=None,
+        expression="amount", timestamp="ts", calculation_method="sum",
+        time_grains=["month"], label="Revenue", description="money",
+        ref_id="metric.proj.revenue",
+    )
+    q = query_dbt_metric(spark, m, "month", today=date(2026, 1, 15))
+    assert q["name"] == "revenue_monthly"
+    assert q["label"] == "Revenue (Monthly)"
+    assert q["headers"] == ["date_month", "revenue"]
+    assert q["grain"] == "month" and q["dimensions"] == []
+    by_d = dict(q["data"])
+    # 12 slots + current = 13 months, zero-filled; observed months populated
+    assert len(q["data"]) == 13
+    assert by_d["2026-01-01"] == 10.0 and by_d["2025-11-01"] == 5.0
+    assert by_d["2025-12-01"] == 0.0 and by_d["2025-02-01"] == 0.0
+
+    report = {
+        "id": "r1",
+        "created_at": "2026-01-15T00:00:00+00:00",
+        "datasource": {"name": "dbt", "type": "spark"},
+        "tables": {},
+        "metrics": [q],
+    }
+    schema = json.load(open("/root/reference/piperider_cli/profiler/schema.json"))
+    jsonschema.validate(report, schema)
