@@ -24,7 +24,36 @@ def cmd_profile(args: argparse.Namespace) -> int:
     from piperider_spark.session import get_spark
     from piperider_spark.sources import DataSource
 
+    if not args.source and not args.dbt_state:
+        print("profile: one of --source / --dbt-state is required", file=sys.stderr)
+        return 2
     spark = get_spark("piperider_spark.profile")
+    if args.dbt_state:
+        # `piperider run --dbt-state` analog: manifest picks the subjects,
+        # run_results contributes tests, metrics evaluate on request.
+        # --source registers its tables as temp views first so manifest
+        # relations resolve in catalog-less sandboxes; on a cluster the
+        # metastore provides them.
+        from piperider_spark.sources.dbt import profile_dbt_state
+
+        if args.source:
+            src = DataSource("cli", path=args.source)
+            for t in src.list_tables(spark):
+                src.read_table(spark, t).createOrReplaceTempView(t)
+        report = profile_dbt_state(
+            spark,
+            args.dbt_state,
+            tag=args.dbt_tag,
+            config=ProfilerConfig(
+                limit=args.limit,
+                duplicate_rows=args.duplicate_rows,
+                approx=args.approx,
+            ),
+            with_metrics=args.with_metrics,
+        )
+        path = write_run_json(report, args.output)
+        print(path)
+        return 0
     src = DataSource("cli", path=args.source)
     tables = args.table or src.list_tables(spark)
     if args.untyped:
@@ -104,7 +133,18 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pp = sub.add_parser("profile", help="profile tables → run.json")
-    pp.add_argument("--source", required=True, help="directory of table files")
+    pp.add_argument("--source", help="directory of table files")
+    pp.add_argument(
+        "--dbt-state",
+        help="dbt target dir (manifest.json [+ run_results.json]) — subjects "
+        "come from the manifest; with --source its tables back the relations",
+    )
+    pp.add_argument("--dbt-tag", help="profile only manifest nodes with this tag")
+    pp.add_argument(
+        "--with-metrics",
+        action="store_true",
+        help="evaluate manifest metric definitions into the report",
+    )
     pp.add_argument("--table", action="append", help="table name (repeatable; default all)")
     pp.add_argument("--output", required=True)
     pp.add_argument("--limit", type=int, default=0)

@@ -545,3 +545,42 @@ def test_query_dbt_metric_business_metric_shape(spark):
     }
     schema = json.load(open("/root/reference/piperider_cli/profiler/schema.json"))
     jsonschema.validate(report, schema)
+
+
+def test_cli_profile_dbt_state(spark, tmp_path):
+    """`profile --dbt-state <dir> --source <dir>`: source tables back the
+    manifest's relations; the written run.json carries dbt descriptions
+    and tests."""
+    import json
+
+    from piperider_spark.cli import main
+
+    (tmp_path / "state").mkdir(exist_ok=True)
+    d = _dbt_state(tmp_path / "state")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "o_orderkey int, o_flag string"
+    ).write.mode("overwrite").parquet(str(src_dir / "orders_clean.parquet"))
+    spark.createDataFrame([("US",)], "code string").write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "country_codes.parquet"))
+    out = tmp_path / "runs"
+    rc = main(
+        [
+            "profile",
+            "--dbt-state", d,
+            "--source", str(src_dir),
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    run = json.load(open(out / "latest" / "run.json"))
+    assert set(run["tables"]) == {"orders_clean", "country_codes"}
+    assert run["tables"]["orders_clean"]["description"] == "cleaned orders"
+    assert {t["id"] for t in run["tests"]} == {
+        "test.proj.not_null_orders_clean_o_orderkey",
+        "test.proj.src_rowcount",
+    }
+    # neither --source nor --dbt-state -> usage error
+    assert main(["profile", "--output", str(out)]) == 2
