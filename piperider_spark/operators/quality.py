@@ -1,0 +1,156 @@
+"""Gopher-style repetition quality signals (Rae et al. 2021, arXiv:2112.11446).
+
+The classic training-corpus repetition filters the reference's derived flag
+columns (profiler.py:810-820) don't cover but a 100 TB corpus pipeline
+needs: duplicate-line fraction, duplicate-line character fraction, and the
+top/duplicate word-n-gram character fractions, with the paper's Table A1
+drop thresholds.
+
+Shape (scale-first, zero Python):
+
+    one projected array of (kind, item) structs per document
+      kind ∈ {line, g2, g3, g4, g5} — fused exactly like the profiler's
+      value-counts pass (profiler/core.py job 2)
+    → ONE explode → groupBy(doc_id, kind, item).count()   [shuffle 1]
+    → groupBy(doc_id) with per-kind conditional aggregates [shuffle 2]
+    → left join back to the id spine for zero-fill         [co-keyed join]
+
+Both shuffles partial-aggregate map-side; per-document state never exceeds
+the document's own n-gram set, so skew is bounded by max document length,
+not corpus size. No argmax is needed for the "most frequent n-gram"
+metric: we take ``max(cnt * length(gram))`` — the n-gram covering the most
+characters — which equals the paper's metric for the unique-mode case and
+is deterministic under frequency ties (documented deviation).
+
+Definitions (frozen; the DuckDB oracle in queries.py mirrors them exactly):
+  * lines = non-empty trimmed '\\n'-splits of the raw text
+  * word n-grams = space-joined windows over the whitespace tokens of
+    lower(text) (the shared token spec, functions/text.py)
+  * dup_line_frac        = 1 - distinct_lines / total_lines
+  * dup_line_char_frac   = chars in repeat occurrences beyond the first /
+                           total line chars
+  * top_{n}gram_char_frac = max over grams of cnt*len(gram) / total gram chars
+  * dup_{n}gram_char_frac = chars in occurrences beyond the first / total
+  * keep = no Table-A1 threshold exceeded
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from piperider_spark.functions.text import tokens
+
+# Drop thresholds from Rae et al. 2021, Table A1.
+DUP_LINE_FRAC_MAX = 0.30
+DUP_LINE_CHAR_FRAC_MAX = 0.20
+TOP_NGRAM_CHAR_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_CHAR_FRAC_MAX = {5: 0.15}
+
+def _empty() -> Column:
+    # built lazily: no-arg F.array() needs an active session at call time
+    return F.array().cast("array<string>")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams; fewer than n tokens → empty array.
+
+    The ``when`` guard matters: ``sequence(1, 0)`` is a *descending*
+    sequence in Spark, not empty."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(_empty())
+
+
+def _kinded(kind: str, arr: Column) -> Column:
+    return F.transform(
+        arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("item"))
+    )
+
+
+def gopher_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics + keep flag (module docstring spec)."""
+    text = F.col(text_col)
+    toks = tokens(F.lower(text))
+    lines = F.when(text.isNull(), _empty()).otherwise(
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        )
+    )
+
+    top_ns = sorted(TOP_NGRAM_CHAR_FRAC_MAX)
+    dup_ns = sorted(DUP_NGRAM_CHAR_FRAC_MAX)
+    arrs = [_kinded("line", lines)] + [
+        _kinded(f"g{n}", word_ngrams(toks, n)) for n in top_ns + dup_ns
+    ]
+    items = (
+        df.select(F.col(id_col), F.explode(F.concat(*arrs)).alias("p"))
+        .select(id_col, "p.kind", "p.item")
+    )
+    counts = items.groupBy(id_col, "kind", "item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    cnt, ln = F.col("cnt"), F.length(F.col("item"))
+
+    def k(kind: str) -> Column:
+        return F.col("kind") == kind
+
+    aggs = [
+        F.sum(F.when(k("line"), cnt)).alias("line_n"),
+        F.count(F.when(k("line"), 1)).alias("line_d"),
+        F.sum(F.when(k("line"), ln * cnt)).alias("line_chars"),
+        F.sum(F.when(k("line"), ln * (cnt - 1))).alias("line_dup_chars"),
+    ]
+    for n in top_ns:
+        aggs += [
+            F.max(F.when(k(f"g{n}"), cnt * ln)).alias(f"g{n}_top_chars"),
+            F.sum(F.when(k(f"g{n}"), cnt * ln)).alias(f"g{n}_chars"),
+        ]
+    for n in dup_ns:
+        aggs += [
+            F.sum(F.when(k(f"g{n}"), ln * (cnt - 1))).alias(f"g{n}_dup_chars"),
+            F.sum(F.when(k(f"g{n}"), cnt * ln)).alias(f"g{n}_chars"),
+        ]
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+
+    def ratio(num: str, den: str) -> Column:
+        # NULL (doc absent / kind absent) falls through to the 0.0 branch
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num).cast("double") / F.col(den), 6)
+        ).otherwise(F.lit(0.0))
+
+    metrics: dict[str, Column] = {
+        "dup_line_frac": F.when(
+            F.col("line_n") > 0,
+            F.round(1.0 - F.col("line_d") / F.col("line_n").cast("double"), 6),
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_frac": ratio("line_dup_chars", "line_chars"),
+    }
+    for n in top_ns:
+        metrics[f"top_{n}gram_char_frac"] = ratio(f"g{n}_top_chars", f"g{n}_chars")
+    for n in dup_ns:
+        metrics[f"dup_{n}gram_char_frac"] = ratio(f"g{n}_dup_chars", f"g{n}_chars")
+
+    drop = (
+        (metrics["dup_line_frac"] > DUP_LINE_FRAC_MAX)
+        | (metrics["dup_line_char_frac"] > DUP_LINE_CHAR_FRAC_MAX)
+    )
+    for n, t in TOP_NGRAM_CHAR_FRAC_MAX.items():
+        drop = drop | (metrics[f"top_{n}gram_char_frac"] > t)
+    for n, t in DUP_NGRAM_CHAR_FRAC_MAX.items():
+        drop = drop | (metrics[f"dup_{n}gram_char_frac"] > t)
+
+    spine = df.select(id_col)
+    return spine.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in metrics.items()],
+        (~drop).alias("keep"),
+    )

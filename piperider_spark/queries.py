@@ -1635,3 +1635,102 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "embeddings")
     qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.ivf_topk(df, list(qvec), n_cells=16, nprobe=4, topk=10)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def _gopher_sql() -> str:
+    """DuckDB twin of ``quality.gopher_repetition_stats`` — thresholds are
+    read from the operator module so the two sides cannot drift."""
+    from piperider_spark.operators import quality as _q
+
+    t2 = _q.TOP_NGRAM_CHAR_FRAC_MAX[2]
+    t3 = _q.TOP_NGRAM_CHAR_FRAC_MAX[3]
+    t4 = _q.TOP_NGRAM_CHAR_FRAC_MAX[4]
+    d5 = _q.DUP_NGRAM_CHAR_FRAC_MAX[5]
+    gram = (
+        "SELECT doc_id, '{kind}' AS kind, unnest(CASE WHEN len(toks) >= {n} THEN"
+        " list_transform(generate_series(1, len(toks) - {m}),"
+        " i -> array_to_string(toks[i:i+{m}], ' ')) ELSE [] END) AS item FROM base"
+    )
+    grams = "\n      UNION ALL ".join(
+        gram.format(kind=f"g{n}", n=n, m=n - 1) for n in (2, 3, 4, 5)
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             CASE WHEN text IS NULL THEN []
+                  ELSE list_filter(list_transform(string_split(text, chr(10)),
+                                                  l -> trim(l)),
+                                   l -> length(l) > 0) END AS lines
+      FROM documents
+    ), items AS (
+      SELECT doc_id, 'line' AS kind, unnest(lines) AS item FROM base
+      UNION ALL {grams}
+    ), counts AS (
+      SELECT doc_id, kind, item, count(*) AS cnt FROM items GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id,
+             sum(cnt)                      FILTER (WHERE kind = 'line') AS line_n,
+             count(*)                      FILTER (WHERE kind = 'line') AS line_d,
+             sum(length(item) * cnt)       FILTER (WHERE kind = 'line') AS line_chars,
+             sum(length(item) * (cnt - 1)) FILTER (WHERE kind = 'line') AS line_dup_chars,
+             max(cnt * length(item))       FILTER (WHERE kind = 'g2') AS g2_top,
+             sum(cnt * length(item))       FILTER (WHERE kind = 'g2') AS g2_chars,
+             max(cnt * length(item))       FILTER (WHERE kind = 'g3') AS g3_top,
+             sum(cnt * length(item))       FILTER (WHERE kind = 'g3') AS g3_chars,
+             max(cnt * length(item))       FILTER (WHERE kind = 'g4') AS g4_top,
+             sum(cnt * length(item))       FILTER (WHERE kind = 'g4') AS g4_chars,
+             sum(length(item) * (cnt - 1)) FILTER (WHERE kind = 'g5') AS g5_dup,
+             sum(cnt * length(item))       FILTER (WHERE kind = 'g5') AS g5_chars
+      FROM counts GROUP BY doc_id
+    ), m AS (
+      SELECT d.doc_id,
+             CASE WHEN line_n > 0
+                  THEN round(1 - line_d / CAST(line_n AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN line_chars > 0
+                  THEN round(CAST(line_dup_chars AS DOUBLE) / line_chars, 6)
+                  ELSE 0.0 END AS dup_line_char_frac,
+             CASE WHEN g2_chars > 0
+                  THEN round(CAST(g2_top AS DOUBLE) / g2_chars, 6)
+                  ELSE 0.0 END AS top_2gram_char_frac,
+             CASE WHEN g3_chars > 0
+                  THEN round(CAST(g3_top AS DOUBLE) / g3_chars, 6)
+                  ELSE 0.0 END AS top_3gram_char_frac,
+             CASE WHEN g4_chars > 0
+                  THEN round(CAST(g4_top AS DOUBLE) / g4_chars, 6)
+                  ELSE 0.0 END AS top_4gram_char_frac,
+             CASE WHEN g5_chars > 0
+                  THEN round(CAST(g5_dup AS DOUBLE) / g5_chars, 6)
+                  ELSE 0.0 END AS dup_5gram_char_frac
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
+    )
+    SELECT doc_id, dup_line_frac, dup_line_char_frac,
+           top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+           dup_5gram_char_frac,
+           NOT (dup_line_frac > {_q.DUP_LINE_FRAC_MAX}
+                OR dup_line_char_frac > {_q.DUP_LINE_CHAR_FRAC_MAX}
+                OR top_2gram_char_frac > {t2}
+                OR top_3gram_char_frac > {t3}
+                OR top_4gram_char_frac > {t4}
+                OR dup_5gram_char_frac > {d5}) AS keep
+    FROM m
+    """
+
+
+@register("gopher_repetition_documents", _gopher_sql())
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Table A1): duplicate-line
+    fractions plus top/duplicate word-n-gram character fractions, fused into
+    one explode + two partial-aggregating shuffles (operators/quality.py).
+    Registered past the driver's 50-entry window — gated by the local
+    parametrized DuckDB oracle test instead."""
+    from piperider_spark.operators.quality import gopher_repetition_stats
+
+    return gopher_repetition_stats(load(spark, sf_dir, "documents"))

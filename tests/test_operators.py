@@ -653,3 +653,53 @@ def test_quota_sample_and_packing_release_caches(spark):
     packed = concat_chunk_pack(df, "doc_id", "n_tok", max_len=64)
     packed.count()
     assert len(persistent_ids() - before) <= 1
+
+
+def test_gopher_repetition_hand_fixture(spark):
+    """Line-level metrics need newline-bearing text the synthetic corpus
+    lacks; thresholds checked against hand-computed values."""
+    from piperider_spark.operators import quality
+
+    rows = [
+        ("clean", "the quick brown fox jumps over the lazy dog and runs far away"),
+        ("dup_lines", "same line\nsame line\nsame line\nother line"),
+        ("loop2", "spam ham " * 20),
+        ("empty", ""),
+        ("nulltext", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in quality.gopher_repetition_stats(df).collect()}
+
+    assert len(out) == 5
+    for did in ("empty", "nulltext"):
+        assert out[did]["keep"] is True
+        assert out[did]["dup_line_frac"] == 0.0
+        assert out[did]["top_2gram_char_frac"] == 0.0
+
+    d = out["dup_lines"]
+    # 4 lines, 2 distinct -> 0.5; dup chars: 'same line'(9ch) x2 extra
+    # occurrences over total 3*9 + 10 = 37 chars
+    assert d["dup_line_frac"] == 0.5
+    assert d["dup_line_char_frac"] == round(18 / 37, 6)
+    assert d["keep"] is False
+
+    t = out["loop2"]
+    # 40 tokens alternating -> 'spam ham' covers 20*8 of 312 2-gram chars
+    assert t["top_2gram_char_frac"] == round(160 / 312, 6)
+    assert t["dup_5gram_char_frac"] > quality.DUP_NGRAM_CHAR_FRAC_MAX[5]
+    assert t["keep"] is False
+
+    c = out["clean"]
+    assert c["keep"] is True
+    assert c["dup_line_frac"] == 0.0
+
+
+def test_gopher_word_ngrams_short_inputs(spark):
+    """<n tokens -> empty array (sequence(1,0) would be descending)."""
+    from piperider_spark.operators.quality import word_ngrams
+    from piperider_spark.functions.text import tokens as tok
+
+    df = spark.createDataFrame(
+        [("a b",), ("a",), ("",)], "text string"
+    ).select(word_ngrams(tok(F.lower(F.col("text"))), 3).alias("g"))
+    assert [r.g for r in df.collect()] == [[], [], []]
