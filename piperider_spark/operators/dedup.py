@@ -622,3 +622,78 @@ def simhash_candidates(
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup (CCNet/RefinedWeb-style paragraph removal)
+# ---------------------------------------------------------------------------
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove lines that recur across >= ``min_docs`` distinct documents
+    (boilerplate headers, navigation chrome, license blocks), rebuilding
+    each document's text in original line order.
+
+    Frozen semantics (DuckDB twin in queries.py mirrors them exactly):
+      * lines = '\\n'-splits of the raw text; the dedup key is trim(line);
+        whitespace-only keys are structure, never removed.
+      * a line is dropped iff its key occurs in >= min_docs DISTINCT docs
+        (all its occurrences drop, including the first — CCNet paragraph
+        dedup, not first-seen-wins).
+      * output text = kept lines joined with '\\n' ('' if all removed,
+        NULL if the input text was NULL).
+
+    Scale shape — four bounded stages, no windows over corpus-size groups:
+      1. distinct(key, doc) + groupBy(key) count  -> ``common`` (1 row per
+         recurring key; both aggs partial-aggregate map-side)
+      2. lines LEFT JOIN common on key — the big side is never aggregated
+         by key, so mega-keys (empty-ish boilerplate) hash-join without a
+         hot reducer; AQE splits residual skew
+      3. groupBy(doc) rebuild — state bounded by max document length.
+    """
+    text = F.col(text_col)
+    keyed = (
+        df.where(text.isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(text, "\n")).alias("pos", "line"),
+        )
+        .withColumn("key", F.trim(F.col("line")))
+    )
+    common = (
+        keyed.where(F.col("key") != "")
+        .select("key", id_col)
+        .distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("key", F.lit(True).alias("__common"))
+    )
+    marked = keyed.join(common, "key", "left")
+    kept_struct = F.when(
+        F.col("__common").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )  # collect_list skips NULLs -> kept lines only
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.line
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__common").isNotNull().cast("long")).alias("n_removed"),
+    )
+    spine = df.select(id_col, text.isNull().alias("__was_null"))
+    return spine.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.when(~F.col("__was_null"), F.coalesce(F.col("__text"), F.lit(""))).alias(
+            text_col
+        ),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+    )

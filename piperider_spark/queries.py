@@ -1734,3 +1734,46 @@ def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piperider_spark.operators.quality import gopher_repetition_stats
 
     return gopher_repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "line_dedup_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, chr(10)) AS raw
+      FROM documents WHERE text IS NOT NULL
+    ), keyed AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(raw))) AS pos,
+             unnest(raw) AS line
+      FROM base
+    ), k2 AS (
+      SELECT doc_id, pos, line, trim(line) AS key FROM keyed
+    ), common AS (
+      SELECT key FROM (SELECT DISTINCT key, doc_id FROM k2 WHERE key <> '')
+      GROUP BY key HAVING count(*) >= 2
+    ), marked AS (
+      SELECT k.doc_id, k.pos, k.line, (c.key IS NOT NULL) AS is_common
+      FROM k2 k LEFT JOIN common c USING (key)
+    ), rebuilt AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT is_common THEN line END,
+                                 chr(10) ORDER BY pos), '') AS txt,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN is_common THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL ELSE r.txt END AS text,
+           coalesce(n_lines, 0) AS n_lines,
+           coalesce(n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus-wide line (paragraph) dedup: drop
+    every occurrence of any trimmed line recurring in >= 2 distinct docs,
+    rebuild text in original order (operators/dedup.corpus_line_dedup).
+    Registered past the driver's 50-entry window — local oracle gate."""
+    return dedup.corpus_line_dedup(load(spark, sf_dir, "documents"), min_docs=2)

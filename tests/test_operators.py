@@ -703,3 +703,34 @@ def test_gopher_word_ngrams_short_inputs(spark):
         [("a b",), ("a",), ("",)], "text string"
     ).select(word_ngrams(tok(F.lower(F.col("text"))), 3).alias("g"))
     assert [r.g for r in df.collect()] == [[], [], []]
+
+
+def test_corpus_line_dedup_hand_fixture(spark):
+    """Multi-line corpus boilerplate removal (synthetic docs are
+    single-line, so cross-line behavior needs a hand fixture)."""
+    rows = [
+        ("a", "COPYRIGHT 2024\nunique alpha text\nfollow us"),
+        ("b", "COPYRIGHT 2024\nunique beta text\nfollow us"),
+        ("c", "totally original\n\n  COPYRIGHT 2024  "),
+        ("d", "COPYRIGHT 2024"),
+        ("e", ""),
+        ("f", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.corpus_line_dedup(df, min_docs=2).collect()
+    }
+    # 'COPYRIGHT 2024' (trimmed key) recurs in a,b,c,d; 'follow us' in a,b
+    assert out["a"]["text"] == "unique alpha text"
+    assert out["a"]["n_lines"] == 3 and out["a"]["n_removed"] == 2
+    assert out["b"]["text"] == "unique beta text"
+    # whitespace-only line is structure: kept; indented variant still keys
+    assert out["c"]["text"] == "totally original\n"
+    assert out["c"]["n_removed"] == 1
+    # all lines removed -> empty string, not NULL
+    assert out["d"]["text"] == "" and out["d"]["n_removed"] == 1
+    # empty text: single empty line, kept
+    assert out["e"]["text"] == "" and out["e"]["n_lines"] == 1 and out["e"]["n_removed"] == 0
+    # NULL text passes through as NULL
+    assert out["f"]["text"] is None and out["f"]["n_lines"] == 0
