@@ -657,8 +657,9 @@ def corpus_line_dedup(
       3. groupBy(doc) rebuild — state bounded by max document length.
     """
     text = F.col(text_col)
+    wide = _ensure_parallel(df)
     keyed = (
-        df.where(text.isNotNull())
+        wide.where(text.isNotNull())
         .select(
             F.col(id_col),
             F.posexplode(F.split(text, "\n")).alias("pos", "line"),

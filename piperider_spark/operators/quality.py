@@ -76,6 +76,11 @@ def gopher_repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document repetition metrics + keep flag (module docstring spec)."""
+    from piperider_spark.operators.dedup import _ensure_parallel
+
+    # n-gram construction is string-heavy (4 gram sizes per token) — the
+    # same narrow-scan hazard as the shingle stages: re-split to full width
+    df = _ensure_parallel(df)
     text = F.col(text_col)
     toks = tokens(F.lower(text))
     lines = F.when(text.isNull(), _empty()).otherwise(
