@@ -216,17 +216,7 @@ def profile_boolean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "datetime_histogram_events_daily",
-    """
-    SELECT date_diff('day',
-                     (SELECT min(CAST(ts AS DATE)) FROM events),
-                     CAST(ts AS DATE)) AS bucket,
-           count(*) AS cnt
-    FROM events WHERE ts IS NOT NULL
-    GROUP BY 1 ORDER BY 1
-    """,
-)
+@register("datetime_histogram_events_daily")
 def datetime_histogram_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-grain datetime histogram (range ≤ 60 days → daily,
     profiler.py:1421-1454); bucket = days since the range min — the
@@ -881,16 +871,7 @@ def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "datetime_histogram_orders_monthly",
-    """
-    SELECT (date_part('year', o_orderdate) - 1995) * 12
-             + date_part('month', o_orderdate) - 1 AS bucket,
-           count(*) AS cnt
-    FROM orders WHERE o_orderdate IS NOT NULL
-    GROUP BY 1 ORDER BY 1
-    """,
-)
+@register("datetime_histogram_orders_monthly")
 def datetime_histogram_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly-grain datetime histogram (reference grain rule: range > 60
     days → monthly, profiler.py:1421-1454); bucket index = months since the
@@ -906,14 +887,7 @@ def datetime_histogram_orders_monthly(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register(
-    "datetime_histogram_lineitem_yearly",
-    """
-    SELECT date_part('year', l_shipdate) - 1995 AS bucket, count(*) AS cnt
-    FROM lineitem WHERE l_shipdate IS NOT NULL
-    GROUP BY 1 ORDER BY 1
-    """,
-)
+@register("datetime_histogram_lineitem_yearly")
 def datetime_histogram_lineitem_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yearly-grain datetime histogram (range > 4 years → yearly with
     interval ceil(years/50)=1, profiler.py:1421-1434)."""
@@ -924,6 +898,46 @@ def datetime_histogram_lineitem_yearly(spark: SparkSession, sf_dir: str) -> Data
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bucket")
+    )
+
+
+@register(
+    "datetime_histogram_multigrain",
+    """
+    SELECT 'daily' AS grain,
+           date_diff('day',
+                     (SELECT min(CAST(ts AS DATE)) FROM events),
+                     CAST(ts AS DATE)) AS bucket,
+           count(*) AS cnt
+    FROM events WHERE ts IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'monthly' AS grain,
+           (date_part('year', o_orderdate) - 1995) * 12
+             + date_part('month', o_orderdate) - 1 AS bucket,
+           count(*) AS cnt
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'yearly' AS grain,
+           date_part('year', l_shipdate) - 1995 AS bucket,
+           count(*) AS cnt
+    FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 2
+    ORDER BY 1, 2
+    """,
+)
+def datetime_histogram_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three reference datetime-histogram grains (daily/monthly/yearly,
+    profiler.py:1421-1454) as one gated union — one driver slot verifies the
+    three grain code paths. Each leg is the corresponding single-grain
+    registry function; the union adds no shuffle beyond the per-leg group-bys
+    (Spark unions plans, it does not materialize legs)."""
+    daily = datetime_histogram_events_daily(spark, sf_dir)
+    monthly = datetime_histogram_orders_monthly(spark, sf_dir)
+    yearly = datetime_histogram_lineitem_yearly(spark, sf_dir)
+    return (
+        daily.select(F.lit("daily").alias("grain"), "bucket", "cnt")
+        .unionByName(monthly.select(F.lit("monthly").alias("grain"), "bucket", "cnt"))
+        .unionByName(yearly.select(F.lit("yearly").alias("grain"), "bucket", "cnt"))
+        .orderBy("grain", "bucket")
     )
 
 
