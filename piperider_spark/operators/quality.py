@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from piperider_spark.functions.text import tokens
+from piperider_spark.functions.text import en_stopword_hits, tokens
 
 # Drop thresholds from Rae et al. 2021, Table A1.
 DUP_LINE_FRAC_MAX = 0.30
@@ -158,4 +158,167 @@ def gopher_repetition_stats(
         F.col(id_col),
         *[c.alias(name) for name, c in metrics.items()],
         (~drop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (non-repetition) and C4 heuristic filters
+# ---------------------------------------------------------------------------
+
+# Gopher Table A1 quality thresholds (Rae et al. 2021).
+WORD_COUNT_MIN, WORD_COUNT_MAX = 50, 100_000
+MEAN_WORD_LEN_MIN, MEAN_WORD_LEN_MAX = 3.0, 10.0
+SYMBOL_WORD_RATIO_MAX = 0.10
+ALPHA_WORD_FRAC_MIN = 0.80
+BULLET_LINE_FRAC_MAX = 0.90
+ELLIPSIS_LINE_FRAC_MAX = 0.30
+STOPWORD_HITS_MIN = 2
+
+_BULLETS = ("•", "‣", "▶", "- ", "* ")
+_ELLIPSES = ("...", "…")
+
+
+def _trimmed_lines(text: Column) -> Column:
+    """Non-empty trimmed '\\n'-splits — the same line spec as
+    gopher_repetition_stats (module docstring)."""
+    return F.when(text.isNull(), _empty()).otherwise(
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        )
+    )
+
+
+def gopher_quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's non-repetition quality filters (Rae et al. 2021 Table A1)
+    as one row-local projection — ZERO shuffles, so at 100 TB this is a
+    pure scan: every metric whole-stage-codegens next to the parquet reader.
+
+    Frozen spec (the DuckDB oracle in queries.py mirrors it exactly):
+      * words = the shared whitespace token spec over lower(text)
+      * mean_word_len = chars across words / n_words
+      * symbol_ratio = (count('#') + count('...', non-overlapping)
+                        + count('…')) / n_words
+      * alpha_word_frac = words containing >=1 unicode letter / n_words
+      * bullet_line_frac = trimmed non-empty lines starting with a bullet
+        marker (•, ‣, ▶, "- ", "* ")
+      * ellipsis_line_frac = trimmed non-empty lines ending in '...' or '…'
+      * stop_hits = whole-word hits of the frozen EN stopword list
+      * keep = every Table-A1 bound satisfied (NULL text drops: n_words=0)
+    """
+    text = F.col(text_col)
+    toks = tokens(F.lower(text))
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    lines = _trimmed_lines(text)
+    n_lines = F.size(lines)
+
+    mean_word_len = F.when(n_words > 0, F.length(F.array_join(toks, "")) / nw)
+    n_symbols = (
+        F.coalesce(F.regexp_count(text, F.lit(r"#")), F.lit(0))
+        + F.coalesce(F.regexp_count(text, F.lit(r"\.\.\.")), F.lit(0))
+        + F.coalesce(F.regexp_count(text, F.lit("…")), F.lit(0))
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / nw).otherwise(F.lit(0.0))
+    alpha_word_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}"))) / nw,
+    ).otherwise(F.lit(0.0))
+
+    def line_frac(pred) -> Column:
+        return F.when(
+            n_lines > 0, F.size(F.filter(lines, pred)) / n_lines.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    bullet_line_frac = line_frac(
+        lambda l: reduce_or([l.startswith(b) for b in _BULLETS])
+    )
+    ellipsis_line_frac = line_frac(
+        lambda l: reduce_or([l.endswith(e) for e in _ELLIPSES])
+    )
+    stop_hits = en_stopword_hits(text)
+
+    m = {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "alpha_word_frac": F.round(alpha_word_frac, 6),
+        "bullet_line_frac": F.round(bullet_line_frac, 6),
+        "ellipsis_line_frac": F.round(ellipsis_line_frac, 6),
+        "stop_hits": F.coalesce(stop_hits, F.lit(0)).cast("bigint"),
+    }
+    keep = (
+        n_words.between(WORD_COUNT_MIN, WORD_COUNT_MAX)
+        & mean_word_len.between(MEAN_WORD_LEN_MIN, MEAN_WORD_LEN_MAX)
+        & (symbol_ratio <= SYMBOL_WORD_RATIO_MAX)
+        & (alpha_word_frac >= ALPHA_WORD_FRAC_MIN)
+        & (bullet_line_frac <= BULLET_LINE_FRAC_MAX)
+        & (ellipsis_line_frac <= ELLIPSIS_LINE_FRAC_MAX)
+        & (m["stop_hits"] >= STOPWORD_HITS_MIN)
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in m.items()],
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def reduce_or(preds: list[Column]) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+# C4 heuristic filters (Raffel et al. 2020, §2.2). Frozen spec:
+#   * lines = trimmed '\n'-splits (empty lines count as lines here — C4
+#     operates on raw line structure; documented deviation from the
+#     repetition spec above)
+#   * a line is KEPT iff it ends with terminal punctuation (. ! ? ")
+#     AND has >= 5 whitespace tokens AND lower(line) lacks 'javascript'
+#   * the doc is DROPPED iff lower(text) contains 'lorem ipsum', or text
+#     contains '{', or fewer than 3 lines survive (the paper's >=3-sentence
+#     rule applied at line granularity — documented deviation)
+C4_MIN_KEPT_LINES = 3
+C4_MIN_LINE_WORDS = 5
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_filter_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 line/document filters as one row-local projection (zero shuffle;
+    see gopher_quality_stats). Returns per-doc counters, the rebuilt
+    kept-lines text, and the keep flag."""
+    text = F.col(text_col)
+    lines = F.when(text.isNull(), _empty()).otherwise(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    )
+
+    def line_ok(l: Column) -> Column:
+        term = reduce_or([l.endswith(t) for t in _C4_TERMINALS])
+        words = F.size(F.split(l, r"\s+")) >= C4_MIN_LINE_WORDS
+        return (
+            (F.length(l) > 0)
+            & term
+            & words
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    n_lines = F.size(F.filter(lines, lambda l: F.length(l) > 0))
+    n_kept = F.size(kept)
+    has_lorem = F.coalesce(F.lower(text).contains("lorem ipsum"), F.lit(False))
+    has_brace = F.coalesce(text.contains("{"), F.lit(False))
+    keep = ~has_lorem & ~has_brace & (n_kept >= C4_MIN_KEPT_LINES)
+    return df.select(
+        F.col(id_col),
+        F.greatest(n_lines, F.lit(0)).cast("bigint").alias("n_lines"),
+        F.greatest(n_kept, F.lit(0)).cast("bigint").alias("n_kept_lines"),
+        F.when(text.isNotNull(), F.array_join(kept, "\n")).alias("text_clean"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
     )

@@ -1791,3 +1791,120 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild text in original order (operators/dedup.corpus_line_dedup).
     Registered past the driver's 50-entry window — local oracle gate."""
     return dedup.corpus_line_dedup(load(spark, sf_dir, "documents"), min_docs=2)
+
+
+@register(
+    "gopher_quality_documents",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+                  ELSE {_TOKS_SQL} END AS toks,
+             CASE WHEN text IS NULL THEN []
+                  ELSE list_filter(
+                         list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> length(l) > 0) END AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN length(array_to_string(toks, ''))
+                         / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+             CASE WHEN len(toks) > 0
+                  THEN (coalesce(len(regexp_extract_all(text, '#')), 0)
+                        + coalesce(len(regexp_extract_all(text, '\.\.\.')), 0)
+                        + coalesce(len(regexp_extract_all(text, '…')), 0))
+                         / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, w -> regexp_matches(w, '\p{{L}}')))
+                         / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS alpha_word_frac,
+             CASE WHEN len(lines) > 0
+                  THEN len(list_filter(lines,
+                         l -> starts_with(l, '•') OR starts_with(l, '‣')
+                           OR starts_with(l, '▶') OR starts_with(l, '- ')
+                           OR starts_with(l, '* ')))
+                         / CAST(len(lines) AS DOUBLE)
+                  ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN len(lines) > 0
+                  THEN len(list_filter(lines,
+                         l -> ends_with(l, '...') OR ends_with(l, '…')))
+                         / CAST(len(lines) AS DOUBLE)
+                  ELSE 0.0 END AS ellipsis_line_frac,
+             CAST(coalesce(len(regexp_extract_all(text, '{_EN_PAT}')), 0)
+                  AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           round(bullet_line_frac, 6) AS bullet_line_frac,
+           round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+           stop_hits,
+           coalesce(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.10
+                    AND alpha_word_frac >= 0.80
+                    AND bullet_line_frac <= 0.90
+                    AND ellipsis_line_frac <= 0.30
+                    AND stop_hits >= 2, FALSE) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher non-repetition quality rules (Rae et al. 2021 Table A1) as a
+    zero-shuffle row-local projection (operators/quality.gopher_quality_stats)
+    — extends the reference's derived flag columns (profiler.py:810-820) to
+    the corpus-filter family. Past the driver window — local oracle gate."""
+    from piperider_spark.operators.quality import gopher_quality_stats
+
+    return gopher_quality_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "c4_filter_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL THEN []
+                  ELSE list_transform(string_split(text, chr(10)),
+                                      l -> trim(l)) END AS lines
+      FROM documents
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines,
+               l -> length(l) > 0
+                 AND (ends_with(l, '.') OR ends_with(l, '!')
+                      OR ends_with(l, '?') OR ends_with(l, '"'))
+                 AND len(regexp_split_to_array(l, '\s+')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(lines, l -> length(l) > 0)) AS BIGINT)
+             AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CASE WHEN text IS NOT NULL
+                -- array_to_string([]) is NULL in DuckDB but '' in Spark
+                THEN coalesce(array_to_string(kept, chr(10)), '') END
+             AS text_clean,
+           coalesce(contains(lower(text), 'lorem ipsum'), FALSE) AS has_lorem,
+           coalesce(contains(text, '{'), FALSE) AS has_brace,
+           (NOT coalesce(contains(lower(text), 'lorem ipsum'), FALSE))
+             AND (NOT coalesce(contains(text, '{'), FALSE))
+             AND len(kept) >= 3 AS keep
+    FROM k
+    """,
+)
+def c4_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic line/document filters (Raffel et al. 2020 §2.2) as a
+    zero-shuffle row-local projection with rebuilt kept-lines text
+    (operators/quality.c4_filter_stats). Past the driver window — local
+    oracle gate."""
+    from piperider_spark.operators.quality import c4_filter_stats
+
+    return c4_filter_stats(load(spark, sf_dir, "documents"))

@@ -705,6 +705,78 @@ def test_gopher_word_ngrams_short_inputs(spark):
     assert [r.g for r in df.collect()] == [[], [], []]
 
 
+def test_gopher_quality_hand_fixture(spark):
+    """Non-repetition Gopher rules against hand-computed values; note the
+    NULL/empty polarity differs from the repetition stats (no words ->
+    fails the word-count bound -> drop, not keep)."""
+    from piperider_spark.operators import quality
+
+    good = ("the quick brown fox jumps over the lazy dog and " * 6).strip()
+    rows = [
+        ("good", good),
+        ("short", "too short"),
+        ("symbols", ("#tag " * 60).strip()),
+        ("bullets", "\n".join(f"- {w} item entry" for w in good.split()[:10])),
+        ("dots", "\n".join(f"{w} trailing thing..." for w in good.split()[:10])),
+        ("numeric", ("123 456 " * 30).strip()),
+        ("nulltext", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in quality.gopher_quality_stats(df).collect()}
+
+    g = out["good"]
+    assert g["n_words"] == 60
+    assert g["mean_word_len"] == 3.8
+    assert g["alpha_word_frac"] == 1.0
+    assert g["symbol_ratio"] == 0.0
+    assert g["stop_hits"] >= 2
+    assert g["keep"] is True
+
+    assert out["short"]["n_words"] == 2 and out["short"]["keep"] is False
+    assert out["symbols"]["symbol_ratio"] == 1.0 and out["symbols"]["keep"] is False
+    assert out["bullets"]["bullet_line_frac"] == 1.0 and out["bullets"]["keep"] is False
+    assert out["dots"]["ellipsis_line_frac"] == 1.0 and out["dots"]["keep"] is False
+    assert out["numeric"]["alpha_word_frac"] == 0.0 and out["numeric"]["keep"] is False
+    n = out["nulltext"]
+    assert n["n_words"] == 0 and n["mean_word_len"] is None and n["keep"] is False
+
+
+def test_c4_filter_hand_fixture(spark):
+    from piperider_spark.operators import quality
+
+    keepable = (
+        "this first line has enough words here.\n"
+        "a second line that also qualifies fine!\n"
+        'and a third line inside double quotes ends right"'
+    )
+    rows = [
+        ("good", keepable),
+        ("mixed", keepable + "\nno terminal punct line here\nshort line.\n"
+         "this javascript line is long enough to pass otherwise."),
+        ("lorem", keepable + "\nLorem Ipsum dolor sit amet plainly stated."),
+        ("brace", keepable + "\nfunction f() { return 1; } is code stuff."),
+        ("thin", "only one qualifying line is present here."),
+        ("nulltext", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in quality.c4_filter_stats(df).collect()}
+
+    g = out["good"]
+    assert g["n_lines"] == 3 and g["n_kept_lines"] == 3
+    assert g["text_clean"] == keepable and g["keep"] is True
+
+    m = out["mixed"]
+    # the punct-less, <5-word, and javascript lines all fall
+    assert m["n_lines"] == 6 and m["n_kept_lines"] == 3
+    assert m["text_clean"] == keepable and m["keep"] is True
+
+    assert out["lorem"]["has_lorem"] is True and out["lorem"]["keep"] is False
+    assert out["brace"]["has_brace"] is True and out["brace"]["keep"] is False
+    assert out["thin"]["n_kept_lines"] == 1 and out["thin"]["keep"] is False
+    n = out["nulltext"]
+    assert n["n_lines"] == 0 and n["text_clean"] is None and n["keep"] is False
+
+
 def test_corpus_line_dedup_hand_fixture(spark):
     """Multi-line corpus boilerplate removal (synthetic docs are
     single-line, so cross-line behavior needs a hand fixture)."""
