@@ -705,6 +705,62 @@ def test_gopher_word_ngrams_short_inputs(spark):
     assert [r.g for r in df.collect()] == [[], [], []]
 
 
+_PII_CORES = [
+    "a.b-c_d@ex-ample.co.uk", "123-45-6789", "+1 555-123-4567",
+    "(555) 123-4567", "555.123.4567", "sk-abcdef1234567890ABCD",
+    "api_abcdefabcdefabcdef", "10.0.0.1", "255.255.255.255", "FRAK",
+    "gorram SMEGHEAD", "a@b.co", "1.2.3.4.5", "123-45-67890",
+    "token-ABCDEFGH12345678", "plain words only",
+]
+
+
+def test_native_scrub_three_way_ascii(spark, duck):
+    """scrub_col (Java) and the SQL form (RE2) must be byte-identical to
+    the frozen python spec on ASCII text — the contract that makes the
+    JVM chain a valid scrub-only scale path (scrub/native.py)."""
+    from piperider_spark.scrub.native import scrub_col, scrub_sql_exprs
+    from piperider_spark.scrub.rules import scrub_text
+
+    texts = [None, ""]
+    for pre in ["", "call ", "x", "9", "_ "]:
+        for core in _PII_CORES:
+            for suf in ["", " now", "y", "7.", " _"]:
+                texts.append(f"{pre}{core}{suf}")
+    expected = [scrub_text(t) for t in texts]
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got_java = [r.s for r in df.select(scrub_col("t").alias("s")).collect()]
+    assert got_java == expected
+
+    expr = "t"
+    for _name, pat, repl in scrub_sql_exprs():
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    got_re2 = [
+        duck.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_re2 == expected
+
+
+def test_native_scrub_unicode_contract(spark):
+    """Pin the measured Java-vs-python divergence surface: unicode \\b
+    adjacency AGREES (Java's \\b is unicode-aware), unicode \\d does not
+    (python scrubs arabic-digit SSNs, Java leaves them)."""
+    from piperider_spark.scrub.native import scrub_col
+    from piperider_spark.scrub.rules import scrub_text
+
+    agree = ["é123-45-6789", "中123-45-6789中", "fraK kelvin", "İstanbul frak"]
+    df = spark.createDataFrame([(t,) for t in agree], "t string")
+    got = [r.s for r in df.select(scrub_col("t").alias("s")).collect()]
+    assert got == [scrub_text(t) for t in agree]
+
+    arabic = "٣٢١-٤٥-٦٧٨٩ ssn"
+    df2 = spark.createDataFrame([(arabic,)], "t string")
+    java_out = df2.select(scrub_col("t").alias("s")).collect()[0].s
+    assert scrub_text(arabic) == "<SSN> ssn"       # python \d is unicode
+    assert java_out == arabic                      # java \d is ascii
+
+
 def test_gopher_quality_hand_fixture(spark):
     """Non-repetition Gopher rules against hand-computed values; note the
     NULL/empty polarity differs from the repetition stats (no words ->
