@@ -106,6 +106,25 @@ def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+def read_input(spark: SparkSession, input_path: str) -> DataFrame:
+    """Resolve the pipeline input: ``table:<identifier>`` reads a catalog
+    table (``spark.read.table``) — with an Iceberg catalog configured this
+    IS the north rule's Iceberg input, no code change; the staging write
+    then snapshots the referenced table state for the run, so resume stays
+    consistent even if the live table advances. Anything else is a parquet
+    path/dir."""
+    if input_path.startswith("table:"):
+        return spark.read.table(input_path[len("table:"):])
+    return spark.read.parquet(input_path)
+
+
+def _input_key(input_path: str) -> str:
+    """Stable identity for the staging manifest (table ids are not paths)."""
+    if input_path.startswith("table:"):
+        return input_path
+    return os.path.abspath(input_path)
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -141,7 +160,7 @@ def run_pipeline(
     # manifest (input path + n_buckets), never on mere existence: a resumed
     # run must not silently read stale data staged from a different input
     # or with a different bucket modulus, and resume=False always restages.
-    staging_meta = {"input_path": os.path.abspath(input_path), "n_buckets": n_buckets}
+    staging_meta = {"input_path": _input_key(input_path), "n_buckets": n_buckets}
     meta_path = os.path.join(staged_path, "_staging_meta.json")
     reuse = resume and os.path.exists(os.path.join(staged_path, "_SUCCESS"))
     if reuse:
@@ -152,7 +171,7 @@ def run_pipeline(
             reuse = False
     if not reuse:
         (
-            spark.read.parquet(input_path)
+            read_input(spark, input_path)
             .withColumn("bucket", _bucket_col(n_buckets))
             .repartition("bucket")
             .write.mode("overwrite")
@@ -259,7 +278,7 @@ def run_pipeline(
 def run_pipeline_single_pass(spark: SparkSession, input_path: str, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
     """One-job variant (no checkpointing) used by the bench harness: the
     whole table through build_decisions, returning the decided DataFrame."""
-    return build_decisions(spark.read.parquet(input_path), spec)
+    return build_decisions(read_input(spark, input_path), spec)
 
 
 def main() -> None:  # pragma: no cover — spark-submit entry
@@ -268,7 +287,12 @@ def main() -> None:  # pragma: no cover — spark-submit entry
     from piperider_spark.session import get_spark
 
     p = argparse.ArgumentParser(description="transcript quality-filter pipeline")
-    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--input",
+        required=True,
+        help="parquet path/dir, or table:<catalog identifier> "
+        "(an Iceberg table when an Iceberg catalog is configured)",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--no-resume", action="store_true")

@@ -133,6 +133,54 @@ def test_resume(spark, transcripts_pdf, tmp_path_factory):
     assert "PartitionFilters: [bucket" in plan, plan[:500]
 
 
+def test_catalog_table_input(spark, transcripts_pdf, tmp_path):
+    """`table:<identifier>` input reads through the session catalog — the
+    seam an Iceberg deployment configures; outputs must equal the
+    path-input run on the same rows, and the staging manifest must key on
+    the table identifier (no abspath mangling)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "transcripts.parquet")
+    pq.write_table(pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp)
+
+    spark.createDataFrame(transcripts_pdf).write.mode("overwrite").saveAsTable(
+        "pipe_transcripts_t"
+    )
+    try:
+        out_t = str(tmp_path / "out_table")
+        out_p = str(tmp_path / "out_path")
+        rt = run_pipeline(spark, "table:pipe_transcripts_t", out_t, n_buckets=2)
+        rp = run_pipeline(spark, inp, out_p, n_buckets=2)
+        assert rt.buckets_processed == 2
+
+        cols = ["conv_id", "turn_idx", "keep", "text_scrubbed"]
+        a = (
+            spark.read.parquet(rt.decisions_path)
+            .select(cols).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        b = (
+            spark.read.parquet(rp.decisions_path)
+            .select(cols).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+        with open(os.path.join(out_t, "staged", "_staging_meta.json")) as fh:
+            meta = json.load(fh)
+        assert meta["input_path"] == "table:pipe_transcripts_t"
+
+        # resume against the table id skips everything
+        r2 = run_pipeline(spark, "table:pipe_transcripts_t", out_t, n_buckets=2)
+        assert r2.buckets_skipped == 2 and r2.buckets_processed == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pipe_transcripts_t")
+
+
 def test_staging_not_reused_across_inputs_or_bucketing(spark, tmp_path):
     """The staged input must be keyed on (input path, n_buckets): a run
     against a different input or bucket modulus restages instead of
