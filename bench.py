@@ -72,6 +72,8 @@ HEADLINE = [
     "concat_chunk_pack_documents",
     "contamination_flags_documents",
     "gopher_repetition_documents",
+    "line_dedup_documents",
+    "c4_filter_documents",
     # clustering headline is the LSH engine path; the exact-pair twin
     # (dup_clusters_documents) is oracle-gate-only, like ngram_jaccard
     "dup_clusters_fast",
