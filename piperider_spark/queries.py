@@ -1908,3 +1908,75 @@ def c4_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piperider_spark.operators.quality import c4_filter_stats
 
     return c4_filter_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_quality_documents",
+    rf"""
+    WITH f AS (
+      SELECT source, text, lang,
+             CASE WHEN text IS NOT NULL
+                  THEN md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             END AS fp,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+                  ELSE {_TOKS_SQL} END AS toks
+      FROM documents
+    ), r AS (
+      SELECT source, text, lang, fp,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks))
+                         / CAST(len(toks) AS DOUBLE) END AS rep
+      FROM f
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(text) AS BIGINT) AS n_texts,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+           CASE WHEN count(text) > 0
+                THEN round(1.0 - count(DISTINCT fp)
+                             / CAST(count(text) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_rate,
+           round(avg(rep), 6) AS avg_rep_ratio,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def source_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) curation rollup: doc counts, exact-dup rate
+    via the normalization fingerprint, mean repetition ratio, language mix,
+    char volume — the decision table behind domain blocklisting
+    (C4/RefinedWeb-style URL filtering, applied at the `source` grain the
+    corpus actually carries). One groupBy(source): bounded group count
+    (domains, not docs), all aggregates partial/map-side combinable; the
+    count(DISTINCT fp) rides the same shuffle keyed on (source, fp) scale
+    logic Spark plans as a two-stage distinct aggregate. Past the driver
+    window — local oracle gate."""
+    from piperider_spark.functions.text import fingerprint, repetition_ratio
+
+    df = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    fp = F.when(text.isNotNull(), fingerprint(text))
+    rep = repetition_ratio(F.lower(text))
+    n_texts = F.count("text")
+    n_distinct_fp = F.count_distinct("fp")
+    return (
+        df.select("source", "text", "lang", fp.alias("fp"), rep.alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_texts.alias("n_texts"),
+            n_distinct_fp.alias("n_distinct_fp"),
+            F.when(
+                n_texts > 0,
+                F.round(
+                    F.lit(1.0) - n_distinct_fp / n_texts.cast("double"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_rate"),
+            F.round(F.avg("rep"), 6).alias("avg_rep_ratio"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("n_en"),
+            F.sum(F.coalesce(F.length(text), F.lit(0))).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
