@@ -91,6 +91,42 @@ def build_decisions(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
     return apply_rules(sig, spec)
 
 
+def conversation_rollup(
+    decided: DataFrame, min_keep_frac: float = 0.5
+) -> DataFrame:
+    """Conversation-grain decisions over per-turn ones: keep a conversation
+    iff its kept-turn fraction reaches ``min_keep_frac`` — the curation
+    policy for corpora where a mostly-bad conversation poisons the rest
+    of its turns.
+
+    Scale shape: every aggregate here is partial/map-side combinable
+    (including n_roles — collect_set over a bounded enum, NOT a distinct
+    aggregate), so the turn-grain rows are collapsed to conversation-grain
+    partial rows BEFORE the aggregate's exchange; the only data this
+    groupBy shuffles is ~one row per conversation per task. (AQE's
+    post-window partition coalescing means Spark still plans that exchange
+    rather than reusing the window's — measured; the exchange is narrow.)
+    Plan-asserted in test_pipeline: exchanges on conv_id only, never on
+    (conv_id, role)."""
+    agg = decided.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        # NOT count_distinct: a distinct aggregate re-exchanges on
+        # (conv_id, role), breaking the window-exchange reuse. collect_set
+        # partial-aggregates map-side and roles are a bounded enum.
+        F.size(F.collect_set("role")).alias("n_roles"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+    frac = F.col("n_kept") / F.col("n_turns").cast("double")
+    return agg.withColumns(
+        {
+            "keep_frac": F.round(frac, 6),
+            "conv_keep": frac >= F.lit(min_keep_frac),
+        }
+    )
+
+
 @dataclass
 class PipelineResult:
     run_id: str

@@ -133,6 +133,45 @@ def test_resume(spark, transcripts_pdf, tmp_path_factory):
     assert "PartitionFilters: [bucket" in plan, plan[:500]
 
 
+def test_conversation_rollup(spark, transcripts_pdf, spark_result):
+    """Conversation-grain keep vs a pandas oracle over the per-turn
+    decisions, plus the plan shape: the rollup must never re-exchange the
+    turn-grain data on (conv_id, role) — the count_distinct trap."""
+    import re
+
+    from piperider_spark.pipeline import conversation_rollup
+
+    df = spark.createDataFrame(transcripts_pdf)
+    decided = build_decisions(df)
+    roll = conversation_rollup(decided, min_keep_frac=0.5)
+
+    got = {
+        r.conv_id: (r.n_turns, r.n_kept, r.n_roles, r.keep_frac, r.conv_keep)
+        for r in roll.collect()
+    }
+    oracle = spark_result.groupby("conv_id").agg(
+        n_turns=("keep", "size"), n_kept=("keep", "sum")
+    )
+    roles = (
+        transcripts_pdf.groupby("conv_id")["role"].nunique(dropna=True).to_dict()
+    )
+    assert len(got) == len(oracle)
+    for conv_id, row in oracle.iterrows():
+        n_turns, n_kept = int(row.n_turns), int(row.n_kept)
+        frac = n_kept / n_turns
+        g = got[conv_id]
+        assert g[:3] == (n_turns, n_kept, roles[conv_id]), (conv_id, g)
+        assert abs(g[3] - frac) < 1e-6 and g[4] == (frac >= 0.5), (conv_id, g)
+
+    plan = roll._jdf.queryExecution().executedPlan().toString()
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert keys, "expected at least the window exchange"
+    assert all("role" not in k for k in keys), keys
+
+
 def test_catalog_table_input(spark, transcripts_pdf, tmp_path):
     """`table:<identifier>` input reads through the session catalog — the
     seam an Iceberg deployment configures; outputs must equal the
