@@ -1950,9 +1950,10 @@ def source_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (C4/RefinedWeb-style URL filtering, applied at the `source` grain the
     corpus actually carries). One groupBy(source): bounded group count
     (domains, not docs), all aggregates partial/map-side combinable; the
-    count(DISTINCT fp) rides the same shuffle keyed on (source, fp) scale
-    logic Spark plans as a two-stage distinct aggregate. Past the driver
-    window — local oracle gate."""
+    count(DISTINCT fp) is the one two-stage distinct aggregate (exchange
+    keyed (source, fp) after partial dedup) — at 10^12 docs swap it for
+    approx_count_distinct(fp), the same exact→sketch trade the profiler's
+    cardinality guard makes. Past the driver window — local oracle gate."""
     from piperider_spark.functions.text import fingerprint, repetition_ratio
 
     df = load(spark, sf_dir, "documents")
