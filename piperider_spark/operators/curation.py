@@ -1,0 +1,106 @@
+"""Staged corpus curation: the full document-side filter chain composed in
+the order modern web-corpus pipelines run it (RefinedWeb / C4 / Gopher
+lineage): exact dedup → corpus-wide line (boilerplate) dedup → C4 line
+filters → Gopher repetition + quality rules, each stage scoring the
+PREVIOUS stage's text.
+
+Why composition order matters (frozen here): boilerplate lines removed
+before C4's line rules (a nav bar must not count against the >=3-kept-lines
+rule), C4's kept-lines rebuild before Gopher metrics (repetition fractions
+are about content, not chrome). Reasons accumulate per stage; `keep` is
+their conjunction — the same reasons-array contract as the transcript
+pipeline (rules/heuristics.apply_rules).
+
+Scale shape: the chain adds NO new shuffle class — it is exactly the union
+of its stages' audited plans (SCALE.md §3: line dedup's three bounded
+stages, exact dedup's single fingerprint shuffle) plus doc_id equi-joins to
+reassemble, which co-partition on the id. The quality stages are
+zero-shuffle projections (PLANS.md). Reference analogue: the reference
+chains profiling → assertions → report per run (runner.py); this is that
+lifecycle for corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from piperider_spark.operators.dedup import corpus_line_dedup, exact_dup_flags
+from piperider_spark.operators.quality import (
+    c4_filter_stats,
+    gopher_quality_stats,
+    gopher_repetition_stats,
+)
+
+# reason labels in firing-stage order (frozen, like rules/spec reason_order)
+REASON_ORDER = ("exact_dup", "c4", "gopher_repetition", "gopher_quality")
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_docs: int = 2,
+) -> DataFrame:
+    """Run the staged curation chain; returns one row per input doc:
+    (id, text_curated, n_boilerplate_removed, reasons, keep).
+
+    text_curated = line-deduped then C4-kept-lines text — what a kept doc
+    would ship to training. Non-canonical exact duplicates exit at stage 1:
+    they carry only the ``exact_dup`` reason and a NULL text_curated, and —
+    crucially — they are REMOVED from the line-dedup corpus first, else a
+    duplicated document's own lines count as cross-document boilerplate
+    and line dedup would hollow out the canonical copy too.
+    """
+    dup = exact_dup_flags(df, id_col, text_col).select(id_col, "is_canonical")
+    canon = df.join(
+        dup.where(F.col("is_canonical")).select(id_col), id_col, "left_semi"
+    )
+
+    lined = corpus_line_dedup(canon, id_col, text_col, min_docs=min_line_docs)
+    lined = lined.select(
+        id_col,
+        F.col("text").alias("_t1"),
+        F.col("n_removed").alias("n_boilerplate_removed"),
+    )
+
+    c4 = c4_filter_stats(lined, text_col="_t1", id_col=id_col).select(
+        id_col,
+        F.col("text_clean").alias("text_curated"),
+        F.col("keep").alias("_c4_keep"),
+    )
+
+    rep = gopher_repetition_stats(c4, text_col="text_curated", id_col=id_col)
+    rep = rep.select(id_col, F.col("keep").alias("_rep_keep"))
+    qual = gopher_quality_stats(c4, text_col="text_curated", id_col=id_col)
+    qual = qual.select(id_col, F.col("keep").alias("_q_keep"))
+
+    # left joins back onto the full id spine: downstream stages only ran on
+    # canonical docs, so their flags are NULL for exact dups — coalesce to
+    # "did not fire" (the dup already has its reason)
+    joined = (
+        dup.join(lined, id_col, "left")
+        .join(c4, id_col, "left")
+        .join(rep, id_col, "left")
+        .join(qual, id_col, "left")
+    )
+    fired = {
+        "exact_dup": ~F.col("is_canonical"),
+        "c4": ~F.coalesce(F.col("_c4_keep"), F.lit(True)),
+        "gopher_repetition": ~F.coalesce(F.col("_rep_keep"), F.lit(True)),
+        "gopher_quality": ~F.coalesce(F.col("_q_keep"), F.lit(True)),
+    }
+    reasons = F.array_compact(
+        F.array(
+            *[F.when(fired[name], F.lit(name)) for name in REASON_ORDER]
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        "text_curated",
+        F.coalesce(F.col("n_boilerplate_removed"), F.lit(0))
+        .cast("bigint")
+        .alias("n_boilerplate_removed"),
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

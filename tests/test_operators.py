@@ -833,6 +833,60 @@ def test_c4_filter_hand_fixture(spark):
     assert n["n_lines"] == 0 and n["text_clean"] is None and n["keep"] is False
 
 
+def test_curate_corpus_staged_chain(spark):
+    """The staged curation chain end-to-end: exact dups exit first (and do
+    NOT poison line dedup), boilerplate lines are stripped before C4
+    counts kept lines, quality verdicts score the curated text."""
+    from piperider_spark.operators.curation import curate_corpus
+
+    boiler = "COPYRIGHT 2024 EXAMPLE SITE"
+    good_lines = [
+        f"the alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} it is fine."
+        for i in range(6)
+    ]
+    good_a = boiler + "\n" + "\n".join(good_lines)
+    good_b = "\n".join(good_lines[::-1]) + "\n" + boiler
+    rows = [
+        ("a", good_a),                    # keeps: boilerplate stripped, rest passes
+        ("b", good_b),                    # same lines reversed — line dedup removes
+                                          # ONLY the boiler line (per-doc uniqueness
+                                          # is not cross-doc recurrence)... see below
+        ("dup1", "identical text body."),
+        ("dup2", "identical text body."),  # exact dup of dup1 — exits at stage 1
+        ("thin", "too little."),           # fails c4 (1 short line)
+        ("nulldoc", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r.asDict() for r in curate_corpus(df).collect()}
+    assert len(out) == 6
+
+    # exact dup: canonical is min(doc_id) = dup1
+    assert out["dup2"]["reasons"] == ["exact_dup"]
+    assert out["dup2"]["keep"] is False and out["dup2"]["text_curated"] is None
+    assert "exact_dup" not in out["dup1"]["reasons"]
+
+    # a and b share every good line → line dedup strips ALL shared lines
+    # (they recur in 2 distinct docs), leaving nothing — both then fail C4.
+    # This pins the frozen semantics: near-dup *documents* must be caught
+    # by the near-dup family (MinHash), not survive into line dedup.
+    for d in ("a", "b"):
+        assert out[d]["n_boilerplate_removed"] == 7
+        assert "c4" in out[d]["reasons"] and out[d]["keep"] is False
+
+    assert out["thin"]["keep"] is False and "c4" in out["thin"]["reasons"]
+    assert out["nulldoc"]["keep"] is False
+
+    # distinct-content docs pass end-to-end: rebuild with unique lines
+    rows2 = [("solo", boiler + "\n" + "\n".join(good_lines)),
+             ("other", boiler + "\nunrelated filler line that is long enough here.")]
+    out2 = {r.doc_id: r.asDict() for r in curate_corpus(spark.createDataFrame(
+        rows2, "doc_id string, text string")).collect()}
+    s = out2["solo"]
+    assert s["n_boilerplate_removed"] == 1          # only the boiler recurs
+    assert s["text_curated"] == "\n".join(good_lines)
+    assert s["reasons"] == [] and s["keep"] is True
+
+
 def test_corpus_line_dedup_hand_fixture(spark):
     """Multi-line corpus boilerplate removal (synthetic docs are
     single-line, so cross-line behavior needs a hand fixture)."""
