@@ -280,14 +280,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Bit signature: bit j = 1 iff vec · plane_j >= 0. Native expression,
-    one pass per plane over the array (codegen fuses them)."""
-    sig = None
-    for j in range(planes.shape[0]):
-        p = F.array(*[F.lit(float(v)) for v in planes[j]])
-        bit = F.when(dot(vec, p) >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return sig
+    """Bit signature: bit j = 1 iff vec · plane_j >= 0. The plane matrix is
+    one array<array<double>> literal walked by a shared transform lambda —
+    same codegen-size fix as :func:`ivf_cell` (inlining n_planes dot
+    expression copies JIT-compiled n_planes×dim literals into one giant
+    unit; this shape compiles once)."""
+    parr = F.array(
+        *[F.lit([float(v) for v in planes[j]]) for j in range(planes.shape[0])]
+    )
+    bits = F.transform(
+        parr,
+        lambda p: F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    # sig = Σ bit_j · 2^j, folded as acc·2 + bit over DESCENDING j
+    # (shiftleft takes only a python-int bit count, not a column)
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * F.lit(2).cast("long") + v,
+    )
 
 
 def ann_bucketed(
