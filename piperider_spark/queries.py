@@ -1981,3 +1981,16 @@ def source_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("curate_corpus_documents")
+def curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged curation chain (exact dedup → line dedup → C4 → Gopher,
+    operators/curation.curate_corpus) end-to-end over the documents table.
+    Rows-only by design: every stage's semantics is individually
+    oracle-gated (fingerprint/exact_dup, line_dedup, c4_filter,
+    gopher_repetition, gopher_quality entries); the composition itself is
+    pinned by the staged hand-fixture test."""
+    from piperider_spark.operators.curation import curate_corpus
+
+    return curate_corpus(load(spark, sf_dir, "documents"))
