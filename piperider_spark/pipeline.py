@@ -170,14 +170,19 @@ def run_pipeline(
     run_id: str | None = None,
     resume: bool = True,
     wave_buckets: int = 8,
+    conv_rollup: bool = False,
+    conv_min_keep_frac: float = 0.5,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
     Outputs under ``output_dir``:
-      decisions/   conv_id, turn_idx, role, ts, keep, reasons, lang, ppl,
-                   text_scrubbed — partitioned by bucket
-      metrics/     per-bucket PipeRider-style profile rows (JSON-ish columns)
-      lineage/     one row per completed (run, bucket)
+      decisions/      conv_id, turn_idx, role, ts, keep, reasons, lang, ppl,
+                      text_scrubbed — partitioned by bucket
+      metrics/        per-bucket PipeRider-style profile rows
+      lineage/        one row per completed (run, bucket)
+      conversations/  (when ``conv_rollup``) conversation-grain stats +
+                      conversation-level keep — partitioned by bucket, same
+                      idempotent dynamic-overwrite contract as metrics
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -290,6 +295,18 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(metrics_path)
         )
+        if conv_rollup:
+            # bucket is a pure function of conv_id — recompute it on the
+            # conversation-grain rows (no join back to the turn-grain data)
+            (
+                conversation_rollup(decided, conv_min_keep_frac)
+                .withColumn("bucket", _bucket_col(n_buckets))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(os.path.join(output_dir, "conversations"))
+            )
         decided.unpersist()
 
         elapsed = int((time.time() - t0) * 1000)
@@ -332,11 +349,21 @@ def main() -> None:  # pragma: no cover — spark-submit entry
     p.add_argument("--output", required=True)
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--conv-rollup",
+        action="store_true",
+        help="also write conversations/ (conversation-grain stats + keep)",
+    )
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
     res = run_pipeline(
-        spark, args.input, args.output, n_buckets=args.buckets, resume=not args.no_resume
+        spark,
+        args.input,
+        args.output,
+        n_buckets=args.buckets,
+        resume=not args.no_resume,
+        conv_rollup=args.conv_rollup,
     )
     print(json.dumps(res.__dict__))
 

@@ -172,6 +172,36 @@ def test_conversation_rollup(spark, transcripts_pdf, spark_result):
     assert all("role" not in k for k in keys), keys
 
 
+def test_pipeline_conv_rollup_output(spark, transcripts_pdf, tmp_path):
+    """`conv_rollup=True` writes conversations/ per wave; contents must
+    equal conversation_rollup over the decisions, and resume must not
+    double-write (dynamic overwrite idempotence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from piperider_spark.pipeline import conversation_rollup, run_pipeline
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, conv_rollup=True)
+
+    conv = spark.read.parquet(f"{out}/conversations")
+    dec = spark.read.parquet(f"{out}/decisions")
+    expect = conversation_rollup(dec)
+    assert conv.count() == expect.count() == dec.select("conv_id").distinct().count()
+    a = {r.conv_id: (r.n_turns, r.n_kept, r.conv_keep) for r in conv.collect()}
+    b = {r.conv_id: (r.n_turns, r.n_kept, r.conv_keep) for r in expect.collect()}
+    assert a == b
+
+    # lineage wipe forces reprocess; dynamic overwrite keeps counts stable
+    import shutil
+
+    shutil.rmtree(f"{out}/lineage")
+    run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, conv_rollup=True)
+    assert spark.read.parquet(f"{out}/conversations").count() == len(a)
+
+
 def test_catalog_table_input(spark, transcripts_pdf, tmp_path):
     """`table:<identifier>` input reads through the session catalog — the
     seam an Iceberg deployment configures; outputs must equal the
