@@ -208,11 +208,23 @@ def gopher_quality_stats(
       * stop_hits = whole-word hits of the frozen EN stopword list
       * keep = every Table-A1 bound satisfied (NULL text drops: n_words=0)
     """
-    text = F.col(text_col)
-    toks = tokens(F.lower(text))
+    # Pre-project the token/line arrays ONCE: Catalyst does not eliminate a
+    # repeated tokens()/lines() subexpression across sibling metric columns
+    # (measured: the fused single projection re-tokenized per metric —
+    # 2.65 s warm / 7.7 s cold at sf0.1 vs 1.25 s / 1.5 s for this shape).
+    # CollapseProject keeps the split because the aliases are multiply
+    # referenced and non-cheap.
+    df = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_gq_text"),
+        tokens(F.lower(F.col(text_col))).alias("_gq_toks"),
+        _trimmed_lines(F.col(text_col)).alias("_gq_lines"),
+    )
+    text = F.col("_gq_text")
+    toks = F.col("_gq_toks")
     n_words = F.size(toks)
     nw = n_words.cast("double")
-    lines = _trimmed_lines(text)
+    lines = F.col("_gq_lines")
     n_lines = F.size(lines)
 
     mean_word_len = F.when(n_words > 0, F.length(F.array_join(toks, "")) / nw)
