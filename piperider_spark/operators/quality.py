@@ -92,11 +92,18 @@ def gopher_repetition_stats(
 
     top_ns = sorted(TOP_NGRAM_CHAR_FRAC_MAX)
     dup_ns = sorted(DUP_NGRAM_CHAR_FRAC_MAX)
-    arrs = [_kinded("line", lines)] + [
-        _kinded(f"g{n}", word_ngrams(toks, n)) for n in top_ns + dup_ns
+    # pre-project toks once: each word_ngrams() otherwise re-derives the
+    # split/lower (Catalyst does not share the subexpression across the
+    # four n-gram transforms — same finding as gopher_quality_stats)
+    pre = df.select(
+        F.col(id_col), toks.alias("_gr_toks"), lines.alias("_gr_lines")
+    )
+    tk = F.col("_gr_toks")
+    arrs = [_kinded("line", F.col("_gr_lines"))] + [
+        _kinded(f"g{n}", word_ngrams(tk, n)) for n in top_ns + dup_ns
     ]
     items = (
-        df.select(F.col(id_col), F.explode(F.concat(*arrs)).alias("p"))
+        pre.select(F.col(id_col), F.explode(F.concat(*arrs)).alias("p"))
         .select(id_col, "p.kind", "p.item")
     )
     counts = items.groupBy(id_col, "kind", "item").agg(
