@@ -639,14 +639,27 @@ _EN_PAT = r"(?i)\b(" + "|".join(EN_STOPWORDS_SQL) + r")\b"
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + repetition + punctuation + stopword evidence — all
     native expressions (functions/text.py), zero Python."""
+    from piperider_spark.functions.text import tokens
+
     df = load(spark, sf_dir, "documents")
-    lower = df.withColumn("text_l", F.lower(F.col("text")))
-    return lower.select(
+    # pre-project the token array once — Catalyst does not share the
+    # split() subexpression across sibling stat columns (NOTES_r3)
+    pre = df.select(
+        "doc_id", "text", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    n = F.size("_toks")
+    d = F.size(F.array_distinct("_toks"))
+    return pre.select(
         "doc_id",
         char_count("text").alias("n_chars"),
-        token_count("text_l").alias("n_tokens"),
-        distinct_token_count("text_l").alias("n_distinct_tokens"),
-        F.round(repetition_ratio("text_l"), 6).alias("rep_ratio"),
+        n.alias("n_tokens"),
+        d.alias("n_distinct_tokens"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - d / n.cast("double")
+            ),
+            6,
+        ).alias("rep_ratio"),
         punct_count("text").alias("n_punct"),
         en_stopword_hits("text").alias("en_hits"),
     )
@@ -681,14 +694,30 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rule layer (rules/heuristics.py pattern) instantiated on the
     documents table with SQL-expressible predicates, so the keep/drop
     algebra itself sits under the oracle gate."""
-    df = load(spark, sf_dir, "documents").withColumn("text_l", F.lower(F.col("text")))
-    n_tok = token_count("text_l")
-    rep = repetition_ratio("text_l")
-    hits = en_stopword_hits("text")
+    from piperider_spark.functions.text import tokens
+
+    df = load(spark, sf_dir, "documents")
+    # two pre-projections: the token array once, then the scalar stats once
+    # (the rule disjunctions reference n_tok/rep several times each; inlined,
+    # the split() would run ~8x per row — NOTES_r3)
+    pre = df.select(
+        "doc_id",
+        tokens(F.lower(F.col("text"))).alias("_toks"),
+        en_stopword_hits("text").alias("_hits"),
+    ).select(
+        "doc_id",
+        F.size("_toks").alias("_n"),
+        F.size(F.array_distinct("_toks")).alias("_d"),
+        "_hits",
+    )
+    n_tok, hits = F.col("_n"), F.col("_hits")
+    rep = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("_d") / n_tok.cast("double")
+    )
     r_short = n_tok < 5
     r_rep = (n_tok >= 20) & (rep > 0.6)
     r_stop = (n_tok >= 5) & (hits == 0)
-    return df.select(
+    return pre.select(
         "doc_id",
         r_short.alias("r_short"),
         r_rep.alias("r_repetitive"),
