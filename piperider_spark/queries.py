@@ -1983,16 +1983,24 @@ def source_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed (source, fp) after partial dedup) — at 10^12 docs swap it for
     approx_count_distinct(fp), the same exact→sketch trade the profiler's
     cardinality guard makes. Past the driver window — local oracle gate."""
-    from piperider_spark.functions.text import fingerprint, repetition_ratio
+    from piperider_spark.functions.text import fingerprint, tokens
 
     df = load(spark, sf_dir, "documents")
     text = F.col("text")
     fp = F.when(text.isNotNull(), fingerprint(text))
-    rep = repetition_ratio(F.lower(text))
+    # token array projected once (sibling-column CSE finding, NOTES_r3)
+    pre = df.select(
+        "source", "text", "lang", fp.alias("fp"),
+        tokens(F.lower(text)).alias("_toks"),
+    )
+    n = F.size("_toks")
+    rep = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("_toks")) / n.cast("double")
+    )
     n_texts = F.count("text")
     n_distinct_fp = F.count_distinct("fp")
     return (
-        df.select("source", "text", "lang", fp.alias("fp"), rep.alias("rep"))
+        pre.select("source", "text", "lang", "fp", rep.alias("rep"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
