@@ -410,6 +410,53 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def near_dup_retention(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep flags after near-dup clustering: in each cluster keep the doc
+    with the LONGEST text (tie → smallest id — the fullest copy usually
+    subsumes its near-duplicates); docs outside any cluster keep. The step
+    that turns cluster labels into a dedup decision — the near-dup twin of
+    :func:`exact_dup_flags`.
+
+    Skew-safe: the per-cluster argmax is a partial-aggregable
+    ``max(struct(len, -id))`` + equi-join, never a window over a cluster
+    (a boilerplate mega-cluster would otherwise land on one task). Requires
+    a numeric id (the -id min-tiebreak); string-id corpora map ids first.
+    """
+    lens = df.select(
+        F.col(id_col), F.coalesce(F.length(text_col), F.lit(0)).alias("_len")
+    )
+    labeled = clusters.withColumnRenamed("id", id_col).join(lens, id_col)
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_len").alias("l"), (-F.col(id_col)).alias("nid")
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.nid")).alias("_keeper"))
+    )
+    return (
+        df.select(id_col)
+        .join(labeled.select(id_col, "cluster_id"), id_col, "left")
+        .join(best, "cluster_id", "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col(id_col) == F.col("_keeper"))
+            ).alias("keep"),
+        )
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -2031,3 +2031,53 @@ def curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from piperider_spark.operators.curation import curate_corpus
 
     return curate_corpus(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "near_dup_retention_documents",
+    f"""
+    WITH RECURSIVE sh AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM p
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ), best AS (
+      SELECT cluster_id, id AS keeper FROM (
+        SELECT c.cluster_id, c.id,
+               row_number() OVER (
+                 PARTITION BY c.cluster_id
+                 ORDER BY coalesce(length(d.text), 0) DESC, c.id ASC
+               ) AS rn
+        FROM clusters c JOIN documents d ON d.doc_id = c.id
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, c.cluster_id,
+           (c.cluster_id IS NULL OR d.doc_id = b.keeper) AS keep
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.id
+    LEFT JOIN best b ON c.cluster_id = b.cluster_id
+    """,
+)
+def near_dup_retention_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup retention over the exact-Jaccard cluster graph: keep the
+    longest doc per cluster (tie → min id), unclustered docs keep
+    (operators/dedup.near_dup_retention — the near-dup twin of
+    exact_dup_flags/canonical retention). Full recursive-CTE oracle; past
+    the driver window — pytest oracle gate."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.shingle_pairs_jaccard(docs, threshold=0.5)
+    return dedup.near_dup_retention(docs, dedup.connected_components(pairs))
