@@ -833,6 +833,32 @@ def test_c4_filter_hand_fixture(spark):
     assert n["n_lines"] == 0 and n["text_clean"] is None and n["keep"] is False
 
 
+def test_near_dup_retention_semantics_and_plan(spark):
+    """Longest-doc-per-cluster retention: hand graph + the scale pin that
+    the per-cluster argmax plans as partial aggregate + join, never a
+    window over the cluster."""
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, None), (4, "bb"), (5, "b")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "id long, cluster_id long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in
+           dedup.near_dup_retention(docs, clusters).collect()}
+    assert out == {
+        1: (1, False), 2: (1, True),   # 'aaaa' longest in cluster 1
+        3: (None, True),               # unclustered keeps
+        4: (4, True), 5: (4, False),   # tie broken by length then id
+    }
+
+    plan = (
+        dedup.near_dup_retention(docs, clusters)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan[:400]
+
+
 def test_curate_corpus_staged_chain(spark):
     """The staged curation chain end-to-end: exact dups exit first (and do
     NOT poison line dedup), boilerplate lines are stripped before C4
