@@ -118,3 +118,70 @@ def summary_markdown(changeset: dict) -> str:
         cols = ", ".join(c for c, e in t["columns"].items() if e["changed"]) or "—"
         lines.append(f"| {name} | {status} | {rc['base']} → {rc['target']} | {cols} |")
     return "\n".join(lines)
+
+
+def diff_decisions(base, target):
+    """Turn-level decision diff between two pipeline runs — the
+    compare-reports loop applied to the keep/drop output itself: which
+    turns flipped, in which direction, and under which reasons.
+
+    Both inputs are decisions DataFrames/paths (conv_id, turn_idx, keep,
+    reasons, text_scrubbed). Returns one row per turn present in either
+    run with ``status`` ∈ {unchanged, now_dropped, now_kept, text_changed,
+    added, removed} (first match in that order). Full outer join on the
+    stable (conv_id, turn_idx) key — co-partitions on the same key both
+    runs were written with, so at corpus scale this is a sort-merge join
+    of two bucket-partitioned tables with no extra wide stage.
+    """
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    def load(x) -> DataFrame:
+        return x if isinstance(x, DataFrame) else _active_spark().read.parquet(x)
+
+    cols = ["conv_id", "turn_idx", "keep", "reasons", "text_scrubbed"]
+    b = load(base).select(*cols)
+    t = load(target).select(*cols)
+    rename = lambda df, side: df.select(  # noqa: E731
+        "conv_id",
+        "turn_idx",
+        *[F.col(c).alias(f"{side}_{c}") for c in cols[2:]],
+    )
+    j = rename(b, "base").join(
+        rename(t, "target"), ["conv_id", "turn_idx"], "full_outer"
+    )
+    in_base = F.col("base_keep").isNotNull() | F.col("base_reasons").isNotNull()
+    in_target = (
+        F.col("target_keep").isNotNull() | F.col("target_reasons").isNotNull()
+    )
+    status = (
+        F.when(~in_base, F.lit("added"))
+        .when(~in_target, F.lit("removed"))
+        .when(F.col("base_keep") & ~F.col("target_keep"), F.lit("now_dropped"))
+        .when(~F.col("base_keep") & F.col("target_keep"), F.lit("now_kept"))
+        .when(
+            ~F.coalesce(
+                F.col("base_text_scrubbed") == F.col("target_text_scrubbed"),
+                F.col("base_text_scrubbed").isNull()
+                & F.col("target_text_scrubbed").isNull(),
+            ),
+            F.lit("text_changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        status.alias("status"),
+        F.col("base_reasons").alias("reasons_base"),
+        F.col("target_reasons").alias("reasons_target"),
+    )
+
+
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("diff_decisions with path inputs needs an active SparkSession")
+    return s

@@ -172,6 +172,33 @@ def test_conversation_rollup(spark, transcripts_pdf, spark_result):
     assert all("role" not in k for k in keys), keys
 
 
+def test_diff_decisions(spark, transcripts_pdf):
+    """Decision diff between two rule specs: flips must be exactly the
+    turns whose keep differs, classified by direction; identical runs diff
+    to all-unchanged."""
+    from dataclasses import replace
+
+    from piperider_spark.profiler.compare import diff_decisions
+    from piperider_spark.rules.spec import DEFAULT_SPEC
+
+    df = spark.createDataFrame(transcripts_pdf)
+    base = build_decisions(df)
+    same = diff_decisions(base, build_decisions(df))
+    agg = {r.status: r.n for r in same.groupBy("status").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert agg == {"unchanged": len(transcripts_pdf)}
+
+    # tighter length bound drops more turns -> only unchanged/now_dropped
+    strict = build_decisions(df, replace(DEFAULT_SPEC, max_chars=200))
+    d = diff_decisions(base, strict)
+    agg = {r.status: r.n for r in d.groupBy("status").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert set(agg) <= {"unchanged", "now_dropped"} and agg.get("now_dropped", 0) > 0
+    flips = d.where(d.status == "now_dropped")
+    joined = flips.join(base.select("conv_id", "turn_idx", "keep"), ["conv_id", "turn_idx"])
+    assert joined.where(~joined.keep).count() == 0  # every flip was kept in base
+
+
 def test_pipeline_conv_rollup_output(spark, transcripts_pdf, tmp_path):
     """`conv_rollup=True` writes conversations/ per wave; contents must
     equal conversation_rollup over the decisions, and resume must not
