@@ -101,6 +101,21 @@ def cmd_compare(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff_decisions(args: argparse.Namespace) -> int:
+    from piperider_spark.profiler.compare import diff_decisions
+    from piperider_spark.session import get_spark
+
+    spark = get_spark("piperider_spark.diff")
+    d = diff_decisions(
+        spark.read.parquet(args.base), spark.read.parquet(args.target)
+    )
+    counts = {r["status"]: r["count"] for r in d.groupBy("status").count().collect()}
+    if args.output:
+        d.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"status_counts": counts, "output": args.output}))
+    return 0
+
+
 def cmd_filter(args: argparse.Namespace) -> int:
     from piperider_spark.pipeline import run_pipeline
     from piperider_spark.session import get_spark
@@ -162,6 +177,14 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--target", required=True)
     pc.add_argument("--output")
     pc.set_defaults(fn=cmd_compare)
+
+    pd_ = sub.add_parser(
+        "diff-decisions", help="turn-level keep/drop churn between two runs"
+    )
+    pd_.add_argument("--base", required=True, help="decisions/ of the base run")
+    pd_.add_argument("--target", required=True, help="decisions/ of the target run")
+    pd_.add_argument("--output", help="write the per-turn diff as parquet")
+    pd_.set_defaults(fn=cmd_diff_decisions)
 
     pf = sub.add_parser("filter", help="transcript quality-filter pipeline")
     pf.add_argument("--input", required=True)
