@@ -303,6 +303,60 @@ def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
     )
 
 
+def ann_write_partitioned(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> None:
+    """Materialize the corpus partitioned by hyperplane signature — the
+    at-rest layout for :func:`ann_topk_partitioned` (one directory per
+    signature; an Iceberg deployment uses the precomputed sig column as a
+    partition column). The hyperplane twin of :func:`ivf_write_partitioned`."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("sig", hyperplane_signature(F.col(vec_col), planes))
+        .repartition("sig")
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def ann_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    topk: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe an :func:`ann_write_partitioned` layout: the Hamming≤1 bucket
+    ring is a PARTITION filter over (n_planes + 1) of the 2^n_planes
+    directories — ~3.5% of files at 8 planes, no per-row signature
+    computation at query time."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.array(query_vec, dtype=np.float64)
+    qsig = sum((1 << j) for j in range(n_planes) if float(planes[j] @ qv) >= 0)
+    ring = [qsig] + [qsig ^ (1 << j) for j in range(n_planes)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        spark.read.parquet(path)
+        .where(F.col("sig").isin(ring))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def ann_bucketed(
     df: DataFrame,
     query_vec: list[float],

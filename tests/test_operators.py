@@ -544,6 +544,22 @@ def test_ivf_partitioned_probe_prunes_scan(spark, tmp_path):
     ]
 
 
+def test_ann_partitioned_probe_prunes_scan(spark, tmp_path):
+    """The at-rest hyperplane layout turns the Hamming-ring probe into a
+    PartitionFilter and returns the same rows as the on-the-fly form."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    path = str(tmp_path / "ann")
+    similarity.ann_write_partitioned(emb, path)
+    probed = similarity.ann_topk_partitioned(spark, path, qvec)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [sig" in plan, plan[:500]
+    onfly = similarity.ann_bucketed(emb, qvec)
+    assert [(r.vec_id, r.cosine_sim) for r in probed.collect()] == [
+        (r.vec_id, r.cosine_sim) for r in onfly.collect()
+    ]
+
+
 def test_exact_dup_flags_skew_safe_and_null_group(spark):
     """exact_dup_flags: agg+join plan (no per-group window), NULL-text
     docs grouped together like the window plan's NULL partition."""
