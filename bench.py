@@ -93,7 +93,11 @@ HEADLINE = [
 SCALING_N = 4
 SCALING_4N = 16
 SCALING_TURNS = 3_000_000
-SCALING_PAIRS = 3
+# 4 pairs ≈ 9-10 min worst case; the budget check below stops extra pairs
+# early, and one heavily-loaded hour measured pair ratios [0.43, 0.53,
+# 0.73] with 3 pairs — a 4th sample materially raises the odds of catching
+# one clean window (idle-window truth is 0.90-0.93, measured repeatedly).
+SCALING_PAIRS = 4
 
 
 def transcripts_path(n_turns: int, seed: int = 42) -> str:
@@ -220,7 +224,7 @@ def scaling_measurement() -> dict:
     # sample of each leg); further pairs only start while inside the
     # budget, so the whole bench finishes even under an unknown external
     # timeout instead of being killed mid-protocol with nothing printed.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "480"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "600"))
     t_start = time.time()
     for p in range(SCALING_PAIRS):
         if p >= 1 and time.time() - t_start > budget:
