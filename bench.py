@@ -242,7 +242,12 @@ def scaling_measurement() -> dict:
     if pair_ratios:
         best = max(range(len(pair_ratios)), key=lambda i: pair_ratios[i])
         tps_n, tps_4n = out[SCALING_N][best], out[SCALING_4N][best]
-        efficiency = pair_ratios[best]
+        # clamp at 1.0: a super-linear single-box reading means the pair's
+        # NARROW leg was externally suppressed while the wide leg ran clean
+        # (the one inflation mode of the estimator — measured, e.g. pairs
+        # [.165,.631,.509,1.059] in a loaded hour). The raw pair_ratios are
+        # reported unclamped for transparency.
+        efficiency = min(pair_ratios[best], 1.0)
     else:
         tps_n = max(out[SCALING_N]) if out[SCALING_N] else 0.0
         tps_4n = max(out[SCALING_4N]) if out[SCALING_4N] else 0.0
