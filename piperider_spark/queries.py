@@ -729,19 +729,43 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fingerprint_documents",
     r"""
-    SELECT doc_id,
+    SELECT 'exact' AS kind, doc_id,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
     FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT 'rolling' AS kind, doc_id,
+           CAST((CASE WHEN length(norm) >= 16 THEN
+             list_min(list_transform(
+               generate_series(1, length(norm) - 15),
+               i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 15))::BIGINT))
+           END) AS VARCHAR) AS fp
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents WHERE text IS NOT NULL)
     """,
 )
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 of whitespace-normalized lowercase text
-    (the exact-dedup key)."""
-    return (
-        load(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", fingerprint("text").alias("fp"))
+    """Document fingerprinting, both families in one gated union (one
+    driver slot verifies both code paths — the multigrain consolidation
+    pattern): ``exact`` = md5 of whitespace-normalized lowercase text (the
+    exact-dedup key); ``rolling`` = winnowing-style min 60-bit hash over all
+    16-char-grams (functions/text.rolling_hash_fingerprint), edit-robust.
+    Both are zero-shuffle row-local projections; the union materializes
+    neither leg."""
+    from piperider_spark.functions.text import rolling_hash_fingerprint
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    exact = docs.select(
+        F.lit("exact").alias("kind"),
+        "doc_id",
+        fingerprint("text").alias("fp"),
     )
+    rolling = docs.select(
+        F.lit("rolling").alias("kind"),
+        "doc_id",
+        rolling_hash_fingerprint("text", 16).cast("string").alias("fp"),
+    )
+    return exact.unionByName(rolling)
 
 
 @register(
@@ -793,9 +817,10 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
-@register(
-    "ngram_jaccard_pairs_documents",
-    f"""
+# Exact n-gram Jaccard pair mining (threshold 0.5) — the oracle-verifiable
+# small-scale variant. Gated inside the near_dup_pairs_documents union
+# (round-4 registry-window consolidation) alongside its LSH scale twin.
+_JACCARD_PAIRS_SQL = f"""
     WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     p AS (
@@ -807,13 +832,7 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
     FROM p JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
     WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
-    """,
-)
-def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the
-    oracle-verifiable small-scale variant; minhash_lsh_pairs is the scale
-    path."""
-    return dedup.shingle_pairs_jaccard(load(spark, sf_dir, "documents"), threshold=0.5)
+"""
 
 
 @register(
@@ -1191,9 +1210,11 @@ def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-@register(
-    "canonical_documents",
-    r"""
+# Exact-dedup canonical retention SQL: one canonical doc per fingerprint
+# group — longest text wins, ties to the smallest doc_id. Gated inside the
+# retention_documents union; the bare entry below stays registered
+# rows-only so the bench headline keeps timing the single-window plan.
+_CANONICAL_SQL = r"""
     SELECT doc_id, fp FROM (
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -1202,12 +1223,16 @@ def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY length(text) DESC, doc_id) AS rn
       FROM documents WHERE text IS NOT NULL)
     WHERE rn = 1
-    """,
-)
+"""
+
+
+@register("canonical_documents")
 def canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup retention policy: one canonical doc per fingerprint group —
     the longest text wins, ties to the smallest doc_id. One window shuffle
-    on the 16-byte fingerprint (same exchange class as exact dedup)."""
+    on the 16-byte fingerprint (same exchange class as exact dedup).
+    Rows-only here (bench headline); the full oracle gate lives in the
+    retention_documents union."""
     from piperider_spark.operators.sampling import canonical_by_quality
 
     docs = (
@@ -1240,53 +1265,33 @@ def canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
     )
-    SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    SELECT al.algo, c.id, c.cluster_id
+    FROM clusters c, (SELECT unnest(['prop', 'star']) AS algo) al
     """,
 )
 def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the exact-Jaccard
-    pair graph (threshold 0.5) — iterative min-label propagation in Spark,
-    gated against a DuckDB recursive-CTE transitive closure. Turns
-    pairwise matches into dedup groups (cluster_id = min member id)."""
+    """Near-dup clustering over the exact-Jaccard pair graph (threshold
+    0.5), BOTH distributed algorithms in one gated union, each compared to
+    the same DuckDB recursive-CTE transitive closure (the oracle computes
+    the closure once and cross-joins the two algo labels):
+
+    * ``prop`` — iterative min-label propagation (rounds = cluster
+      diameter, the cheap path for the shallow clusters real corpora have);
+    * ``star`` — alternating large-star/small-star rounds (Kiveris et al.,
+      SoCC 2014), O(log² n) rounds on ANY graph shape — the escape hatch
+      for adversarial diameters.
+
+    Both must land on cluster_id = min reachable id. One driver slot
+    verifies both (registry-window consolidation)."""
     pairs = dedup.shingle_pairs_jaccard(load(spark, sf_dir, "documents"), threshold=0.5)
-    return dedup.connected_components(pairs)
-
-
-@register(
-    "dup_clusters_star_documents",
-    f"""
-    WITH RECURSIVE sh AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT id_a, id_b FROM p
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
-    ), edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ), reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    prop = dedup.connected_components(pairs)
+    star = dedup.connected_components_star(pairs)
+    return prop.select(F.lit("prop").alias("algo"), "id", "cluster_id").unionByName(
+        star.select(F.lit("star").alias("algo"), "id", "cluster_id")
     )
-    SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-    """,
-)
-def dup_clusters_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering via alternating large-star/small-star rounds
-    (Kiveris et al., SoCC 2014) over the same exact-Jaccard pair graph as
-    ``dup_clusters_documents`` — O(log² n) rounds on ANY graph shape, the
-    escape hatch for adversarial diameters where min-label propagation
-    needs diameter rounds. Gated against the identical DuckDB recursive-CTE
-    transitive closure: both algorithms must land on cluster_id = min
-    reachable id."""
-    pairs = dedup.shingle_pairs_jaccard(load(spark, sf_dir, "documents"), threshold=0.5)
-    return dedup.connected_components_star(pairs)
 
 
 @register("dup_clusters_fast")
@@ -1434,32 +1439,10 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rolling_fingerprint_documents",
-    r"""
-    WITH t AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-      FROM documents WHERE text IS NOT NULL
-    )
-    SELECT doc_id,
-           CASE WHEN length(norm) >= 16 THEN
-             list_min(list_transform(
-               generate_series(1, length(norm) - 15),
-               i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 15))::BIGINT))
-           END AS fp_min
-    FROM t
-    """,
-)
-def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint (min 60-bit hash over all
-    16-char-grams) — edit-robust document fingerprinting."""
-    from piperider_spark.functions.text import rolling_hash_fingerprint
-
-    return (
-        load(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select("doc_id", rolling_hash_fingerprint("text", 16).alias("fp_min"))
-    )
+# rolling_fingerprint_documents was consolidated into the
+# fingerprint_documents gated union (round-4 registry-window consolidation:
+# 54 gated entries > the driver's 50-slot budget pushed the strongest new
+# work past the window — see VERDICT r3 "Next round" #2).
 
 
 _MINHASH8_SQL = f"""
@@ -1476,8 +1459,14 @@ _MINHASH8_SQL = f"""
 
 
 @register(
-    "minhash_lsh_pairs_documents",
-    _MINHASH8_SQL
+    "near_dup_pairs_documents",
+    f"""
+    SELECT 'exact' AS method, id_a, id_b, jaccard
+    FROM ({_JACCARD_PAIRS_SQL})
+    UNION ALL
+    SELECT 'lsh' AS method, id_a, id_b, jaccard
+    FROM ("""
+    + _MINHASH8_SQL
     + """,
     banded AS (
       SELECT doc_id, b.band,
@@ -1510,15 +1499,22 @@ _MINHASH8_SQL = f"""
            round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
     FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
     WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5
+    )
     """,
 )
-def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (banded bucket join + exact verify) — the
-    scale path for corpus dedup. Banding IS SQL-expressible (concat over the
-    already-oracle'd signature columns), so the full path sits under the
-    oracle gate; the xxhash64 engine variant (hash_fn) is the bench path."""
-    return dedup.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n_hashes=8, n_bands=4, threshold=0.5
+def near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining, both paths in one gated union: ``exact`` =
+    all-pairs n-gram Jaccard (threshold 0.5, the oracle-verifiable
+    small-scale variant); ``lsh`` = MinHash+LSH banded bucket join + exact
+    verify, the corpus-scale path. Banding IS SQL-expressible (concat over
+    the already-oracle'd signature columns), so the full LSH path sits under
+    the oracle gate; the xxhash64 engine variant (hash_fn) is the bench
+    path. One driver slot verifies both (registry-window consolidation)."""
+    docs = load(spark, sf_dir, "documents")
+    exact = dedup.shingle_pairs_jaccard(docs, threshold=0.5)
+    lsh = dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, threshold=0.5)
+    return exact.select(F.lit("exact").alias("method"), "id_a", "id_b", "jaccard").unionByName(
+        lsh.select(F.lit("lsh").alias("method"), "id_a", "id_b", "jaccard")
     )
 
 
@@ -2034,8 +2030,13 @@ def curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "near_dup_retention_documents",
+    "retention_documents",
     f"""
+    SELECT 'exact' AS kind, doc_id, fp AS key, TRUE AS keep
+    FROM ({_CANONICAL_SQL})
+    UNION ALL
+    SELECT 'near' AS kind, doc_id, CAST(cluster_id AS VARCHAR) AS key, keep
+    FROM (
     WITH RECURSIVE sh AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     p AS (
@@ -2070,14 +2071,30 @@ def curate_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN clusters c ON d.doc_id = c.id
     LEFT JOIN best b ON c.cluster_id = b.cluster_id
+    )
     """,
 )
-def near_dup_retention_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup retention over the exact-Jaccard cluster graph: keep the
-    longest doc per cluster (tie → min id), unclustered docs keep
-    (operators/dedup.near_dup_retention — the near-dup twin of
-    exact_dup_flags/canonical retention). Full recursive-CTE oracle; past
-    the driver window — pytest oracle gate."""
+def retention_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup retention, both families in one gated union (registry-window
+    consolidation): ``exact`` = one canonical doc per md5 fingerprint group
+    (longest text wins, tie → min doc_id; operators/sampling
+    .canonical_by_quality — key = the fingerprint, keepers only); ``near``
+    = keep-flags over the exact-Jaccard near-dup cluster graph (longest doc
+    per cluster, unclustered docs keep; operators/dedup.near_dup_retention —
+    key = the cluster id, every doc flagged). The near leg's oracle is the
+    full recursive-CTE transitive closure."""
     docs = load(spark, sf_dir, "documents")
+    exact = canonical_documents(spark, sf_dir).select(
+        F.lit("exact").alias("kind"),
+        "doc_id",
+        F.col("fp").alias("key"),
+        F.lit(True).alias("keep"),
+    )
     pairs = dedup.shingle_pairs_jaccard(docs, threshold=0.5)
-    return dedup.near_dup_retention(docs, dedup.connected_components(pairs))
+    near = dedup.near_dup_retention(docs, dedup.connected_components(pairs)).select(
+        F.lit("near").alias("kind"),
+        "doc_id",
+        F.col("cluster_id").cast("string").alias("key"),
+        "keep",
+    )
+    return exact.unionByName(near)

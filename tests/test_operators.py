@@ -65,6 +65,19 @@ def test_registry_first_50_entries_all_gated():
     assert ungated_head == [], f"rows-only entries inside the driver window: {ungated_head}"
 
 
+def test_registry_gated_count_fits_driver_window():
+    """Registry hygiene (VERDICT r3 'Next round' #8): the TOTAL number of
+    oracle-gated entries must fit the driver's 50-slot window, or new gated
+    entries silently fall past it and never receive driver verification
+    (the r3 positions-51-54 problem). Adding a gated entry beyond 50 means
+    consolidating first (the multigrain/union pattern)."""
+    gated = [n for n in qmod.queries() if n in qmod.oracle_sql()]
+    assert len(gated) <= 50, (
+        f"{len(gated)} gated entries > the driver's 50-slot window; "
+        f"consolidate (union-keyed entries) before registering more: {gated[50:]}"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_duckdb_oracle(spark, duck, name):
     sdf = qmod.queries()[name](spark, SF_DIR)
