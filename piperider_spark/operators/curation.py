@@ -63,6 +63,12 @@ def curate_corpus(
         F.col("text").alias("_t1"),
         F.col("n_removed").alias("n_boilerplate_removed"),
     )
+    # The line-dedup subtree (three shuffle stages) fans into four join
+    # branches below (lined, c4, rep, qual); without materialization it
+    # recomputes per branch unless ReusedExchange happens to fire. Eager
+    # localCheckpoint (the dedup.py idiom) pins the result once and
+    # truncates the lineage the four branches replay.
+    lined = lined.localCheckpoint(eager=True)
 
     c4 = c4_filter_stats(lined, text_col="_t1", id_col=id_col).select(
         id_col,

@@ -236,10 +236,21 @@ def run_pipeline(
     done: set[int] = set()
     if resume and os.path.isdir(lineage_path):
         try:
-            done = {
-                r["bucket"]
-                for r in spark.read.parquet(lineage_path).select("bucket").distinct().collect()
-            }
+            # mergeSchema: lineage written before the conv_rollup column
+            # existed must still read (missing column ⇒ null ⇒ no rollup)
+            lin = spark.read.option("mergeSchema", "true").parquet(lineage_path)
+            if conv_rollup:
+                # A bucket only counts as done if its lineage row proves the
+                # conversations/ output was produced too — resuming a
+                # rollup-enabled run over rollup-less lineage must reprocess
+                # those buckets, or conversations/ silently ends up partial
+                # (the writes are idempotent dynamic overwrites, so
+                # reprocessing is safe).
+                if "conv_rollup" in lin.columns:
+                    lin = lin.where(F.col("conv_rollup") == True)  # noqa: E712
+                else:
+                    lin = lin.where(F.lit(False))
+            done = {r["bucket"] for r in lin.select("bucket").distinct().collect()}
         except Exception:
             done = set()
 
@@ -311,8 +322,8 @@ def run_pipeline(
 
         elapsed = int((time.time() - t0) * 1000)
         lineage_rows = spark.createDataFrame(
-            [(run_id, b, elapsed) for b in wave],
-            "run_id string, bucket int, elapsed_ms long",
+            [(run_id, b, elapsed, conv_rollup) for b in wave],
+            "run_id string, bucket int, elapsed_ms long, conv_rollup boolean",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)

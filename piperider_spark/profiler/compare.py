@@ -120,24 +120,53 @@ def summary_markdown(changeset: dict) -> str:
     return "\n".join(lines)
 
 
+def save_decisions_table(decided, table_name: str, n_buckets: int = 16) -> None:
+    """Materialize a pipeline decisions DataFrame as a managed parquet table
+    bucketed AND sorted by the stable (conv_id, turn_idx) key — the one-time
+    shuffle that makes every later :func:`diff_decisions` between runs
+    saved this way exchange-free (both sides' bucket files hash-align, the
+    plan is a SortMergeJoin with zero Exchange — plan-pinned in tests, same
+    contract as operators/bucketing.write_bucketed). An Iceberg deployment
+    uses a ``bucket(n, conv_id)`` partition transform for the same effect."""
+    (
+        decided.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "conv_id", "turn_idx")
+        .sortBy("conv_id", "turn_idx")
+        .saveAsTable(table_name)
+    )
+
+
 def diff_decisions(base, target):
     """Turn-level decision diff between two pipeline runs — the
     compare-reports loop applied to the keep/drop output itself: which
     turns flipped, in which direction, and under which reasons.
 
-    Both inputs are decisions DataFrames/paths (conv_id, turn_idx, keep,
-    reasons, text_scrubbed). Returns one row per turn present in either
-    run with ``status`` ∈ {unchanged, now_dropped, now_kept, text_changed,
-    added, removed} (first match in that order). Full outer join on the
-    stable (conv_id, turn_idx) key — co-partitions on the same key both
-    runs were written with, so at corpus scale this is a sort-merge join
-    of two bucket-partitioned tables with no extra wide stage.
+    Both inputs are decisions DataFrames, parquet paths, or
+    ``table:<name>`` identifiers (conv_id, turn_idx, keep, reasons,
+    text_scrubbed). Returns one row per turn present in either run with
+    ``status`` ∈ {unchanged, now_dropped, now_kept, text_changed, added,
+    removed} (first match in that order).
+
+    Scale note (honest plan accounting): the pipeline's decisions/ output
+    is DIRECTORY-partitioned by bucket, which prunes scans but gives the
+    reader no hash-partitioning guarantee — a diff over two such paths is
+    a normal two-exchange sort-merge join on (conv_id, turn_idx). For the
+    recurring-diff workload, save both runs with
+    :func:`save_decisions_table` (bucketed by the key) and pass
+    ``table:<name>``: the same join then plans with ZERO Exchange
+    (plan-pinned in tests) — the operators/bucketing.py ladder applied to
+    the compare loop.
     """
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
     def load(x) -> DataFrame:
-        return x if isinstance(x, DataFrame) else _active_spark().read.parquet(x)
+        if isinstance(x, DataFrame):
+            return x
+        if isinstance(x, str) and x.startswith("table:"):
+            return _active_spark().table(x[len("table:"):])
+        return _active_spark().read.parquet(x)
 
     cols = ["conv_id", "turn_idx", "keep", "reasons", "text_scrubbed"]
     b = load(base).select(*cols)

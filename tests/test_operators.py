@@ -541,6 +541,42 @@ def test_connected_components_string_ids(spark):
     assert got == {"b": "b", "c": "b", "d": "b", "e": "b", "x": "x", "y": "x"}
 
 
+def test_ivf_trained_centroids_beat_random_recall():
+    """Sampled-k-means quantizer (VERDICT r3 'Next round' #4): recall@10
+    vs brute-force cosine at nprobe=4/16 must IMPROVE over the seeded
+    random-centroid baseline, averaged over 20 query vectors. Also pins
+    determinism: two trainings give identical literals."""
+    import pyarrow.parquet as pq
+
+    E = np.array(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet").column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    rand = similarity._ivf_centroids(E.shape[1], 16, 11)
+    trained = similarity.train_ivf_centroids(E, 16, 11)
+    trained2 = similarity.train_ivf_centroids(E, 16, 11)
+    assert np.array_equal(trained, trained2)
+
+    def recall(C: np.ndarray, nprobe: int = 4, topk: int = 10, nq: int = 20) -> float:
+        assign = (E @ C.T).argmax(axis=1)
+        norms = np.linalg.norm(E, axis=1)
+        hits = 0
+        for qi in range(nq):
+            qv = E[qi]
+            scores = C @ qv
+            probe = sorted(range(len(C)), key=lambda j: (-scores[j], -j))[:nprobe]
+            cos = (E @ qv) / (norms * norms[qi])
+            true_top = set(np.argsort(-cos)[:topk])
+            cand = np.where(np.isin(assign, probe))[0]
+            got = set(cand[np.argsort(-cos[cand])][:topk])
+            hits += len(true_top & got)
+        return hits / (nq * topk)
+
+    r_rand, r_trained = recall(rand), recall(trained)
+    assert r_trained > r_rand, f"trained {r_trained:.3f} <= random {r_rand:.3f}"
+    assert r_trained >= 0.6  # measured 0.63 vs 0.515 on this corpus
+
+
 def test_ivf_partitioned_probe_prunes_scan(spark, tmp_path):
     """The at-rest IVF layout turns the probe into a PartitionFilter and
     returns the same rows as the on-the-fly cell computation."""
@@ -585,6 +621,53 @@ def test_exact_dup_flags_skew_safe_and_null_group(spark):
     assert rows[4] == (2, True) and rows[5] == (2, False)
     plan = dedup.exact_dup_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_quantile_cumsum_has_no_global_window(spark):
+    """The exact-quantile cumsum must parallelize (VERDICT r3 'Next round'
+    #3): uniform domain buckets + per-bucket windows + broadcast offsets.
+    Every Window in the executed plan must be PARTITIONED — an empty
+    partition spec would be the old single-task global-order stage."""
+    import re
+
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = percentile_disc_multi(li, "l_extendedprice", (0.05, 0.5, 0.95))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # executed-plan Window lines read: Window [sum(...)...], [b#12], [v#3 ASC]
+    # (partition spec is the second bracket group; global windows print an
+    # empty one or omit it entirely)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert re.search(r"\],\s*\[[^\]]+\],\s*\[", line), (
+                f"unpartitioned (global) Window in quantile plan: {line.strip()}"
+            )
+    # and the result still matches percentile_disc semantics
+    vals = sorted(r[0] for r in li.select("l_extendedprice").dropna().collect())
+    import math as _m
+
+    row = out.first()
+    n = len(vals)
+    for p, a in zip((0.05, 0.5, 0.95), ("p5", "p50", "p95")):
+        assert row[a] == vals[max(0, _m.ceil(p * n) - 1)]
+
+
+def test_quantile_degenerate_and_nan_paths(spark):
+    """Fallback exactness: constant column (degenerate bounds) and a float
+    column containing NaN (NaN must land above every finite value, matching
+    sort order, without poisoning the bucket bounds)."""
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
+    const = spark.createDataFrame([(1.0,)] * 7, "x double")
+    assert percentile_disc_multi(const, "x", (0.5,)).first()["p50"] == 1.0
+    nan = float("nan")
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)] + [(nan,)], "x double")
+    row = percentile_disc_multi(df, "x", (0.5, 0.95), n_buckets=4).first()
+    assert row["p50"] == 5.0
+    import math as _m
+
+    assert _m.isnan(row["p95"])  # ceil(.95*10)=10th value = NaN (sorts last)
 
 
 def test_minhash_lsh_pairs_releases_shingle_cache(spark):
