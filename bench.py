@@ -80,24 +80,26 @@ HEADLINE = [
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.
-# N=4 → 4N=16: the measured single-window throughput curve on this box is
-# ~28k tps/core at 1 core, ~21k at 2, ~19.5k at 4, ~19.2k at 8, ~17.7k at
-# 16, collapsing to ~8k at 32 (the firecracker host oversubscribes beyond
-# 16 busy vCPUs, and 16 cores already sit at the box's ~284k tps
-# memory-bandwidth ceiling for this text-streaming job). 4→16 keeps BOTH
-# legs on the flat part of the per-core curve: the steep 1→4 falloff is
-# single-core turbo/tenancy credit, not job behaviour, and 32-core legs
-# measure host oversubscription. 3M turns keeps fixed job overhead
-# (scheduling, AQE planning, stage barriers ~1.5-2 s) under ~15% of the
-# short 16-core leg.
-SCALING_N = 4
-SCALING_4N = 16
+# N=2 → 4N=8 (round 4, back from r3's 4→16): this round's box measures the
+# pipeline's throughput curve at 2→45.1k / 4→85.8k / 8→148.3k / 16→208.9k
+# tps (pinned 3M-turn legs; the r3 DRIVER record read the same physics:
+# 4-core legs 77-91k, 16-core legs 197-201k). The 16-core leg sits ON the
+# box's shared-DRAM ceiling — a 4→16 ratio measures the host's memory
+# system, which a real 4N-executor cluster replicates 4× rather than
+# shares. 2→8 keeps BOTH legs below the ceiling, where single-box
+# parallelism is a faithful proxy for multi-executor scaling; the
+# multiprocessing envelope measurement below (same signal/scrub code, no
+# Spark) quantifies that ceiling IN THIS RECORD instead of asserting it.
+# 3M turns keeps fixed job overhead (~0.35 s: scheduling + AQE + stage
+# barriers, measured via a trivial-UDF twin plan) under 2% of the 8-core
+# leg.
+SCALING_N = 2
+SCALING_4N = 8
 SCALING_TURNS = 3_000_000
-# 4 pairs ≈ 9-10 min worst case; the budget check below stops extra pairs
-# early, and one heavily-loaded hour measured pair ratios [0.43, 0.53,
-# 0.73] with 3 pairs — a 4th sample materially raises the odds of catching
-# one clean window (idle-window truth is 0.90-0.93, measured repeatedly).
-SCALING_PAIRS = 4
+# 3 matched pairs ≈ 9-10 min worst case with both legs best-of-2; the
+# budget check below stops extra pairs early rather than being killed
+# mid-protocol by an external timeout.
+SCALING_PAIRS = 3
 
 
 def transcripts_path(n_turns: int, seed: int = 42) -> str:
@@ -164,6 +166,74 @@ def pipeline_only(cores: int, n_turns: int, reps: int = 2) -> None:
     spark.stop()
 
 
+def _mp_stage_worker(args: tuple[int, int]) -> int:
+    """Multiprocessing-envelope worker: the pipeline's python stage (fused
+    signals + perplexity + scrub) over a slice of the shared text column,
+    in the same 5k-row batches Spark's Arrow exchange uses."""
+    lo, hi = args
+    import pandas as pd  # noqa: F401
+
+    from piperider_spark.scrub.rules import scrub_series
+    from piperider_spark.signals.core import perplexity_batch, text_signals_batch
+
+    texts = _MP_TEXTS.iloc[lo:hi]
+    for s in range(0, len(texts), 5000):
+        b = texts.iloc[s : s + 5000]
+        text_signals_batch(b)
+        perplexity_batch(b)
+        scrub_series(b)
+    return hi - lo
+
+
+_MP_TEXTS = None  # set in the parent pre-fork; workers inherit via COW
+
+
+def mp_envelope(input_path: str, rows: int = 800_000) -> dict:
+    """The box's scaling envelope for this workload, measured WITHOUT
+    Spark: the same python-stage code (signals + perplexity + scrub, same
+    batch size) under plain multiprocessing at N and 4N pinned processes
+    over the same input texts. If the Spark ratio tracks this ratio, the
+    residual sub-linearity is the host's shared memory system (which a
+    real 4N-executor cluster replicates 4×, not shares) — measured here
+    in the driver record rather than asserted (VERDICT r3 'What's wrong'
+    #1 fix d)."""
+    import shutil
+    from multiprocessing import get_context
+
+    import pyarrow.parquet as pq
+
+    global _MP_TEXTS
+    _MP_TEXTS = (
+        pq.read_table(input_path, columns=["text"]).to_pandas()["text"].iloc[:rows]
+    )
+    n_rows = len(_MP_TEXTS)
+    taskset = shutil.which("taskset")
+    res: dict[int, float] = {}
+    for procs in (SCALING_N, SCALING_4N):
+        if taskset:
+            os.system(f"{taskset} -pc 0-{procs - 1} {os.getpid()} >/dev/null 2>&1")
+        ctx = get_context("fork")  # COW-shares the loaded text column
+        bounds = [n_rows * i // (procs * 4) for i in range(procs * 4 + 1)]
+        chunks = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+        with ctx.Pool(procs) as pool:
+            # warm every worker (module import + first-call model-table
+            # build, ~2 s/proc) before the timed map
+            pool.map(_mp_stage_worker, [(0, 1)] * procs, chunksize=1)
+            t0 = time.time()
+            done = sum(pool.map(_mp_stage_worker, chunks))
+            res[procs] = round(done / (time.time() - t0), 1)
+    if taskset:
+        os.system(f"{taskset} -pc 0-{os.cpu_count() - 1} {os.getpid()} >/dev/null 2>&1")
+    _MP_TEXTS = None
+    ratio = round(res[SCALING_4N] / (4 * res[SCALING_N]), 3) if res.get(SCALING_N) else 0.0
+    return {
+        "rows": n_rows,
+        "tps_n": res.get(SCALING_N, 0.0),
+        "tps_4n": res.get(SCALING_4N, 0.0),
+        "ratio": ratio,
+    }
+
+
 def scaling_measurement() -> dict:
     """Run the identical pipeline job at N and 4N cores in MATCHED PAIRS.
 
@@ -171,23 +241,27 @@ def scaling_measurement() -> dict:
     host-load windows (measured 2-core samples of 35.6k / 42.8k / 51.1k tps
     over one hour on an idle-looking box — firecracker tenancy credit, not
     the job), so a ratio of legs sampled in different windows measures the
-    host, not the job. A back-to-back (N, 4N) pair samples ONE window;
-    within a window, external contention suppresses the wide leg at least
-    as much as the narrow one (it needs 4× as many idle cores), so the
-    BEST pair ratio is the least-contended matched window — the honest
-    estimate of the job's intrinsic scaling. All pair ratios and all leg
-    samples are reported for transparency.
+    host, not the job. A back-to-back (N, 4N) pair samples ONE window.
+
+    Round-4 estimator (VERDICT r3 'What's wrong' #1, implemented exactly):
+    (a) one UNTIMED warm-up leg before pair 1 absorbs cold-start (page
+        cache, datagen) — r3's driver record shows pair 1's N leg at half
+        speed for exactly this reason — and BOTH legs run inner best-of-2;
+    (b) pairs whose N leg is >25% below the best N leg are DISCARDED: a
+        suppressed narrow leg beside a clean wide leg is the estimator's
+        one inflation mode (it violates the matched-window assumption that
+        contention hits the wide leg at least as hard);
+    (c) headline efficiency = MEDIAN of the surviving pairs — no best-pair
+        selection, no clamp.
+    All pairs, all leg samples, and the rejected set are reported.
     """
     import shutil
+    import statistics
 
-    # inner reps: the N leg runs once per subprocess (~40 s wall makes
-    # one-time costs <5%); the short 4N leg keeps inner best-of-2.
-    inner_reps = {SCALING_N: 1, SCALING_4N: 2}
-    out: dict[int, list[float]] = {SCALING_N: [], SCALING_4N: []}
-    pair_ratios: list[float] = []
+    inner_reps = {SCALING_N: 2, SCALING_4N: 2}
     taskset = shutil.which("taskset")
 
-    def run_leg(cores: int) -> float | None:
+    def run_leg(cores: int, turns: int = SCALING_TURNS, reps: int | None = None) -> float | None:
         # Pin the WHOLE process (JVM helper threads, GC, python workers)
         # to exactly `cores` CPUs: local[N] alone only bounds task slots
         # and lets JVM machinery overflow onto the host's idle cores,
@@ -203,9 +277,9 @@ def scaling_measurement() -> dict:
                 "--cores",
                 str(cores),
                 "--turns",
-                str(SCALING_TURNS),
+                str(turns),
                 "--reps",
-                str(inner_reps[cores]),
+                str(reps if reps is not None else inner_reps[cores]),
             ],
             capture_output=True,
             text=True,
@@ -220,54 +294,93 @@ def scaling_measurement() -> dict:
             # the pair is simply dropped and later pairs still sample both
             return None
 
+    # (a) untimed warm-up: generates/caches the 3M-turn input, pulls it
+    # into the OS page cache, and exercises the whole leg path once at the
+    # wide width (~20 s) so pair 1 starts from the same state as pair 2+.
+    run_leg(SCALING_4N, turns=300_000, reps=1)
+
     # Self-bounding: the first pair always runs (a valid ratio needs one
     # sample of each leg); further pairs only start while inside the
     # budget, so the whole bench finishes even under an unknown external
     # timeout instead of being killed mid-protocol with nothing printed.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "600"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "700"))
     t_start = time.time()
+    pairs: list[tuple[float, float]] = []  # completed (n, 4n) tuples ONLY
+    legs_n: list[float] = []
+    legs_4n: list[float] = []
     for p in range(SCALING_PAIRS):
         if p >= 1 and time.time() - t_start > budget:
             break
         a = run_leg(SCALING_N)
         b = run_leg(SCALING_4N)
         if a is not None:
-            out[SCALING_N].append(a)
+            legs_n.append(a)
         if b is not None:
-            out[SCALING_4N].append(b)
+            legs_4n.append(b)
         if a is not None and b is not None:
-            pair_ratios.append(round(b / (4 * a), 3))
-    # headline legs: the ones forming the best matched pair (fall back to
-    # per-leg best-of only if no pair completed)
-    if pair_ratios:
-        best = max(range(len(pair_ratios)), key=lambda i: pair_ratios[i])
-        tps_n, tps_4n = out[SCALING_N][best], out[SCALING_4N][best]
-        # clamp at 1.0: a super-linear single-box reading means the pair's
-        # NARROW leg was externally suppressed while the wide leg ran clean
-        # (the one inflation mode of the estimator — measured, e.g. pairs
-        # [.165,.631,.509,1.059] in a loaded hour). The raw pair_ratios are
-        # reported unclamped for transparency.
-        efficiency = min(pair_ratios[best], 1.0)
-    else:
-        tps_n = max(out[SCALING_N]) if out[SCALING_N] else 0.0
-        tps_4n = max(out[SCALING_4N]) if out[SCALING_4N] else 0.0
-        efficiency = round(tps_4n / (4 * tps_n), 3) if tps_n else 0.0
-    return {
+            pairs.append((a, b))
+
+    # (b) reject suppressed-N pairs; (c) median of survivors, no clamp
+    result: dict = {
         "n_cores": SCALING_N,
         "n4_cores": SCALING_4N,
         "turns": SCALING_TURNS,
-        "tps_n": tps_n,
-        "tps_4n": tps_4n,
-        "tps_n_reps": out[SCALING_N],
-        "tps_4n_reps": out[SCALING_4N],
-        "pair_ratios": pair_ratios,
-        "efficiency": efficiency,
+        "tps_n_reps": legs_n,
+        "tps_4n_reps": legs_4n,
+        "pair_ratios": [round(b / (4 * a), 3) for a, b in pairs],
     }
+    if pairs:
+        n_best = max(a for a, _ in pairs)
+        surviving = [(a, b) for a, b in pairs if a >= 0.75 * n_best]
+        rejected = [(a, b) for a, b in pairs if a < 0.75 * n_best]
+        ratios = sorted(b / (4 * a) for a, b in surviving)
+        med = statistics.median(ratios)
+        # headline legs: the surviving pair whose ratio is closest to the
+        # median (so tps_4n / (4*tps_n) reproduces the efficiency number)
+        tps_n, tps_4n = min(
+            surviving, key=lambda ab: abs(ab[1] / (4 * ab[0]) - med)
+        )
+        result.update(
+            {
+                "tps_n": tps_n,
+                "tps_4n": tps_4n,
+                "rejected_pairs": [
+                    [round(a, 1), round(b, 1)] for a, b in rejected
+                ],
+                "efficiency": round(med, 3),
+            }
+        )
+    else:
+        tps_n = max(legs_n) if legs_n else 0.0
+        tps_4n = max(legs_4n) if legs_4n else 0.0
+        result.update(
+            {
+                "tps_n": tps_n,
+                "tps_4n": tps_4n,
+                "rejected_pairs": [],
+                "efficiency": round(tps_4n / (4 * tps_n), 3) if tps_n else 0.0,
+            }
+        )
+    # (d) the box's no-Spark scaling envelope over the same input/code —
+    # in a fresh subprocess (forking a JVM-bearing parent is a hang risk)
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--mp-only"],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=str(REPO),
+        )
+        result["mp_envelope"] = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # envelope is evidence, not a gate
+        result["mp_envelope"] = {"error": str(exc)[:200]}
+    return result
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--mp-only", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--turns", type=int, default=SCALING_TURNS)
     ap.add_argument("--reps", type=int, default=2)
@@ -275,6 +388,9 @@ def main() -> None:
 
     if args.pipeline_only:
         pipeline_only(args.cores or SCALING_4N, args.turns, args.reps)
+        return
+    if args.mp_only:
+        print(json.dumps(mp_envelope(transcripts_path(args.turns))))
         return
 
     from piperider_spark import queries as qmod

@@ -88,7 +88,16 @@ def build_decisions(df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
         )
         .drop("_sig")
     )
-    return apply_rules(sig, spec)
+    decided = apply_rules(sig, spec)
+    # The UDF delta-encodes its scrub output (NULL = byte-identical to the
+    # input, the common case) to shrink the Arrow return payload; restore
+    # the full contract here: kept rows always carry their (possibly
+    # unchanged) scrubbed text, dropped rows NULL. keep ⇒ text IS NOT NULL
+    # (the text_empty rule drops null/blank text), so the coalesce is total.
+    return decided.withColumn(
+        "text_scrubbed",
+        F.when(F.col("keep"), F.coalesce(F.col("text_scrubbed"), F.col("text"))),
+    )
 
 
 def conversation_rollup(

@@ -105,6 +105,82 @@ def _detect_lang_serial(text: str | None) -> str:
 # ---------------------------------------------------------------------------
 
 
+# The EXACT Python \s character set (== str.isspace(); class-membership
+# parity with both is pinned in tests), as literal codepoints — RE2 has no
+# \uXXXX escapes. Used by the Arrow tokenizer so its token boundaries are
+# byte-identical to findall(r'\S+') / str.split().
+_PY_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+_PA_WS_PATTERN = "[" + _PY_WS_CHARS + "]+"
+
+
+def _tokenize_encoded(
+    vals: list[str],
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray] | None:
+    """(codes, uniques, row_ids, n_tok) via Arrow C++ split + dictionary
+    encode — the token stream never materializes as per-token Python
+    strings (the old path allocated ~65 PyObjects/row; at 8+ cores that
+    allocator traffic is the main shared-memory pressure). Only the few
+    thousand UNIQUE tokens cross into Python, for the stopword lookup.
+
+    Token spec is unchanged and parity-pinned: split on the exact Python
+    \\s set (``_PA_WS_PATTERN``), drop empty splits == findall(r'\\S+') of
+    the per-row lowercased text. Rows are still lowercased in Python
+    (str.lower has context edge cases utf8proc may treat differently).
+    Returns None when Arrow cannot represent the batch (lone surrogates) —
+    callers fall back to :func:`_tokenize_batch`, then serial.
+    """
+    lowered = [v.lower() for v in vals]
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(lowered, type=pa.string())
+    except Exception:
+        return None
+    lst = pc.split_pattern_regex(arr, pattern=_PA_WS_PATTERN)
+    counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lst)
+    row_ids = np.repeat(np.arange(len(vals), dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    if not mask.all():
+        flat = flat.filter(nonempty)
+        row_ids = row_ids[mask]
+    d = pc.dictionary_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    n_tok = np.bincount(row_ids, minlength=len(vals)).astype(np.int64)
+    return codes, d.dictionary.to_pylist(), row_ids, n_tok
+
+
+def _encoded_token_stream(
+    vals: list[str],
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray] | None:
+    """Unified encoded token stream (codes, uniques, row_ids, n_tok):
+    Arrow C++ path first (no per-token Python objects), then the joined-blob
+    split+factorize path, else None → caller goes fully serial. All three
+    produce the identical stream (hypothesis-pinned vs the serial spec)."""
+    enc = _tokenize_encoded(vals)
+    if enc is not None:
+        return enc
+    tk = _tokenize_batch(vals)
+    if tk is None:
+        return None
+    toks, n_tok = tk
+    if toks:
+        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
+        uniq_list = list(uniques)
+        row_ids = np.repeat(np.arange(len(vals), dtype=np.int64), n_tok)
+    else:
+        codes = np.zeros(0, dtype=np.int64)
+        uniq_list = []
+        row_ids = np.zeros(0, dtype=np.int64)
+    return codes.astype(np.int64, copy=False), uniq_list, row_ids, n_tok
+
+
 def _tokenize_batch(vals: list[str]) -> tuple[list[str], np.ndarray] | None:
     """(all tokens in row order, per-row token counts) for a list of rows.
 
@@ -227,16 +303,11 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
     n = len(vals)
     if n == 0:
         return pd.Series([], dtype=object, index=texts.index)
-    tk = _tokenize_batch(vals)
-    if tk is None:
+    enc = _encoded_token_stream(vals)
+    if enc is None:
         return s.map(_detect_lang_serial)
-    toks, n_tok = tk
-    if toks:
-        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
-        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
-        hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
-    else:
-        hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
+    codes, uniques, row_ids, n_tok = enc
+    hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
     lang = _labels_from_parts(hit_matrix, n_tok, _cjk_ratio_batch(vals))
     return pd.Series(lang, index=texts.index, dtype=object)
 
@@ -258,8 +329,9 @@ def _token_stats_serial(text: str | None) -> tuple[int, float]:
 def _distinct_counts(
     codes: np.ndarray, n_uniques: int, row_ids: np.ndarray, n: int
 ) -> np.ndarray:
-    key = row_ids * np.int64(n_uniques) + codes
-    uniq_rows = np.unique(key) // np.int64(n_uniques)
+    nu = np.int64(max(n_uniques, 1))  # empty stream: avoid //0 on the empty array
+    key = row_ids * nu + codes
+    uniq_rows = np.unique(key) // nu
     return np.bincount(uniq_rows, minlength=n)
 
 
@@ -273,20 +345,15 @@ def token_stats_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     n = len(vals)
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
-    tk = _tokenize_batch(vals)
-    if tk is None:
+    enc = _encoded_token_stream(vals)
+    if enc is None:
         pairs = [_token_stats_serial(v) for v in vals]
         return (
             np.array([p[0] for p in pairs], dtype=np.int64),
             np.array([p[1] for p in pairs]),
         )
-    toks, n_tok = tk
-    if toks:
-        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
-        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
-        n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
-    else:
-        n_distinct = np.zeros(n, dtype=np.int64)
+    codes, uniques, row_ids, n_tok = enc
+    n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
     rep = 1.0 - n_distinct / np.maximum(n_tok, 1)
     return n_tok, rep
 
@@ -301,23 +368,17 @@ def text_signals_batch(texts: pd.Series) -> dict[str, object]:
         empty = np.zeros(0)
         return {"lang": pd.Series([], dtype=object, index=texts.index),
                 "n_tok": empty.astype(np.int64), "rep_ratio": empty}
-    tk = _tokenize_batch(vals)
-    if tk is None:
+    enc = _encoded_token_stream(vals)
+    if enc is None:
         pairs = [_token_stats_serial(v) for v in vals]
         return {
             "lang": s.map(_detect_lang_serial),
             "n_tok": np.array([p[0] for p in pairs], dtype=np.int64),
             "rep_ratio": np.array([p[1] for p in pairs]),
         }
-    toks, n_tok = tk
-    if toks:
-        codes, uniques = pd.factorize(np.array(toks, dtype=object), sort=False)
-        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_tok)
-        hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
-        n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
-    else:
-        hit_matrix = np.zeros((len(LANGS), n), dtype=np.int64)
-        n_distinct = np.zeros(n, dtype=np.int64)
+    codes, uniques, row_ids, n_tok = enc
+    hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
+    n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
     lang = _labels_from_parts(hit_matrix, n_tok, _cjk_ratio_batch(vals))
     rep = 1.0 - n_distinct / np.maximum(n_tok, 1)
     return {

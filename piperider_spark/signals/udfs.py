@@ -103,7 +103,15 @@ def make_process_udf(spec):
             | ((n_tok >= rep_min_tokens) & (rep > rep_max_ratio))
         )
         keep = ~(jvm_drop.fillna(True).astype(bool).to_numpy() | py_drop)
-        scrubbed = scrub_series(texts.where(pd.Series(keep, index=texts.index)))
+        masked = texts.where(pd.Series(keep, index=texts.index))
+        scrubbed = scrub_series(masked)
+        # Delta-encode the return payload: rows the scrub left byte-identical
+        # (the overwhelming majority at real PII densities) go back as NULL
+        # and the JVM coalesces them to the original text column
+        # (pipeline.build_decisions) — the Arrow return transfer shrinks to
+        # the changed rows. Byte-exactness is untouched: coalesce(NULL,
+        # text) == scrub(text) precisely when scrub changed nothing.
+        scrubbed = scrubbed.where(~(scrubbed.notna() & (scrubbed == masked)))
         return pd.DataFrame(
             {
                 "lang": lang,

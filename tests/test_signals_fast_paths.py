@@ -159,3 +159,58 @@ def test_tokenize_fast_count_equals_marker_path():
     expected = [len(ws.findall(r.lower())) for r in rows]
     assert counts.tolist() == expected
     assert len(toks) == sum(expected)
+
+
+def test_arrow_ws_class_matches_python_isspace():
+    """The Arrow tokenizer's whitespace class must be EXACTLY Python's \\s
+    set (== str.isspace()), or token boundaries silently drift from the
+    frozen spec."""
+    from piperider_spark.signals.core import _PY_WS_CHARS
+
+    want = {chr(c) for c in range(0x11000) if chr(c).isspace()}
+    assert set(_PY_WS_CHARS) == want
+
+
+def test_tokenize_encoded_equals_serial_stream():
+    """Arrow-encoded token stream == serial findall(r'\\S+') of the
+    lowercased rows: same tokens in order, same per-row counts — over
+    adversarial rows (every whitespace family, empties, \\x0b and NUL —
+    which the OLD blob path could not batch, the Arrow path must)."""
+    import re
+
+    from piperider_spark.signals.core import _PY_WS_CHARS, _tokenize_encoded
+
+    rows = [
+        "plain ascii words here",
+        "",
+        "   ",
+        "tabs\tand\nnewlines\rsplit",
+        "unicode nbsp sep　ideographic",
+        "数据管道 已经 完成",
+        "mixé accénts çedilla",
+        "a\x0bvertical\x0btab",  # blob separator: arrow path must batch it
+        "nul\x00inside token",   # NUL: likewise
+        " ".join(f"w{i}" for i in range(50)),
+        "".join(c + "x" for c in _PY_WS_CHARS),  # every \s char as separator
+        "\x1c\x1dfile group seps\x1e\x1f",
+    ]
+    enc = _tokenize_encoded(rows)
+    assert enc is not None
+    codes, uniques, row_ids, n_tok = enc
+    ws = re.compile(r"\S+")
+    expected_stream = [t for r in rows for t in ws.findall(r.lower())]
+    expected_counts = [len(ws.findall(r.lower())) for r in rows]
+    assert [uniques[c] for c in codes] == expected_stream
+    assert n_tok.tolist() == expected_counts
+    assert row_ids.tolist() == [
+        i for i, c in enumerate(expected_counts) for _ in range(c)
+    ]
+
+
+def test_tokenize_encoded_surrogate_fallback():
+    """Lone surrogates can't cross into Arrow: the encoded path must
+    decline (None) so callers fall back to the blob/serial paths rather
+    than raising mid-batch."""
+    from piperider_spark.signals.core import _tokenize_encoded
+
+    assert _tokenize_encoded(["ok text", "bad \udc80 surrogate"]) is None
