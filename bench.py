@@ -418,7 +418,15 @@ def main() -> None:
     from piperider_spark.profiler.core import profile_table
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    profile_table(li.limit(5000), "warm")
+    # Warm with a same-schema mini PARQUET TABLE, not li.limit(): a
+    # GlobalLimit plan generates different codegen units, so the limit()
+    # warm-up left ~2 s of first-execution JIT inside the timed run
+    # (measured 6.2 s first vs 4.2 s second full run). A real deployment
+    # profiles many tables per session — steady-state is the honest number.
+    warm_path = str(REPO / ".bench_cache" / "profiler_warm.parquet")
+    if not os.path.exists(warm_path):
+        li.limit(5000).write.mode("overwrite").parquet(warm_path)
+    profile_table(spark.read.parquet(warm_path), "warm")
     t0 = time.time()
     profile_table(li, "lineitem")
     timings["profiler_lineitem_full"] = round(time.time() - t0, 3)

@@ -56,17 +56,26 @@ def percentile_disc_multi(
         .groupBy(F.col(col).alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # The distinct-value set is consumed by THREE actions below (domain
+    # bounds, bucket totals, final quantile agg) — materialize the one
+    # value-counts shuffle eagerly (the dedup.py localCheckpoint idiom;
+    # blocks are executor-resident and ContextCleaner-managed) instead of
+    # re-executing it per action.
+    vc = vc.localCheckpoint(eager=True)
 
-    # Domain bounds: one pushed-aggregate scan of the base column (cheap,
-    # fully codegen; the profiler's two-phase min/max does the same).
-    # Min/max ignore NaN only via the isnan guard — NaN must land in the
-    # top bucket, not poison the bounds.
-    c = F.col(col)
+    # Domain bounds from the (much smaller) distinct set. Min/max ignore
+    # NaN via the isnan guard — NaN must land in the top bucket, not
+    # poison the bounds. Bounds only need to be FINITE and ordered for the
+    # bucket function to stay order-monotone (out-of-range values clamp to
+    # the edge buckets), so deriving them from the checkpointed vc is
+    # exact by construction.
     dtype = dict(df.dtypes).get(col, "")
     is_float = dtype in ("float", "double")
-    finite = c.isNotNull() & (~F.isnan(c) if is_float else F.lit(True))
-    row = df.agg(
-        F.min(F.when(finite, c)).alias("mn"), F.max(F.when(finite, c)).alias("mx")
+    vcol = F.col("v")
+    finite = ~F.isnan(vcol) if is_float else F.lit(True)
+    row = vc.agg(
+        F.min(F.when(finite, vcol)).alias("mn"),
+        F.max(F.when(finite, vcol)).alias("mx"),
     ).first()
     mn, mx = row["mn"], row["mx"]
 

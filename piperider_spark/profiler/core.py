@@ -655,6 +655,10 @@ class Profiler:
         # already-multi-partition inputs the repartition's full-table
         # shuffle (paid once per job, shuffles aren't shared across
         # actions) measured as a wash against the extra map parallelism.
+        # (r4 alternatives measured and rejected: finer scan split cannot
+        # help — a parquet row group is the atomic split unit, 9.5 s vs
+        # 6.5 s; eager localCheckpoint of the repartition was a wash at
+        # steady state and slower on the first run.)
         from piperider_spark.session import plan_width
 
         target = df.sparkSession.sparkContext.defaultParallelism

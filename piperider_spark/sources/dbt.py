@@ -88,6 +88,7 @@ def dbt_state_candidates(
     tag: str | None = None,
     resources: set[str] | None = None,
     include_views: bool = False,
+    select_for_metadata: bool = False,
 ) -> list[DbtSubject]:
     """Select profile subjects from a manifest, mirroring the reference's
     filter ladder (dbtutil.py:171-227): an explicit resource list (unique_id
@@ -95,10 +96,18 @@ def dbt_state_candidates(
     whitelist (seed/table/incremental, + view when ``include_views``).
     Nodes are restricted to model/seed; every manifest ``source`` entry goes
     through the same chooser.
+
+    ``select_for_metadata`` switches to the reference's metadata chooser
+    (dbtutil.py:206-210): EVERYTHING except ephemeral materializations —
+    the metadata pass (row counts, freshness) covers views and sources the
+    profiling pass skips, and ephemeral models have no physical relation to
+    inspect.
     """
     material_ok = _MATERIAL_WHITELIST + (("view",) if include_views else ())
 
     def chosen(node: dict) -> bool:
+        if select_for_metadata:
+            return ((node.get("config") or {}).get("materialized")) != "ephemeral"
         if resources is not None:
             fqn = ".".join(node.get("fqn") or [])
             return node.get("unique_id") in resources or fqn in resources

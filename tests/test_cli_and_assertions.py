@@ -278,6 +278,14 @@ def test_dbt_candidate_selection(tmp_path):
         for s in dbt_state_candidates(m, resources={"proj.marts.orders_clean"})
     }
     assert picked == {"orders_clean"}
+    # metadata chooser (reference dbtutil.py:206-210): everything except
+    # ephemeral — views and sources included, the profiling whitelist
+    # ignored
+    meta = {s.name for s in dbt_state_candidates(m, select_for_metadata=True)}
+    assert "orders_view" in meta and "events_raw" in meta
+    assert not any("ephemeral" in n or n == "orders_stg" for n in meta)
+    names_all = {s.name for s in dbt_state_candidates(m, select_for_metadata=True)}
+    assert "orders_clean" in names_all and "country_codes" in names_all
 
 
 def test_dbt_test_results_shape(tmp_path):
