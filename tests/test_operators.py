@@ -653,6 +653,38 @@ def test_quantile_cumsum_has_no_global_window(spark):
         assert row[a] == vals[max(0, _m.ceil(p * n) - 1)]
 
 
+def test_quantile_skewed_domain_still_exact(spark):
+    """Uniform domain bins are order-monotone regardless of the data
+    distribution — a pathological skew (99% of mass inside 0.1% of the
+    range, one far outlier stretching the domain) must not change results,
+    only bucket balance."""
+    import math as _m
+
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
+    vals = [float(i) / 1000.0 for i in range(999)] + [1.0e9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = percentile_disc_multi(df, "x", (0.05, 0.5, 0.95), n_buckets=16).first()
+    svals = sorted(vals)
+    n = len(svals)
+    for p, a in zip((0.05, 0.5, 0.95), ("p5", "p50", "p95")):
+        assert row[a] == svals[max(0, _m.ceil(p * n) - 1)], (p, row[a])
+
+
+def test_quantile_all_nan_column(spark):
+    """A column that is entirely NaN has no finite bounds — the degenerate
+    fallback must still produce percentile_disc semantics (NaN), not
+    crash."""
+    import math as _m
+
+    nan = float("nan")
+    df = spark.createDataFrame([(nan,)] * 5, "x double")
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
+    row = percentile_disc_multi(df, "x", (0.5,)).first()
+    assert _m.isnan(row["p50"])
+
+
 def test_quantile_degenerate_and_nan_paths(spark):
     """Fallback exactness: constant column (degenerate bounds) and a float
     column containing NaN (NaN must land above every finite value, matching
