@@ -209,6 +209,12 @@ def mp_envelope(input_path: str, rows: int = 800_000) -> dict:
     n_rows = len(_MP_TEXTS)
     taskset = shutil.which("taskset")
     res: dict[int, float] = {}
+    # An ENVELOPE is a capacity estimate (what the box's memory system
+    # allows this code at each width), so per-leg best-of-2 is the right
+    # estimator here — unlike the Spark measurement, where matched pairs
+    # estimate a ratio and best-of selection was the rejected inflation
+    # mode. A neighbor burst under one leg would otherwise misstate the
+    # bound in either direction.
     for procs in (SCALING_N, SCALING_4N):
         if taskset:
             os.system(f"{taskset} -pc 0-{procs - 1} {os.getpid()} >/dev/null 2>&1")
@@ -219,9 +225,12 @@ def mp_envelope(input_path: str, rows: int = 800_000) -> dict:
             # warm every worker (module import + first-call model-table
             # build, ~2 s/proc) before the timed map
             pool.map(_mp_stage_worker, [(0, 1)] * procs, chunksize=1)
-            t0 = time.time()
-            done = sum(pool.map(_mp_stage_worker, chunks))
-            res[procs] = round(done / (time.time() - t0), 1)
+            best = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                done = sum(pool.map(_mp_stage_worker, chunks))
+                best = max(best, round(done / (time.time() - t0), 1))
+            res[procs] = best
     if taskset:
         os.system(f"{taskset} -pc 0-{os.cpu_count() - 1} {os.getpid()} >/dev/null 2>&1")
     _MP_TEXTS = None
