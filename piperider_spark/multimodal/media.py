@@ -85,12 +85,71 @@ def _decode_fake_image(payload: bytes) -> np.ndarray:
 
 def _decode_real_image(payload: bytes) -> np.ndarray:  # pragma: no cover
     raise NotImplementedError(
-        "real image decoding requires PIL/cv2 (not in this container); "
-        "use codec='fake' or register a codec"
+        "JPEG/PNG decoding requires PIL/cv2 (not in this container); "
+        "use codec='bmp' (real, stdlib), codec='fake', or register a codec"
     )
 
 
-_CODECS = {"fake": _decode_fake_image, "image": _decode_real_image}
+# ---- REAL codec: BMP (24/32-bit uncompressed) — pure numpy, no external
+# libs, so the media pipeline has a genuinely end-to-end decodable format
+# in this container alongside the JPEG/PNG seams.
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a bottom-up 24-bit BMP
+    (rows padded to 4 bytes — the standard layout)."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = body.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + dib + pixel_data
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to (h, w, 3) uint8 RGB.
+    Handles bottom-up and top-down (negative height) layouts and 4-byte
+    row padding; rejects compressed/paletted variants explicitly."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_raw)
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=data_offset)
+    rows = raw.reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
+    if h_raw > 0:  # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, 2::-1].copy()  # BGR(A)→RGB
+
+
+def _decode_image_auto(payload: bytes) -> np.ndarray:
+    """Magic-sniffing dispatch: BMP and the fake codec decode for real;
+    JPEG/PNG fall through to the documented NotImplementedError seam."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == _FAKE_MAGIC:
+        return _decode_fake_image(payload)
+    return _decode_real_image(payload)
+
+
+_CODECS = {
+    "fake": _decode_fake_image,
+    "bmp": _decode_bmp,
+    "auto": _decode_image_auto,
+    "image": _decode_real_image,
+}
 
 _FEATURE_TYPE = StructType(
     [
@@ -150,9 +209,15 @@ _RESIZE_TYPE = StructType(
 )
 
 
-def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> DataFrame:
-    """Nearest-neighbour resize, payload→payload (fake-codec format)."""
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, codec: str = "fake", out_codec: str | None = None
+) -> DataFrame:
+    """Nearest-neighbour resize, payload→payload. ``out_codec`` defaults to
+    the input codec family: 'bmp' inputs re-encode as real BMPs (so resized
+    payloads stay readable by any image tool), everything else emits the
+    fake-codec format."""
     decode = _CODECS[codec]
+    out_codec = out_codec or ("bmp" if codec == "bmp" else "fake")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,10 +227,13 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") ->
                 h, w, _ = img.shape
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                small = img[np.ix_(yi, xi)]
-                payload_out = (
-                    _FAKE_MAGIC + struct.pack("<II", out_w, out_h) + small.tobytes()
-                )
+                small = np.ascontiguousarray(img[np.ix_(yi, xi)])
+                if out_codec == "bmp":
+                    payload_out = encode_bmp(small)
+                else:
+                    payload_out = (
+                        _FAKE_MAGIC + struct.pack("<II", out_w, out_h) + small.tobytes()
+                    )
                 rows.append((int(mid), payload_out, out_w, out_h))
             yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_TYPE.fields])
 
@@ -194,12 +262,62 @@ def _decode_fake_audio(payload: bytes) -> tuple[int, np.ndarray]:
 
 def _decode_real_audio(payload: bytes):  # pragma: no cover
     raise NotImplementedError(
-        "real audio decoding requires librosa/soundfile (not in this "
-        "container); use codec='fake' or register a codec"
+        "mp3/flac decoding requires librosa/soundfile (not in this "
+        "container); use codec='wav' (real, stdlib), codec='fake', or "
+        "register a codec"
     )
 
 
-_AUDIO_CODECS = {"fake": _decode_fake_audio, "audio": _decode_real_audio}
+# ---- REAL codec: WAV (PCM 16-bit) via the stdlib wave module — the
+# audio twin of the BMP codec: a genuinely decodable container format.
+
+
+def encode_wav(sample_rate: int, pcm: np.ndarray) -> bytes:
+    """Encode mono int16 PCM as a WAV payload (stdlib wave module)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(pcm, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM-16 WAV payload to (rate, mono int16 samples) — stereo
+    inputs are mono-ized by channel mean (the standard feature-extraction
+    convention)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"only PCM-16 WAV supported (width={wf.getsampwidth()})")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype=np.int16)
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return rate, pcm
+
+
+def _decode_audio_auto(payload: bytes) -> tuple[int, np.ndarray]:
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    if payload[:4] == _FAKE_AUDIO_MAGIC:
+        return _decode_fake_audio(payload)
+    return _decode_real_audio(payload)
+
+
+_AUDIO_CODECS = {
+    "fake": _decode_fake_audio,
+    "wav": _decode_wav,
+    "auto": _decode_audio_auto,
+    "audio": _decode_real_audio,
+}
 
 _AUDIO_FEATURE_TYPE = StructType(
     [
