@@ -444,7 +444,8 @@ def scaling_measurement() -> dict:
             [sys.executable, str(REPO / "bench.py"), "--mp-only"],
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=240,  # envelope measured ~90-150 s; it is evidence,
+            # not a gate — a loaded window records the error field instead
             cwd=str(REPO),
         )
         result["mp_envelope"] = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -528,7 +529,11 @@ def main() -> None:
         "pipeline": pipeline,
     }
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        result["scaling"] = scaling_measurement()
+        try:
+            result["scaling"] = scaling_measurement()
+        except Exception as exc:  # a broken scaling phase must not lose the
+            # headline/pipeline record — the driver parses the LAST line
+            result["scaling"] = {"error": str(exc)[:300]}
     print(json.dumps(result))
 
 
