@@ -133,18 +133,32 @@ def _tokenize_encoded(
     Returns None when Arrow cannot represent the batch (lone surrogates) —
     callers fall back to :func:`_tokenize_batch`, then serial.
     """
-    lowered = [v.lower() for v in vals]
+    arr = _lowered_arrow([v.lower() for v in vals])
+    if arr is None:
+        return None
+    return _tokenize_encoded_from_arrow(arr, len(vals))
+
+
+def _lowered_arrow(lowered: list[str]):
+    """Arrow string array of pre-lowered rows, or None when Arrow cannot
+    represent the batch (lone surrogates)."""
     try:
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        arr = pa.array(lowered, type=pa.string())
+        return pa.array(lowered, type=pa.string())
     except Exception:
         return None
+
+
+def _tokenize_encoded_from_arrow(
+    arr, n: int
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray]:
+    import pyarrow.compute as pc
+
     lst = pc.split_pattern_regex(arr, pattern=_PA_WS_PATTERN)
     counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(lst)
-    row_ids = np.repeat(np.arange(len(vals), dtype=np.int64), counts)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
     nonempty = pc.not_equal(flat, "")
     mask = nonempty.to_numpy(zero_copy_only=False)
     if not mask.all():
@@ -152,7 +166,7 @@ def _tokenize_encoded(
         row_ids = row_ids[mask]
     d = pc.dictionary_encode(flat)
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    n_tok = np.bincount(row_ids, minlength=len(vals)).astype(np.int64)
+    n_tok = np.bincount(row_ids, minlength=n).astype(np.int64)
     return codes, d.dictionary.to_pylist(), row_ids, n_tok
 
 
@@ -519,8 +533,14 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     # 30M-element intermediates ~8× smaller (large-allocation gathers are
     # pathologically slow on this host)
     idx, lengths = _ppl_clean_bytes(vals_p)
+    return _ppl_score(idx, lengths, n, texts.index)
+
+
+def _ppl_score(idx: np.ndarray, lengths: np.ndarray, n: int, index) -> pd.Series:
+    """Score cleaned (idx, per-row lengths) — shared by the joined-blob and
+    Arrow-buffer cleaners (identical math, parity-pinned)."""
     if not len(idx):
-        return pd.Series(np.ones(n), index=texts.index)
+        return pd.Series(np.ones(n), index=index)
 
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:]) if n > 1 else None
@@ -542,4 +562,67 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     nbig = np.maximum(lengths - 1, 0)
     rowsum = np.where(nbig > 0, rowsum, 0.0)
     ppl = np.where(nbig > 0, np.exp(-rowsum / np.maximum(nbig, 1)), 1.0)
-    return pd.Series(ppl, index=texts.index)
+    return pd.Series(ppl, index=index)
+
+
+def _ppl_clean_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-buffer twin of :func:`_ppl_clean_bytes`: consumes the lowered
+    string array's UTF-8 buffer directly (offsets are the row bounds — no
+    join, no second lower, no re-encode). Semantics identical and
+    parity-pinned: kept bytes = letters + one head byte per non-letter run,
+    runs never span rows; content NULs are non-letter bytes and merge into
+    runs exactly like the blob path's NUL→space premapping."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1)
+    total = int(offs[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.int16), np.zeros(len(arr), dtype=np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=total)
+    letter = (data >= 97) & (data <= 122)
+    other = ~letter
+    prev_other = np.empty(total, dtype=bool)
+    prev_other[0] = False
+    prev_other[1:] = other[:-1]
+    row_starts = offs[:-1]
+    prev_other[row_starts[row_starts < total]] = False  # runs break at rows
+    keep = letter | (other & ~prev_other)
+    kept = data[keep]
+    # per-row kept counts via one cumsum indexed at the row offsets (no
+    # per-kept-byte searchsorted — that cost more than the join it saved)
+    c = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(keep, out=c[1:])
+    lengths = (c[offs[1:]] - c[offs[:-1]]).astype(np.int64)
+    idx = kept.astype(np.int16)
+    idx -= ord("a")
+    idx[(idx < 0) | (idx > 25)] = 26
+    return idx, lengths
+
+
+def text_signals_and_ppl_batch(texts: pd.Series) -> dict[str, object]:
+    """The fully fused python stage: lang + n_tok + rep_ratio + ppl from
+    ONE per-row lower() and ONE Arrow array — the tokenizer splits it, the
+    ppl cleaner reads its UTF-8 buffer in place (no blob join / re-lower /
+    re-encode). Falls back to the separate batch paths when Arrow declines
+    the batch (lone surrogates)."""
+    s = texts.fillna("")
+    vals = s.tolist()
+    n = len(vals)
+    if n == 0:
+        out = text_signals_batch(texts)
+        out["ppl"] = perplexity_batch(texts)
+        return out
+    arr = _lowered_arrow([v.lower() for v in vals])
+    if arr is None:
+        out = text_signals_batch(texts)
+        out["ppl"] = perplexity_batch(texts)
+        return out
+    codes, uniques, row_ids, n_tok = _tokenize_encoded_from_arrow(arr, n)
+    hit_matrix = _lang_hit_matrix(codes, uniques, row_ids, n)
+    n_distinct = _distinct_counts(codes, len(uniques), row_ids, n)
+    lang = _labels_from_parts(hit_matrix, n_tok, _cjk_ratio_batch(vals))
+    rep = 1.0 - n_distinct / np.maximum(n_tok, 1)
+    return {
+        "lang": pd.Series(lang, index=texts.index, dtype=object),
+        "n_tok": n_tok,
+        "rep_ratio": rep,
+        "ppl": _ppl_score(*_ppl_clean_arrow(arr), n, texts.index),
+    }

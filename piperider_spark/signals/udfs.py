@@ -93,9 +93,11 @@ def make_process_udf(spec):
 
     @pandas_udf(_PROCESS_TYPE)
     def process_udf(texts: pd.Series, jvm_drop: pd.Series) -> pd.DataFrame:
-        sig = text_signals_batch(texts)
+        from piperider_spark.signals.core import text_signals_and_ppl_batch
+
+        sig = text_signals_and_ppl_batch(texts)
         lang, n_tok, rep = sig["lang"], sig["n_tok"], sig["rep_ratio"]
-        ppl = perplexity_batch(texts)
+        ppl = sig["ppl"]
         text_len = texts.str.len().fillna(0).to_numpy()
         py_drop = (
             (~lang.isin(keep_langs)).to_numpy()

@@ -671,6 +671,34 @@ def test_quantile_skewed_domain_still_exact(spark):
         assert row[a] == svals[max(0, _m.ceil(p * n) - 1)], (p, row[a])
 
 
+def test_quantile_random_distributions_match_numpy_oracle(spark):
+    """Seeded sweep over distribution shapes (uniform, lognormal heavy
+    tail, integers with ties, bimodal, tiny): every quantile must equal
+    the percentile_disc definition computed by a numpy oracle."""
+    import math as _m
+
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
+    rng = np.random.default_rng(42)
+    shapes = {
+        "uniform": rng.uniform(-5, 5, 4000),
+        "lognormal": rng.lognormal(0, 2.5, 4000),
+        "int_ties": rng.integers(0, 7, 4000).astype(float),
+        "bimodal": np.concatenate([rng.normal(-100, 1, 2000), rng.normal(100, 1, 2000)]),
+        "tiny": rng.normal(0, 1, 3),
+    }
+    ps = (0.05, 0.25, 0.5, 0.75, 0.95)
+    for name, vals in shapes.items():
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        row = percentile_disc_multi(df, "x", ps, n_buckets=32).first()
+        s = np.sort(vals)
+        n = len(s)
+        for p in ps:
+            want = float(s[max(0, _m.ceil(p * n) - 1)])
+            got = row[f"p{int(p * 100)}"]
+            assert got == want, (name, p, got, want)
+
+
 def test_quantile_all_nan_column(spark):
     """A column that is entirely NaN has no finite bounds — the degenerate
     fallback must still produce percentile_disc semantics (NaN), not

@@ -214,3 +214,78 @@ def test_tokenize_encoded_surrogate_fallback():
     from piperider_spark.signals.core import _tokenize_encoded
 
     assert _tokenize_encoded(["ok text", "bad \udc80 surrogate"]) is None
+
+
+def test_ppl_arrow_cleaner_equals_blob_cleaner():
+    """The Arrow-buffer ppl cleaner must produce the identical (idx,
+    lengths) stream as the joined-blob cleaner over adversarial rows:
+    multibyte UTF-8, empty rows, all-non-letter rows, content NULs,
+    letter runs spanning row boundaries (must NOT merge), final-sigma
+    context cases."""
+    import numpy as np
+
+    from piperider_spark.signals.core import (
+        _lowered_arrow,
+        _ppl_clean_arrow,
+        _ppl_clean_bytes,
+    )
+
+    rows = [
+        "plain words here",
+        "",
+        "!!!???...",
+        "ends with letters",
+        "starts123 with mix",
+        "数据 pipeline 测试",
+        "null\x00inside",
+        "UPPER Case ΑΣ sigma",
+        "x",
+        "...",
+        "a" * 300,
+    ]
+    lowered = [r.lower() for r in rows]
+    arr = _lowered_arrow(lowered)
+    idx_a, len_a = _ppl_clean_arrow(arr)
+    # blob path premaps NULs to spaces (the spec-equivalent move)
+    blob_rows = [r.replace("\x00", " ") for r in lowered]
+    idx_b, len_b = _ppl_clean_bytes(blob_rows)
+    assert np.array_equal(len_a, len_b)
+    assert np.array_equal(idx_a, idx_b)
+
+
+def test_fused_signals_and_ppl_equals_separate_paths():
+    """text_signals_and_ppl_batch == text_signals_batch + perplexity_batch
+    exactly, including the surrogate fallback route."""
+    import numpy as np
+    import pandas as pd
+
+    from piperider_spark.signals.core import (
+        perplexity_batch,
+        text_signals_and_ppl_batch,
+        text_signals_batch,
+    )
+
+    rows = pd.Series(
+        [
+            "the quick brown fox and the lazy dog again and again",
+            None,
+            "",
+            "le chat est dans la maison avec les autres",
+            "zzz qqq xxx www",
+            "数据管道 已经 完成 了 测试",
+            "word \x0b vertical",
+        ]
+    )
+    fused = text_signals_and_ppl_batch(rows)
+    sep = text_signals_batch(rows)
+    ppl = perplexity_batch(rows)
+    assert list(fused["lang"]) == list(sep["lang"])
+    assert np.array_equal(fused["n_tok"], sep["n_tok"])
+    assert np.allclose(fused["rep_ratio"], sep["rep_ratio"])
+    assert np.array_equal(fused["ppl"].values, ppl.values)
+
+    # surrogate batch routes through the fallback and still agrees
+    bad = pd.Series(["ok text here", "bad \udc80 surrogate"])
+    fused2 = text_signals_and_ppl_batch(bad)
+    assert np.array_equal(fused2["ppl"].values, perplexity_batch(bad).values)
+    assert list(fused2["lang"]) == list(text_signals_batch(bad)["lang"])
