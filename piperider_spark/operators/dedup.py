@@ -179,6 +179,49 @@ def _perm_hash(shingle: Column, j: int, hash_fn: str = "md5") -> Column:
     return md5_60bit(F.concat(F.lit(f"{j}:"), shingle))
 
 
+def minhash_band_keys(
+    text_col: Column | str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """ROW-LOCAL banded MinHash keys: an ``array<string>`` of ``n_bands``
+    bucket keys computed entirely from the row's own text — no explode, no
+    aggregation. This is the streaming-safe signature shape (a stream can
+    evaluate it as a plain projection and keep ONE stateful operator for
+    the bucket state, streaming/filter_stream.stream_near_dup_candidates).
+
+    Batch jobs should keep using :func:`minhash_signatures` (the
+    explode+groupBy form is ~2.4× faster there — higher-order functions
+    fall out of whole-stage codegen and recompute the shingle array per
+    signature); the two produce identical band keys for the same
+    (n_hashes, n_bands, k, hash_fn) — pinned in tests. Docs with no
+    shingles (empty text) yield NULL keys — filter them out, they have no
+    similarity identity."""
+    sh = word_shingles(text_col, k)
+    rows_per = n_hashes // n_bands
+
+    def _sig(j: int) -> Column:
+        # NB: a single-arg lambda — a 2-arg one makes F.transform bind the
+        # second parameter to the ARRAY INDEX, silently clobbering the salt
+        return F.array_min(F.transform(sh, lambda s: _perm_hash(s, j, hash_fn)))
+
+    sigs = [_sig(j) for j in range(n_hashes)]
+    keys = [
+        F.when(
+            F.size(sh) > 0,
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[sigs[b * rows_per + r] for r in range(rows_per)],
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*keys)
+
+
 def minhash_signatures(
     df: DataFrame | None = None,
     id_col: str = "doc_id",

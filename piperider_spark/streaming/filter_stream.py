@@ -34,6 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -194,6 +195,84 @@ def stream_exact_dedup(stream_df: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_NEAR_DUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_key", StringType()),
+        StructField("is_first", BooleanType()),
+        StructField("first_doc_id", LongType()),
+    ]
+)
+_NEAR_DUP_STATE = StructType([StructField("first_doc_id", LongType())])
+
+
+def _bucket_first_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-doc-wins within one LSH band bucket. Rows inside a batch are
+    ordered by doc_id before flagging (deterministic); the bucket's first
+    doc id persists in state so later micro-batches flag against it."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ).sort_values("doc_id", kind="mergesort")
+    if state.exists:
+        first = int(state.get[0])
+        is_first = [False] * len(pdf)  # bucket already owned by an earlier batch
+    else:
+        first = int(pdf["doc_id"].iloc[0])
+        state.update((first,))
+        is_first = (pdf["doc_id"] == first).tolist()
+    out = pdf.assign(is_first=is_first, first_doc_id=first)
+    yield out[[f.name for f in _NEAR_DUP_OUT.fields]]
+
+
+def stream_near_dup_candidates(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate detection — the streaming
+    twin of the batch ``dedup.minhash_lsh_pairs`` mining stage.
+
+    The MinHash signature is ROW-LOCAL (``dedup.minhash_band_keys``: each
+    doc's banded keys come from its own shingles as plain JVM expressions),
+    so the whole operator needs exactly ONE stateful step: first-doc-wins
+    keyed state per band bucket. Output grain is (doc, band): a doc is a
+    near-dup CANDIDATE iff any of its band rows has ``is_first = false``
+    (it shares a bucket with an earlier doc — ``first_doc_id`` names it);
+    the exact-verify step stays a batch join, same as the batch path.
+
+    Scale notes: state is one int64 per non-empty band bucket — bounded by
+    corpus distinctness × n_bands, the streaming analogue of the batch
+    bucket join; RocksDB state store + state TTL bound it in unbounded
+    deployments. Docs with no shingles (empty text) carry no similarity
+    identity and are filtered before the state op.
+    """
+    from piperider_spark.operators.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(text_col, n_hashes, n_bands, k)
+    exploded = (
+        stream_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(keys).alias("band_key"),
+        )
+        .where(F.col("band_key").isNotNull())
+    )
+    return exploded.groupBy("band_key").applyInPandasWithState(
+        _bucket_first_fn,
+        outputStructType=_NEAR_DUP_OUT,
+        stateStructType=_NEAR_DUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

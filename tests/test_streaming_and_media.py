@@ -525,3 +525,103 @@ def test_real_codecs_through_spark_pipeline(spark):
     assert abs(arow.duration_sec - 0.5) < 1e-6
     x = pcm.astype(np.float32) / 2**15
     assert abs(arow.rms - float(np.sqrt(np.mean(x * x)))) < 1e-5
+
+
+def test_minhash_band_keys_match_batch_signatures(spark):
+    """The row-local band keys (streaming shape) must equal the batch
+    explode+groupBy signatures recombined with the same banding formula —
+    the two signature paths cannot drift."""
+    from piperider_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_hashes, n_bands = 8, 4
+    rows_per = n_hashes // n_bands
+    sigs = dedup.minhash_signatures(docs, n_hashes=n_hashes, hash_fn="xxhash64")
+    want = {}
+    for r in sigs.collect():
+        want[r.id] = [
+            "-".join([str(b)] + [str(r[f"sig_{b * rows_per + j}"]) for j in range(rows_per)])
+            for b in range(n_bands)
+        ]
+    got = {
+        r.doc_id: list(r.keys)
+        for r in docs.select(
+            F.col("doc_id"),
+            dedup.minhash_band_keys("text", n_hashes, n_bands).alias("keys"),
+        ).collect()
+        if r.keys[0] is not None
+    }
+    assert got == want
+
+
+def test_stream_near_dup_candidates_match_batch(spark, tmp_path):
+    """Streaming LSH bucket state == the batch window oracle (first doc per
+    band key by id), and every batch-verified LSH near-dup pair has its
+    larger-id member flagged as a streaming candidate."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from piperider_spark.operators import dedup
+    from piperider_spark.streaming.filter_stream import stream_near_dup_candidates
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        str(inp / "p0.parquet"), mode="overwrite"
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp / "p0.parquet"))
+    out = stream_near_dup_candidates(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select doc_id, band_key, is_first, first_doc_id from near_dup_stream"
+    ).collect()
+
+    # batch oracle: same row-local keys, first per key = min doc_id
+    keyed = docs.select(
+        "doc_id", F.explode(dedup.minhash_band_keys("text")).alias("band_key")
+    ).where(F.col("band_key").isNotNull())
+    w = Window.partitionBy("band_key").orderBy("doc_id")
+    want = {
+        (r.doc_id, r.band_key): (r.rn == 1, r.first)
+        for r in keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("first", F.min("doc_id").over(Window.partitionBy("band_key")))
+        .collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        exp_first, exp_owner = want[(r.doc_id, r.band_key)]
+        assert r.is_first == exp_first and r.first_doc_id == exp_owner, r
+
+    # recall vs the batch-verified near-dup pairs: the larger-id member of
+    # every verified pair must be a streaming candidate (is_first=false
+    # somewhere)
+    flagged = {r.doc_id for r in got if not r.is_first}
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, threshold=0.5, hash_fn="xxhash64"
+    ).collect()
+    missing = [(p.id_a, p.id_b) for p in pairs if max(p.id_a, p.id_b) not in flagged]
+    assert not missing, missing[:5]
