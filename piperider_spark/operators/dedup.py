@@ -199,6 +199,8 @@ def minhash_band_keys(
     (n_hashes, n_bands, k, hash_fn) — pinned in tests. Docs with no
     shingles (empty text) yield NULL keys — filter them out, they have no
     similarity identity."""
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes={n_hashes} must divide into n_bands={n_bands}")
     sh = word_shingles(text_col, k)
     rows_per = n_hashes // n_bands
 
