@@ -7,11 +7,14 @@ payload opaque, metadata typed.
 
 The Spark-side plumbing — schema handling, partition-sized batch iteration
 through ``mapInPandas``, UDF signatures, output shapes — is real and
-tested. The codec layer is stubbed: ``decode_image``/``decode_audio`` raise
-NotImplementedError unless the deterministic fake codec is selected
-(payloads produced by :func:`fake_encode_image`), because no media library
-(PIL/cv2/librosa) is available in this container. A real deployment swaps
-``_CODECS['image']`` for a PIL/turbojpeg call — nothing else changes.
+tested. Real codecs implemented here with stdlib+numpy only: **PNG**
+(zlib inflate + all five scanline filters), **BMP** (24/32-bit
+uncompressed) and **WAV** (PCM-16) — genuinely end-to-end over formats
+external tools produce. JPEG/mp3 remain documented NotImplementedError
+seams (entropy decoders need PIL/cv2/librosa, absent in this container);
+a deterministic fake codec covers their pipeline shape. A real deployment
+swaps ``_CODECS['image']`` for a PIL/turbojpeg call — nothing else
+changes.
 
 Design notes for 100 TB of media:
   * decode/feature-extract goes through ``mapInPandas`` (not a scalar UDF):
@@ -85,8 +88,9 @@ def _decode_fake_image(payload: bytes) -> np.ndarray:
 
 def _decode_real_image(payload: bytes) -> np.ndarray:  # pragma: no cover
     raise NotImplementedError(
-        "JPEG/PNG decoding requires PIL/cv2 (not in this container); "
-        "use codec='bmp' (real, stdlib), codec='fake', or register a codec"
+        "JPEG decoding requires PIL/cv2 (not in this container); "
+        "use codec='png' or codec='bmp' (both real, stdlib), codec='fake', "
+        "or register a codec"
     )
 
 
@@ -134,9 +138,186 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, 2::-1].copy()  # BGR(A)→RGB
 
 
+# ---- REAL codec: PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
+# — stdlib ``zlib`` for the deflate stream plus numpy reconstruction of the
+# five scanline filter types. Paletted (color type 3) and interlaced images
+# are rejected explicitly (Adam7 would need a real library's test corpus to
+# trust); JPEG remains the one documented NotImplementedError seam.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB (or (h, w, 4) RGBA, or (h, w) gray)
+    array as a standard non-interlaced 8-bit PNG.
+
+    ``filter_type`` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) applied uniformly to every row. The forward filters
+    here are fully vectorized (they see the whole raw image); the decoder's
+    inverse is the independently-written sequential reconstruction — the
+    roundtrip tests pin the two against each other."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * ch)
+    prev = np.zeros_like(raw[0])
+    rows = []
+    for y in range(h):
+        cur = raw[y].astype(np.int16)
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        up = prev.astype(np.int16)
+        upleft = np.zeros_like(up)
+        upleft[ch:] = up[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - up
+        elif filter_type == 3:
+            filt = cur - (left + up) // 2
+        elif filter_type == 4:
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        rows.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reconstruct PNG scanlines from the decompressed filtered stream.
+
+    Filters None/Up are whole-row vector ops; Sub is a strided uint8 cumsum
+    (wraparound addition is exactly mod-256 prefix sum); Average/Paeth carry
+    an intra-row dependency on the reconstructed left pixel, so those rows
+    walk pixel-by-pixel over ``ch``-byte slices."""
+    stride = w * ch
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG stream length {arr.size} != expected {h * (stride + 1)}"
+        )
+    arr = arr.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: mod-256 prefix sum along each channel lane
+            row = np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            pr = prev.astype(np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                i = x * ch
+                row[i : i + ch] = (
+                    row[i : i + ch] + ((left + pr[i : i + ch]) // 2).astype(np.uint8)
+                )
+                left = row[i : i + ch].astype(np.int16)
+        elif ft == 4:  # Paeth
+            pr = prev.astype(np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            upleft = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                i = x * ch
+                up = pr[i : i + ch]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                row[i : i + ch] = row[i : i + ch] + pred.astype(np.uint8)
+                upleft = up
+                left = row[i : i + ch].astype(np.int16)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, ch)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to (h, w, 3) uint8 RGB — gray is
+    channel-broadcast, alpha is dropped. Rejects paletted (color type 3),
+    interlaced, and non-8-bit images with descriptive errors; chunk CRCs
+    are verified."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if color_type == 3:
+        raise ValueError("paletted PNG (color type 3) not supported")
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    img = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, ch)
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if color_type == 4:  # gray+alpha → broadcast gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def _decode_image_auto(payload: bytes) -> np.ndarray:
-    """Magic-sniffing dispatch: BMP and the fake codec decode for real;
-    JPEG/PNG fall through to the documented NotImplementedError seam."""
+    """Magic-sniffing dispatch: PNG, BMP and the fake codec decode for
+    real; JPEG falls through to the documented NotImplementedError seam."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:4] == _FAKE_MAGIC:
@@ -147,6 +328,7 @@ def _decode_image_auto(payload: bytes) -> np.ndarray:
 _CODECS = {
     "fake": _decode_fake_image,
     "bmp": _decode_bmp,
+    "png": _decode_png,
     "auto": _decode_image_auto,
     "image": _decode_real_image,
 }
@@ -209,32 +391,48 @@ _RESIZE_TYPE = StructType(
 )
 
 
+def _encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "png":
+        return encode_png(img)
+    h, w, _ = img.shape
+    return _FAKE_MAGIC + struct.pack("<II", w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def _sniff_image_format(payload: bytes) -> str:
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return "fake"
+
+
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, codec: str = "fake", out_codec: str | None = None
 ) -> DataFrame:
     """Nearest-neighbour resize, payload→payload. ``out_codec`` defaults to
-    the input codec family: 'bmp' inputs re-encode as real BMPs (so resized
-    payloads stay readable by any image tool), everything else emits the
-    fake-codec format."""
+    the input codec family: 'bmp'/'png' inputs re-encode in their own real
+    format (so resized payloads stay readable by any image tool); with
+    ``codec='auto'`` the output format is sniffed per payload from its
+    magic (PNG→PNG, BMP→BMP, else fake), so mixed-format batches each keep
+    their native encoding; everything else emits the fake-codec format."""
     decode = _CODECS[codec]
-    out_codec = out_codec or ("bmp" if codec == "bmp" else "fake")
+    if out_codec is None and codec in ("bmp", "png"):
+        out_codec = codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["id"], pdf["media"]):
-                img = decode(bytes(payload))
+                buf = bytes(payload)
+                img = decode(buf)
                 h, w, _ = img.shape
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 small = np.ascontiguousarray(img[np.ix_(yi, xi)])
-                if out_codec == "bmp":
-                    payload_out = encode_bmp(small)
-                else:
-                    payload_out = (
-                        _FAKE_MAGIC + struct.pack("<II", out_w, out_h) + small.tobytes()
-                    )
-                rows.append((int(mid), payload_out, out_w, out_h))
+                fmt = out_codec or (_sniff_image_format(buf) if codec == "auto" else "fake")
+                rows.append((int(mid), _encode_image(small, fmt), out_w, out_h))
             yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_TYPE.fields])
 
     return df.select("id", "media").mapInPandas(run, _RESIZE_TYPE)
