@@ -733,3 +733,148 @@ def test_png_through_spark_pipeline_mixed_auto(spark):
     out = resize_images(pdf, 4, 4, codec="png").collect()[0]
     assert bytes(out.media)[:8] == b"\x89PNG\r\n\x1a\n"
     assert _decode_png(bytes(out.media)).shape == (4, 4, 3)
+
+
+def test_stream_near_dup_verified_match_batch(spark, tmp_path):
+    """Stream-side exact verify == the batch owner-pair oracle: for every
+    non-owner (doc, band) row the streaming jaccard equals exact Jaccard
+    over distinct word shingles vs the bucket owner, and ``verified``
+    matches the threshold — with the input split across two micro-batches
+    so verification provably runs from persisted state."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from piperider_spark.operators import dedup
+    from piperider_spark.streaming.filter_stream import stream_near_dup_verified
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    med = docs.approxQuantile("doc_id", [0.5], 0)[0]
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    docs.where(F.col("doc_id") <= med).coalesce(1).write.parquet(str(inp / "f0.parquet"))
+    docs.where(F.col("doc_id") > med).coalesce(1).write.parquet(str(inp / "f1.parquet"))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp) + "/*.parquet")
+    )
+    out = stream_near_dup_verified(stream, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_verified_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from near_dup_verified_stream").collect()
+
+    # batch oracle: owner per bucket = min doc_id over the SAME row-local
+    # keys; exact Jaccard over distinct word shingles driver-side
+    keyed = docs.select(
+        "doc_id", F.explode(dedup.minhash_band_keys("text")).alias("band_key")
+    ).where(F.col("band_key").isNotNull())
+    owners = keyed.withColumn(
+        "owner", F.min("doc_id").over(Window.partitionBy("band_key"))
+    )
+    shingle_sets = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", dedup.word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        u = len(sa | sb)
+        return round(len(sa & sb) / u, 6) if u else 0.0
+
+    want = {}
+    for r in owners.collect():
+        if r.doc_id != r.owner:
+            want[(r.doc_id, r.band_key)] = (r.owner, jac(r.owner, r.doc_id))
+
+    non_owner = [r for r in got if not r.is_first]
+    assert len(non_owner) == len(want)
+    for r in non_owner:
+        exp_owner, exp_j = want[(r.doc_id, r.band_key)]
+        assert r.first_doc_id == exp_owner
+        assert abs(r.jaccard - exp_j) < 1e-9, (r, exp_j)
+        assert r.verified == (exp_j >= 0.5)
+    # owner rows never verify against themselves
+    for r in got:
+        if r.is_first:
+            assert r.jaccard is None and r.verified is False
+    # recall: every batch-verified pair whose smaller member owns a shared
+    # bucket appears as a streaming verified row
+    stream_verified = {(r.first_doc_id, r.doc_id) for r in got if r.verified}
+    for (did, bk), (owner, j) in want.items():
+        if j >= 0.5:
+            assert (owner, did) in stream_verified
+
+
+def test_stream_near_dup_owner_replay_not_self_candidate(spark, tmp_path):
+    """At-least-once delivery: a re-delivered row for the bucket-owner doc
+    itself must NOT be emitted as a candidate against its own doc_id — in
+    both the candidates op and the verified op."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from piperider_spark.streaming.filter_stream import (
+        stream_near_dup_candidates,
+        stream_near_dup_verified,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    inp = tmp_path / "replay"
+    inp.mkdir()
+    spark.createDataFrame([(1, text)], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(inp / "f0.parquet"))
+    # batch 2 replays doc 1 and introduces the exact near-dup doc 2
+    spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(inp / "f1.parquet"))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def drain(op, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inp) + "/*.parquet")
+        )
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"select * from {name}").collect()
+
+    cand = drain(stream_near_dup_candidates, "replay_cand")
+    # doc 1 appears twice per band (original + replay) — ALL its rows keep
+    # is_first=true; doc 2's rows are candidates naming doc 1
+    for r in cand:
+        if r.doc_id == 1:
+            assert r.is_first, r
+        else:
+            assert not r.is_first and r.first_doc_id == 1, r
+
+    ver = drain(stream_near_dup_verified, "replay_ver")
+    for r in ver:
+        if r.doc_id == 1:
+            assert r.is_first and r.jaccard is None and r.verified is False, r
+        else:
+            assert r.verified and abs(r.jaccard - 1.0) < 1e-9, r
