@@ -49,7 +49,17 @@ def percentile_disc_multi(
     aliases: tuple[str, ...] | None = None,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """One-row DataFrame with one column per requested quantile."""
+    """One-row DataFrame with one column per requested quantile.
+
+    EAGER-MATERIALIZING: constructing the returned DataFrame runs Spark
+    jobs immediately (a ``localCheckpoint`` of the value-counts shuffle,
+    a bounds ``first()`` and a bucket-totals ``collect()`` — all bounded
+    by ``n_buckets``, not data size), the same contract as
+    ``dedup.minhash_lsh_pairs``. Plan-only consumers (plan dumps,
+    ``explain`` tooling) pay the value-counts shuffle; checkpointed
+    blocks are executor-resident and not recomputable after executor
+    loss — a production job that needs fault-tolerant lineage should
+    checkpoint to reliable storage instead."""
     aliases = aliases or tuple(f"p{int(p * 100)}" for p in ps)
     vc = (
         df.where(F.col(col).isNotNull())

@@ -260,7 +260,14 @@ def ivf_write_partitioned(
     the probe path prunes against (one directory per cell; an Iceberg
     deployment uses a partition transform on the precomputed cell column
     for the same effect)."""
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"ivf_write_partitioned: cannot infer vector dim — input is empty "
+            f"or its first {vec_col!r} is NULL; filter NULL embeddings out "
+            f"(df.where(F.col({vec_col!r}).isNotNull())) or pass a non-empty corpus"
+        )
+    dim = len(probe[0])
     cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells, seed)
     (
         df.withColumn("cell", ivf_cell(F.col(vec_col), cents))

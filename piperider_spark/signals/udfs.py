@@ -81,6 +81,14 @@ def make_process_udf(spec):
     use), and scrubs ONLY rows that survive — Spark's UDF extraction would
     otherwise evaluate a CASE-guarded scrub UDF on every row. Scrubbed text
     for dropped rows is NULL, which also shrinks the Arrow return payload.
+
+    DELTA-ENCODING CONTRACT: the returned struct is NOT self-contained.
+    ``text_scrubbed`` is NULL both for dropped rows AND for kept rows the
+    scrub left byte-identical; every consumer MUST restore kept rows with
+    ``coalesce(text_scrubbed, text)`` (what ``pipeline.build_decisions``
+    does) before treating the column as the scrubbed text. Reading the
+    struct column directly without that coalesce silently yields NULLs on
+    clean kept rows.
     """
     if spec in _PROCESS_UDF_CACHE:
         return _PROCESS_UDF_CACHE[spec]

@@ -1114,3 +1114,53 @@ def test_corpus_line_dedup_hand_fixture(spark):
     assert out["e"]["text"] == "" and out["e"]["n_lines"] == 1 and out["e"]["n_removed"] == 0
     # NULL text passes through as NULL
     assert out["f"]["text"] is None and out["f"]["n_lines"] == 0
+
+
+def test_partitioned_ann_writers_reject_empty_or_null_corpus(spark, tmp_path):
+    """Both at-rest ANN writers raise a descriptive ValueError (not a bare
+    TypeError from len(None)) when the dim probe finds an empty corpus or a
+    NULL first embedding."""
+    import pytest as _pytest
+
+    from piperider_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    for fn, sub in [
+        (similarity.ann_write_partitioned, "ann"),
+        (similarity.ivf_write_partitioned, "ivf"),
+    ]:
+        for df in (empty, nulls):
+            with _pytest.raises(ValueError, match="cannot infer vector dim"):
+                fn(df, str(tmp_path / sub))
+
+
+def test_ivf_centroids_lazy_and_memoized():
+    """Importing queries must NOT train the IVF quantizer (ADVICE r4: the
+    module-import parquet read + 12 k-means iterations); training runs on
+    first use, is memoized, and both the Spark entry and the oracle SQL
+    share the same literals."""
+    import importlib
+    import subprocess
+    import sys
+
+    # fresh interpreter: import alone leaves the cache cold
+    code = (
+        "import piperider_spark.queries as q; "
+        "print(q._IVF_CENTS_CACHE is None)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    assert out.stdout.strip() == "True"
+    # in-process: first use primes the cache; repeated use reuses it
+    import piperider_spark.queries as qmod2
+
+    c1 = qmod2._ivf_cents()
+    assert qmod2._IVF_CENTS_CACHE is not None
+    assert qmod2._ivf_cents() is c1
+    # the oracle SQL embeds the same trained literals
+    sql = qmod2.oracle_sql()["ivf_topk_embeddings"]
+    assert repr(float(c1[0][0])) in sql
