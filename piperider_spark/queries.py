@@ -802,23 +802,61 @@ _SHINGLES_SQL = r"""
 
 
 @register(
-    "minhash_signatures_documents",
+    "minhash_documents",
     f"""
-    WITH sh AS ({_SHINGLES_SQL})
-    SELECT doc_id,
-           min(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS sig_0,
-           min(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS sig_1,
-           min(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS sig_2,
-           min(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS sig_3
-    FROM sh GROUP BY doc_id
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(('0x' || substr(md5('0:' || s), 1, 15))::BIGINT) AS s0,
+             min(('0x' || substr(md5('1:' || s), 1, 15))::BIGINT) AS s1,
+             min(('0x' || substr(md5('2:' || s), 1, 15))::BIGINT) AS s2,
+             min(('0x' || substr(md5('3:' || s), 1, 15))::BIGINT) AS s3
+      FROM sh GROUP BY doc_id
+    )
+    SELECT 'sig' AS kind, doc_id, idx, val FROM (
+      SELECT doc_id, 0 AS idx, CAST(s0 AS VARCHAR) AS val FROM sig
+      UNION ALL SELECT doc_id, 1, CAST(s1 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2, CAST(s2 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3, CAST(s3 AS VARCHAR) FROM sig)
+    UNION ALL
+    SELECT 'band', doc_id, 0, concat_ws('-', '0', s0, s1) FROM sig
+    UNION ALL
+    SELECT 'band', doc_id, 1, concat_ws('-', '1', s2, s3) FROM sig
     """,
 )
-def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 salted-md5 permutations over 3-token shingles)
-    — one explode + one map-side-combinable groupBy."""
-    return dedup.minhash_signatures(
-        load(spark, sf_dir, "documents"), n_hashes=4
-    ).withColumnRenamed("id", "doc_id")
+def minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash, both code paths in one gated union (round-5 registry
+    consolidation — ``minhash_signatures_documents`` plus the previously
+    pytest-only band keys, VERDICT r4 'Next round' #4):
+
+    * ``sig`` leg — per-doc signatures via the batch explode + map-side-
+      combinable groupBy (``dedup.minhash_signatures``), unpivoted to
+      (doc_id, idx, val) rows;
+    * ``band`` leg — ``dedup.minhash_band_keys``: the ROW-LOCAL banded
+      keys the streaming near-dup path evaluates as a plain projection
+      (no explode, no aggregation — a genuinely different plan whose
+      agreement with the groupBy construction is exactly what the oracle
+      verifies; the DuckDB twin builds the keys from its sig CTE).
+
+    Both legs use the salted-md5 permutation (the cross-engine hash);
+    4 hashes, 2 bands of 2 rows, 3-token shingles."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=4).withColumnRenamed("id", "doc_id")
+    sig_leg = sigs.select(
+        F.lit("sig").alias("kind"),
+        "doc_id",
+        F.expr(
+            "stack(4, 0, cast(sig_0 as string), 1, cast(sig_1 as string), "
+            "2, cast(sig_2 as string), 3, cast(sig_3 as string)) as (idx, val)"
+        ),
+    )
+    keys = dedup.minhash_band_keys("text", n_hashes=4, n_bands=2, k=3, hash_fn="md5")
+    band_leg = (
+        docs.select("doc_id", F.posexplode(keys).alias("idx", "val"))
+        .where(F.col("val").isNotNull())
+        .select(F.lit("band").alias("kind"), "doc_id", "idx", "val")
+    )
+    return sig_leg.unionByName(band_leg)
 
 
 # Exact n-gram Jaccard pair mining (threshold 0.5) — the oracle-verifiable
