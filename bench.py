@@ -506,9 +506,14 @@ def main() -> None:
     # warm-up left ~2 s of first-execution JIT inside the timed run
     # (measured 6.2 s first vs 4.2 s second full run). A real deployment
     # profiles many tables per session — steady-state is the honest number.
-    warm_path = str(REPO / ".bench_cache" / "profiler_warm.parquet")
+    # 60k warm rows, not 5k: Janino compiles either way, but HotSpot only
+    # tiers the generated loops to C2 after ~10k invocations — a 5k-row
+    # warm run leaves the timed run paying C2 compilation (r5 A/B across
+    # alternating fresh sessions: median 7.5 s vs 9.0 s first timed run).
+    # Path is keyed by sf so cross-sf bench runs never share a warm table.
+    warm_path = str(REPO / ".bench_cache" / f"profiler_warm_sf{sf}.parquet")
     if not os.path.exists(warm_path):
-        li.limit(5000).write.mode("overwrite").parquet(warm_path)
+        li.limit(60000).write.mode("overwrite").parquet(warm_path)
     profile_table(spark.read.parquet(warm_path), "warm")
     t0 = time.time()
     profile_table(li, "lineitem")
