@@ -942,3 +942,44 @@ def test_avi_frames_through_spark_pipeline(spark):
     k = 0 * 100 + 3
     exp = vids[0][3]
     assert abs(feats[k].mean_b - exp[:, :, 2].mean()) < 1e-3
+
+
+def test_stream_near_dup_verified_bounded_state_cap(spark, tmp_path):
+    """max_state_shingles bounds the per-bucket state: identical docs still
+    verify at jaccard 1.0 under a tiny cap (both sides keep the same
+    bottom-k hashes), and the capped estimate stays deterministic and in
+    [0, 1] for partially-overlapping docs."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from piperider_spark.streaming.filter_stream import stream_near_dup_verified
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(50)) + " zeta yota kappa mu nu xi omicron pi rho sigma"
+    inp = tmp_path / "cap"
+    inp.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, near)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(inp / "f0.parquet"))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp) + "/*.parquet")
+    q = (
+        stream_near_dup_verified(stream, threshold=0.5, max_state_shingles=8)
+        .writeStream.format("memory")
+        .queryName("cap_ver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from cap_ver").collect()
+    by_doc = {}
+    for r in got:
+        if not r.is_first:
+            by_doc.setdefault(r.doc_id, set()).add(r.jaccard)
+    # doc 2 is byte-identical to the bucket owner: capped sets are equal
+    assert by_doc[2] == {1.0}
+    for j in by_doc.get(3, set()):
+        assert 0.0 <= j <= 1.0
