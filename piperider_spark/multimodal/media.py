@@ -159,21 +159,26 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(img: np.ndarray, filter_type: int | str = "adaptive") -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w, 4) RGBA, or (h, w) gray)
     array as a standard non-interlaced 8-bit PNG.
 
     ``filter_type`` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
-    3=Average, 4=Paeth) applied uniformly to every row. The forward filters
-    here are fully vectorized (they see the whole raw image); the decoder's
-    inverse is the independently-written sequential reconstruction — the
-    roundtrip tests pin the two against each other."""
+    3=Average, 4=Paeth) applied uniformly to every row, or ``"adaptive"``
+    (the default, what real encoders do): per row, the filter with the
+    minimum sum of absolute signed residuals — so encoded streams mix
+    filter types row-by-row. The forward filters here are fully vectorized
+    (they see the whole raw image); the decoder's inverse is the
+    independently-written sequential reconstruction — the roundtrip tests
+    pin the two against each other."""
     import zlib
 
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if filter_type != "adaptive" and filter_type not in range(5):
+        raise ValueError(f"unknown PNG filter type {filter_type!r}")
     raw = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * ch)
     prev = np.zeros_like(raw[0])
     rows = []
@@ -184,22 +189,23 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         up = prev.astype(np.int16)
         upleft = np.zeros_like(up)
         upleft[ch:] = up[:-ch]
-        if filter_type == 0:
-            filt = cur
-        elif filter_type == 1:
-            filt = cur - left
-        elif filter_type == 2:
-            filt = cur - up
-        elif filter_type == 3:
-            filt = cur - (left + up) // 2
-        elif filter_type == 4:
-            p = left + up - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
-            filt = cur - pred
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        residuals = {
+            0: cur,
+            1: cur - left,
+            2: cur - up,
+            3: cur - (left + up) // 2,
+            4: cur - paeth,
+        }
+        if filter_type == "adaptive":
+            # minimum-sum-of-abs heuristic over the SIGNED residuals —
+            # the standard libpng row chooser
+            ft = min(residuals, key=lambda k: int(np.abs(residuals[k]).sum()))
         else:
-            raise ValueError(f"unknown PNG filter type {filter_type}")
-        rows.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+            ft = filter_type
+        rows.append(bytes([ft]) + (residuals[ft] & 0xFF).astype(np.uint8).tobytes())
         prev = raw[y]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (

@@ -983,3 +983,37 @@ def test_stream_near_dup_verified_bounded_state_cap(spark, tmp_path):
     assert by_doc[2] == {1.0}
     for j in by_doc.get(3, set()):
         assert 0.0 <= j <= 1.0
+
+
+def test_png_adaptive_filter_mixes_rows():
+    """Default 'adaptive' mode picks the min-abs-residual filter per row
+    (the libpng heuristic): mixed-filter streams roundtrip exactly and
+    compress at least as well as every uniform-filter encoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from piperider_spark.multimodal.media import _decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:40, 0:30]
+    grad = np.stack([(y * 3) % 256, (x * 7) % 256, (y + x) % 256], axis=2).astype(np.uint8)
+    noise = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    img = np.concatenate([grad, noise], axis=0)
+    p = encode_png(img)  # adaptive default
+    assert np.array_equal(_decode_png(p), img)
+    # the stream genuinely mixes filter types row-by-row
+    pos, idat = 8, []
+    while pos + 8 <= len(p):
+        (ln,) = struct.unpack(">I", p[pos : pos + 4])
+        if p[pos + 4 : pos + 8] == b"IDAT":
+            idat.append(p[pos + 8 : pos + 8 + ln])
+        pos += 12 + ln
+    stream = zlib.decompress(b"".join(idat))
+    stride = 30 * 3 + 1
+    fts = {stream[i] for i in range(0, len(stream), stride)}
+    assert len(fts) >= 2, fts
+    # never worse than the best uniform filter (small zlib-context slack)
+    best_uniform = min(len(encode_png(img, ft)) for ft in range(5))
+    assert len(p) <= best_uniform * 1.05
