@@ -139,13 +139,26 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, 2::-1].copy()  # BGR(A)→RGB
 
 
-# ---- REAL codec: PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
-# — stdlib ``zlib`` for the deflate stream plus numpy reconstruction of the
-# five scanline filter types. Paletted (color type 3) and interlaced images
-# are rejected explicitly (Adam7 would need a real library's test corpus to
-# trust); JPEG remains the one documented NotImplementedError seam.
+# ---- REAL codec: PNG — stdlib ``zlib`` for the deflate stream plus numpy
+# reconstruction of the five scanline filter types. Covers every PNG color
+# type (gray / RGB / paletted / gray+alpha / RGBA), bit depths 1/2/4/8/16
+# (16-bit downscales to the high byte), and both interlace methods (none +
+# Adam7 seven-pass). Encoder and decoder are independently written and pin
+# each other in roundtrip tests; JPEG remains the one documented
+# NotImplementedError image seam (entropy decoding needs a real library).
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, in stream order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -159,36 +172,30 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int | str = "adaptive") -> bytes:
-    """Encode an (h, w, 3) uint8 RGB (or (h, w, 4) RGBA, or (h, w) gray)
-    array as a standard non-interlaced 8-bit PNG.
+def _filter_scanlines(raw: np.ndarray, bpp: int, filter_type: int | str) -> bytes:
+    """Forward-filter a (h, stride) uint8 raster into the PNG scanline
+    stream (1 filter-type byte + filtered bytes per row).
 
-    ``filter_type`` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
-    3=Average, 4=Paeth) applied uniformly to every row, or ``"adaptive"``
-    (the default, what real encoders do): per row, the filter with the
-    minimum sum of absolute signed residuals — so encoded streams mix
-    filter types row-by-row. The forward filters here are fully vectorized
-    (they see the whole raw image); the decoder's inverse is the
-    independently-written sequential reconstruction — the roundtrip tests
-    pin the two against each other."""
-    import zlib
-
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ``bpp`` is the byte distance to the pixel on the left (``max(1,
+    channels * depth // 8)`` per the spec — sub-byte depths filter with a
+    1-byte left offset). ``filter_type`` is 0-4 applied uniformly, or
+    ``"adaptive"`` — per row, the filter with the minimum sum of absolute
+    signed residuals (the standard libpng row chooser), so encoded streams
+    mix filter types row-by-row. Fully vectorized: the forward direction
+    sees the whole raw raster; the decoder's inverse is the
+    independently-written sequential reconstruction."""
     if filter_type != "adaptive" and filter_type not in range(5):
         raise ValueError(f"unknown PNG filter type {filter_type!r}")
-    raw = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * ch)
+    h = raw.shape[0]
     prev = np.zeros_like(raw[0])
     rows = []
     for y in range(h):
         cur = raw[y].astype(np.int16)
         left = np.zeros_like(cur)
-        left[ch:] = cur[:-ch]
+        left[bpp:] = cur[:-bpp]
         up = prev.astype(np.int16)
         upleft = np.zeros_like(up)
-        upleft[ch:] = up[:-ch]
+        upleft[bpp:] = up[:-bpp]
         p = left + up - upleft
         pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
         paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
@@ -200,89 +207,196 @@ def encode_png(img: np.ndarray, filter_type: int | str = "adaptive") -> bytes:
             4: cur - paeth,
         }
         if filter_type == "adaptive":
-            # minimum-sum-of-abs heuristic over the SIGNED residuals —
-            # the standard libpng row chooser
             ft = min(residuals, key=lambda k: int(np.abs(residuals[k]).sum()))
         else:
             ft = filter_type
         rows.append(bytes([ft]) + (residuals[ft] & 0xFF).astype(np.uint8).tobytes())
         prev = raw[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return b"".join(rows)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-pass (x0, y0, dx, dy, pass_width, pass_height); empty passes
+    keep zero dims (they contribute no bytes to the stream)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int | str = "adaptive", interlace: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB (or (h, w, 4) RGBA, or (h, w) gray,
+    or (h, w, 2) gray+alpha) array as a standard 8-bit PNG.
+
+    ``interlace=True`` emits Adam7: the raster is split into the seven
+    pass sub-images, each filtered independently (filter state resets per
+    pass), concatenated in pass order into one IDAT stream."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            sub = img[y0::dy, x0::dx].reshape(ph, pw * ch)
+            parts.append(_filter_scanlines(sub, ch, filter_type))
+        stream = b"".join(parts)
+    else:
+        stream = _filter_scanlines(img.reshape(h, w * ch), ch, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + _png_chunk(b"IDAT", zlib.compress(stream, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def _png_unfilter(data: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reconstruct PNG scanlines from the decompressed filtered stream.
+def encode_png_paletted(
+    img: np.ndarray, bit_depth: int | None = None, filter_type: int | str = "adaptive"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a paletted (color type 3)
+    PNG. The palette is the image's unique colors in first-appearance
+    order; ``bit_depth`` (1/2/4/8, default = smallest that fits) packs
+    indices MSB-first within each scanline byte."""
+    import zlib
+
+    h, w, _ = img.shape
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    # first-appearance order (np.unique sorts): remap through argsort of
+    # first occurrence so fixture palettes read naturally
+    first_pos = np.full(len(colors), len(flat), dtype=np.int64)
+    np.minimum.at(first_pos, inverse, np.arange(len(flat)))
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    palette = colors[order]
+    idx = rank[inverse].reshape(h, w)
+    min_depth = next(d for d in (1, 2, 4, 8) if len(palette) <= (1 << d))
+    depth = bit_depth or min_depth
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid paletted bit depth {depth}")
+    if len(palette) > (1 << depth):
+        raise ValueError(
+            f"{len(palette)} colors do not fit in {depth}-bit palette indices"
+        )
+    if depth == 8:
+        raw = idx.astype(np.uint8)
+    else:
+        # pack depth-bit indices MSB-first per scanline byte
+        per = 8 // depth
+        pad_w = (w + per - 1) // per * per
+        padded = np.zeros((h, pad_w), dtype=np.uint8)
+        padded[:, :w] = idx
+        bits = (
+            (padded[:, :, None] >> np.arange(depth - 1, -1, -1)[None, None, :]) & 1
+        ).astype(np.uint8)
+        raw = np.packbits(bits.reshape(h, pad_w * depth), axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(raw, 1, filter_type), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct PNG scanlines from a decompressed filtered stream
+    segment shaped (h, stride + 1) — byte-level, so every bit depth works
+    (``bpp`` = byte distance to the left pixel, ≥ 1).
 
     Filters None/Up are whole-row vector ops; Sub is a strided uint8 cumsum
     (wraparound addition is exactly mod-256 prefix sum); Average/Paeth carry
     an intra-row dependency on the reconstructed left pixel, so those rows
-    walk pixel-by-pixel over ``ch``-byte slices."""
-    stride = w * ch
-    arr = np.frombuffer(data, dtype=np.uint8)
-    if arr.size != h * (stride + 1):
-        raise ValueError(
-            f"PNG stream length {arr.size} != expected {h * (stride + 1)}"
-        )
-    arr = arr.reshape(h, stride + 1)
+    walk pixel-by-pixel over ``bpp``-byte slices."""
+    arr = data.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    n_px = stride // bpp
     for y in range(h):
         ft = int(arr[y, 0])
         row = arr[y, 1:].copy()
         if ft == 0:
             pass
-        elif ft == 1:  # Sub: mod-256 prefix sum along each channel lane
-            row = np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint8).reshape(stride)
+        elif ft == 1:  # Sub: mod-256 prefix sum along each byte lane
+            row = np.cumsum(row.reshape(n_px, bpp), axis=0, dtype=np.uint8).reshape(stride)
         elif ft == 2:  # Up
             row += prev
         elif ft == 3:  # Average
             pr = prev.astype(np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            for x in range(w):
-                i = x * ch
-                row[i : i + ch] = (
-                    row[i : i + ch] + ((left + pr[i : i + ch]) // 2).astype(np.uint8)
+            left = np.zeros(bpp, dtype=np.int16)
+            for x in range(n_px):
+                i = x * bpp
+                row[i : i + bpp] = (
+                    row[i : i + bpp] + ((left + pr[i : i + bpp]) // 2).astype(np.uint8)
                 )
-                left = row[i : i + ch].astype(np.int16)
+                left = row[i : i + bpp].astype(np.int16)
         elif ft == 4:  # Paeth
             pr = prev.astype(np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            upleft = np.zeros(ch, dtype=np.int16)
-            for x in range(w):
-                i = x * ch
-                up = pr[i : i + ch]
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(n_px):
+                i = x * bpp
+                up = pr[i : i + bpp]
                 p = left + up - upleft
                 pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
                 pred = np.where(
                     (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
                 )
-                row[i : i + ch] = row[i : i + ch] + pred.astype(np.uint8)
+                row[i : i + bpp] = row[i : i + bpp] + pred.astype(np.uint8)
                 upleft = up
-                left = row[i : i + ch].astype(np.int16)
+                left = row[i : i + bpp].astype(np.int16)
         else:
             raise ValueError(f"invalid PNG filter type {ft} on row {y}")
         out[y] = row
         prev = row
-    return out.reshape(h, w, ch)
+    return out
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed scanline bytes → (h, w, ch) uint8 samples.
+
+    16-bit samples keep the high byte (the standard 16→8 downscale);
+    sub-byte depths unpack MSB-first and are returned as RAW values
+    (palette indices or small gray levels — the caller scales gray)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[:, :, :, 0]
+    # depth 1/2/4, ch == 1: unpack bits MSB-first, regroup depth bits
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights[None, None, :]).sum(axis=2).astype(np.uint8)[:, :w, None]
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to (h, w, 3) uint8 RGB — gray is
-    channel-broadcast, alpha is dropped. Rejects paletted (color type 3),
-    interlaced, and non-8-bit images with descriptive errors; chunk CRCs
-    are verified."""
+    """Decode a PNG to (h, w, 3) uint8 RGB — gray is channel-broadcast
+    (sub-byte gray levels scale to full range), palette indices look up
+    PLTE, alpha is dropped, 16-bit keeps the high byte. Handles all five
+    color types, bit depths 1/2/4/8/16, and Adam7 interlacing; chunk CRCs
+    are verified and malformed structure is rejected with descriptive
+    errors."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -293,6 +407,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -301,19 +417,60 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunks")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
-    if color_type == 3:
-        raise ValueError("paletted PNG (color type 3) not supported")
-    if color_type not in (0, 2, 4, 6):
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if color_type not in allowed:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if depth not in allowed[color_type]:
+        raise ValueError(
+            f"invalid PNG bit depth {depth} for color type {color_type}"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    img = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, ch)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, ch * depth // 8)
+    stream = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+
+    def row_stride(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        stride = row_stride(w)
+        if stream.size != h * (stride + 1):
+            raise ValueError(
+                f"PNG stream length {stream.size} != expected {h * (stride + 1)}"
+            )
+        img = _rows_to_samples(_png_unfilter(stream, h, stride, bpp), w, ch, depth)
+    else:  # Adam7: seven independently-filtered pass sub-images
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            stride = row_stride(pw)
+            seg = stream[off : off + ph * (stride + 1)]
+            if seg.size != ph * (stride + 1):
+                raise ValueError("truncated Adam7 PNG stream")
+            off += seg.size
+            img[y0::dy, x0::dx] = _rows_to_samples(
+                _png_unfilter(seg, ph, stride, bpp), pw, ch, depth
+            )
+        if off != stream.size:
+            raise ValueError("trailing bytes after final Adam7 pass")
+    if color_type == 3:
+        if int(img.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(img.max())} out of range (PLTE has {len(plte)})"
+            )
+        return plte[img[:, :, 0]]
     if color_type == 0:
+        if depth < 8:  # scale small gray levels to full 8-bit range
+            img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
         return np.repeat(img, 3, axis=2)
     if color_type == 4:  # gray+alpha → broadcast gray, drop alpha
         return np.repeat(img[:, :, :1], 3, axis=2)

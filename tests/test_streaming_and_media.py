@@ -631,8 +631,8 @@ def test_png_codec_roundtrip_all_filters():
     """Real PNG codec (stdlib zlib + numpy): decode reconstructs every
     scanline filter type (the encoder's vectorized forward filters pin the
     decoder's sequential inverse), all four 8-bit color types normalize to
-    RGB, an externally-encoded fixture decodes, and paletted / interlaced /
-    CRC-corrupt payloads are rejected explicitly."""
+    RGB, an externally-encoded fixture decodes, and CRC-corrupt payloads
+    are rejected explicitly."""
     import base64
     import struct
 
@@ -667,23 +667,123 @@ def test_png_codec_roundtrip_all_filters():
     bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         _decode_png(bytes(bad))
-    # paletted + interlaced rejected with descriptive errors
+    # paletted-without-PLTE + bad depth-for-type rejected with descriptive
+    # errors (paletted/interlaced images themselves now DECODE — see
+    # test_png_paletted_interlaced_and_depths)
     p = bytearray(encode_png(grad))
     # IHDR data starts at 8 (sig) + 8 (len+type); color type byte is offset 9 in IHDR
     import zlib as _z
 
     ihdr = bytearray(p[16 : 16 + 13])
-    ihdr[9] = 3  # paletted
+    ihdr[9] = 3  # paletted, but no PLTE chunk present
     p[16 : 16 + 13] = ihdr
     p[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="palett"):
+    with pytest.raises(ValueError, match="PLTE"):
         _decode_png(bytes(p))
     ihdr[9] = 2
-    ihdr[12] = 1  # Adam7
+    ihdr[8] = 4  # depth 4 is invalid for truecolor
     p[16 : 16 + 13] = ihdr
     p[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="bit depth"):
         _decode_png(bytes(p))
+
+
+def test_png_paletted_interlaced_and_depths():
+    """Round-5 PNG widening: Adam7 interlaced encode/decode (independent
+    directions pin each other and must agree with the flat encoding),
+    paletted color type 3 at bit depths 1/2/4/8, sub-byte grayscale with
+    full-range scaling, and 16-bit high-byte downscale. The 16-bit and
+    depth-2 gray payloads are hand-built byte streams (filter 0), NOT
+    products of the encoder — an independent construction of the format."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from piperider_spark.multimodal.media import (
+        _adam7_pass_dims,
+        _decode_png,
+        _png_chunk,
+        encode_png,
+        encode_png_paletted,
+    )
+
+    rng = np.random.default_rng(41)
+    # Adam7 pass grid covers every pixel exactly once at awkward sizes
+    for (w, h) in [(1, 1), (9, 13), (8, 8), (7, 3), (16, 5), (2, 9)]:
+        seen = np.zeros((h, w), dtype=int)
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            seen[y0::dy, x0::dx] += 1
+        assert (seen == 1).all(), (w, h)
+    # interlaced roundtrip == flat roundtrip == original, all color types,
+    # incl. sizes where several passes are empty
+    for (h, w) in [(1, 1), (2, 3), (7, 5), (13, 9), (16, 16), (4, 20)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_png(encode_png(rgb, interlace=True)), rgb)
+    rgba = rng.integers(0, 256, size=(10, 6, 4), dtype=np.uint8)
+    assert np.array_equal(
+        _decode_png(encode_png(rgba, interlace=True)), rgba[:, :, :3]
+    )
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    assert np.array_equal(
+        _decode_png(encode_png(gray, interlace=True)),
+        np.repeat(gray[:, :, None], 3, 2),
+    )
+    # paletted at every legal depth; palette lookup exact, index packing
+    # exercised at sub-byte widths (w=7 forces partial trailing bytes)
+    pal16 = (rng.integers(0, 16, size=(11, 7, 1)) * 17).astype(np.uint8).repeat(3, 2)
+    for d in (4, 8):
+        assert np.array_equal(_decode_png(encode_png_paletted(pal16, bit_depth=d)), pal16)
+    duo = (rng.integers(0, 2, size=(5, 9, 1)) * 255).astype(np.uint8).repeat(3, 2)
+    for d in (1, 2, 4, 8):
+        assert np.array_equal(_decode_png(encode_png_paletted(duo, bit_depth=d)), duo)
+    # palette index out of PLTE range rejected
+    with pytest.raises(ValueError, match="palette index"):
+        bad = encode_png_paletted(pal16, bit_depth=8)
+        # shrink PLTE to 2 entries and re-CRC: indices up to 15 now invalid
+        magic, rest = bad[:8], bad[8:]
+        chunks = []
+        pos = 0
+        while pos < len(rest):
+            (ln,) = struct.unpack(">I", rest[pos : pos + 4])
+            ctype = rest[pos + 4 : pos + 8]
+            data = rest[pos + 8 : pos + 8 + ln]
+            if ctype == b"PLTE":
+                data = data[:6]
+            chunks.append(_png_chunk(ctype, data))
+            pos += 12 + ln
+        _decode_png(magic + b"".join(chunks))
+    # hand-built 16-bit RGB (2x2, filter 0): decoder keeps the high byte
+    hi = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]], np.uint8
+    )
+    raw16 = b""
+    for y in range(2):
+        row = b"\x00"  # filter 0
+        for x in range(2):
+            for c in range(3):
+                row += bytes([hi[y, x, c], 0xAB])  # low byte must be ignored
+        raw16 += row
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw16))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(_decode_png(png16), hi)
+    # hand-built depth-2 grayscale 1x5 (levels 0..3 scale to 0/85/170/255);
+    # 5 two-bit samples pack MSB-first into 2 bytes: 00 01 10 11 | 00 ...
+    packed = bytes([0b00011011, 0b00000000])
+    ihdr = struct.pack(">IIBBBBB", 5, 1, 2, 0, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + packed))
+        + _png_chunk(b"IEND", b"")
+    )
+    want = np.repeat(np.array([[0, 85, 170, 255, 0]], np.uint8)[:, :, None], 3, 2)
+    assert np.array_equal(_decode_png(png2), want)
 
 
 def test_png_through_spark_pipeline_mixed_auto(spark):
