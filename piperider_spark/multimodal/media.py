@@ -8,10 +8,12 @@ payload opaque, metadata typed.
 The Spark-side plumbing — schema handling, partition-sized batch iteration
 through ``mapInPandas``, UDF signatures, output shapes — is real and
 tested. Real codecs implemented here with stdlib+numpy only: **PNG**
-(zlib inflate + all five scanline filters), **BMP** (24/32-bit
-uncompressed), **WAV** (PCM-16) and **AVI** (RIFF container,
-uncompressed DIB frames) — genuinely end-to-end over formats external
-tools produce and play. JPEG/mp3/compressed-video remain documented
+(zlib inflate + all five scanline filters, every color type / bit depth,
+Adam7), **GIF** (variable-width LZW both directions, interlace,
+transparency), **BMP** (24/32-bit uncompressed), **WAV** (PCM-16) and
+**AVI** (RIFF container, uncompressed DIB frames) — genuinely
+end-to-end over formats external tools produce and play.
+JPEG/mp3/compressed-video remain documented
 NotImplementedError seams (entropy decoders need PIL/cv2/av, absent in
 this container); a deterministic fake codec covers their pipeline shape.
 A real deployment swaps ``_CODECS['image']`` for a PIL/turbojpeg call —
@@ -477,13 +479,269 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, :3])
 
 
+# ---- REAL codec: GIF (87a/89a) — pure stdlib+numpy, including a genuine
+# variable-width LZW coder in both directions. The decoder handles global
+# and local color tables, the 4-pass row interlace, transparency via the
+# Graphic Control Extension (transparent pixels composite over the
+# background color for a still decode), and skips all other extensions;
+# the encoder emits a single-frame GIF87a with a first-appearance-order
+# global color table and real LZW output (dictionary resets on overflow,
+# per the spec). Encoder and decoder are independently written and pin
+# each other in roundtrip tests.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    LSB-first bit packing, CLEAR resets the dictionary, width grows when
+    the next code would not fit (capped at 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    # bitstream as one integer cursor over LSB-first packed codes
+    bits = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without END code")
+            bits |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW first code {code} out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table ({len(table)})")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_decode`: greedy longest-match dictionary
+    build keyed on (prefix_code, next_byte); emits CLEAR and resets when
+    the table hits 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bits = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = clear + 2
+    emit(clear, width)
+    prev = -1
+    for b in indices.tolist():
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev, b)
+        if key in table:
+            prev = table[key]
+            continue
+        emit(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = clear + 2
+            width = min_code_size + 1
+        prev = b
+    if prev >= 0:
+        emit(prev, width)
+    emit(end, width)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def _gif_color_table(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(palette, (h, w) index raster) in first-appearance order; raises a
+    descriptive error beyond 256 colors (this encoder does not quantize)."""
+    h, w, _ = img.shape
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF encoding needs <=256 colors, image has {len(colors)} "
+            "(quantize first; resize of a GIF input keeps its palette subset)"
+        )
+    first_pos = np.full(len(colors), len(flat), dtype=np.int64)
+    np.minimum.at(first_pos, inverse, np.arange(len(flat)))
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return colors[order], rank[inverse].reshape(h, w)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (≤256 unique colors) as a
+    single-frame non-interlaced GIF87a with a global color table."""
+    h, w, _ = img.shape
+    palette, idx = _gif_color_table(img)
+    bits = max(1, int(len(palette) - 1).bit_length())  # GCT size field: 2^(n+1) entries
+    table = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code_size = max(2, bits)
+    lzw = _lzw_encode(idx.reshape(-1).astype(np.int64), min_code_size)
+    sub_blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + table.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code_size])
+        + sub_blocks
+        + b"\x00\x3b"
+    )
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first image frame of a GIF87a/89a to (h, w, 3) uint8 RGB.
+
+    Composites the frame onto the logical screen (background color fill),
+    honors a local color table and the interlace flag, and treats a GCE
+    transparent index as 'keep the background pixel'. Non-image extension
+    blocks are skipped by their sub-block structure."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg_idx, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = -1
+
+    def skip_sub_blocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = payload[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            if label == 0xF9:  # Graphic Control Extension
+                flags = payload[pos + 3]
+                if flags & 0x01:
+                    transparent = payload[pos + 6]
+            pos = skip_sub_blocks(pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has no color table (global or local)")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(payload[pos : pos + ln])
+            pos += ln
+        indices = np.array(
+            _lzw_decode(b"".join(chunks), min_code_size), dtype=np.int64
+        )
+        if indices.size != fw * fh:
+            raise ValueError(
+                f"GIF frame decoded {indices.size} pixels, expected {fw * fh}"
+            )
+        if int(indices.max(initial=0)) >= len(table):
+            raise ValueError("GIF pixel index out of color-table range")
+        frame = indices.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinterlaced = np.empty_like(frame)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, fh, step))
+                deinterlaced[start::step] = frame[src : src + n_rows]
+                src += n_rows
+            frame = deinterlaced
+        # composite the first frame onto the logical screen
+        screen_bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) else np.zeros(3, np.uint8)
+        screen = np.tile(screen_bg.astype(np.uint8), (sh, sw, 1))
+        rgb = table[frame]
+        if transparent >= 0:
+            mask = frame != transparent
+            region = screen[top : top + fh, left : left + fw]
+            region[mask] = rgb[mask]
+        else:
+            screen[top : top + fh, left : left + fw] = rgb
+        return screen
+    raise ValueError("GIF contains no image frame")
+
+
 def _decode_image_auto(payload: bytes) -> np.ndarray:
-    """Magic-sniffing dispatch: PNG, BMP and the fake codec decode for
-    real; JPEG falls through to the documented NotImplementedError seam."""
+    """Magic-sniffing dispatch: PNG, BMP, GIF and the fake codec decode
+    for real; JPEG falls through to the documented NotImplementedError
+    seam."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:6] in _GIF_MAGICS:
+        return _decode_gif(payload)
     if payload[:4] == _FAKE_MAGIC:
         return _decode_fake_image(payload)
     return _decode_real_image(payload)
@@ -493,6 +751,7 @@ _CODECS = {
     "fake": _decode_fake_image,
     "bmp": _decode_bmp,
     "png": _decode_png,
+    "gif": _decode_gif,
     "auto": _decode_image_auto,
     "image": _decode_real_image,
 }
@@ -560,6 +819,8 @@ def _encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "png":
         return encode_png(img)
+    if fmt == "gif":
+        return encode_gif(img)
     h, w, _ = img.shape
     return _FAKE_MAGIC + struct.pack("<II", w, h) + np.ascontiguousarray(img).tobytes()
 
@@ -569,6 +830,8 @@ def _sniff_image_format(payload: bytes) -> str:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in _GIF_MAGICS:
+        return "gif"
     return "fake"
 
 
@@ -579,10 +842,13 @@ def resize_images(
     the input codec family: 'bmp'/'png' inputs re-encode in their own real
     format (so resized payloads stay readable by any image tool); with
     ``codec='auto'`` the output format is sniffed per payload from its
-    magic (PNG→PNG, BMP→BMP, else fake), so mixed-format batches each keep
-    their native encoding; everything else emits the fake-codec format."""
+    magic (PNG→PNG, BMP→BMP, GIF→GIF, else fake), so mixed-format batches
+    each keep their native encoding; everything else emits the fake-codec
+    format. GIF re-encode never needs a quantizer here: nearest-neighbour
+    sampling picks existing pixels, so the output palette is a subset of
+    the input's."""
     decode = _CODECS[codec]
-    if out_codec is None and codec in ("bmp", "png"):
+    if out_codec is None and codec in ("bmp", "png", "gif"):
         out_codec = codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -786,6 +786,116 @@ def test_png_paletted_interlaced_and_depths():
     assert np.array_equal(_decode_png(png2), want)
 
 
+def test_gif_codec_roundtrip_interlace_and_fixture():
+    """Real GIF codec (pure stdlib+numpy LZW both directions): palette
+    roundtrips at sizes forcing code-width growth AND a dictionary reset,
+    a hand-built external fixture (the classic 1x1 transparent tracking
+    pixel) decodes against the spec, interlaced and local-color-table
+    variants decode, and >256-color input is rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from piperider_spark.multimodal.media import _decode_gif, encode_gif
+
+    rng = np.random.default_rng(43)
+    # small roundtrips across palette sizes (code width 3..8 bits)
+    for n_colors, (h, w) in [(2, (1, 1)), (5, (7, 9)), (16, (12, 16)), (200, (20, 30))]:
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, n_colors, size=(h, w))]
+        assert np.array_equal(_decode_gif(encode_gif(img)), img)
+    # 128x96 random 16-color: ~12k pixels of noise grows the LZW table to
+    # 4096 and exercises the CLEAR/reset path in encoder and decoder
+    pal = (rng.integers(0, 16, size=(16, 3)) * 17).astype(np.uint8)
+    big = pal[rng.integers(0, 16, size=(128, 96))]
+    assert np.array_equal(_decode_gif(encode_gif(big)), big)
+    # external fixture: 1x1 GIF89a tracking pixel (white/black GCT, GCE
+    # transparency on index 0) — transparent pixel keeps the background
+    # color (GCT[bg_idx]=white). Hand-assembled bytes, not encoder output.
+    pixel = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    assert np.array_equal(_decode_gif(pixel), np.full((1, 1, 3), 255, np.uint8))
+    # interlaced: encode the rows pre-permuted into GIF's 4-pass stream
+    # order, then set the interlace flag — the decoder must un-permute
+    img = pal[rng.integers(0, 16, size=(13, 8))]
+    permuted = np.concatenate([img[0::8], img[4::8], img[2::4], img[1::2]])
+    buf = bytearray(encode_gif(permuted))
+    gct_len = 3 * (2 << (buf[10] & 0x07))
+    desc = 13 + gct_len  # image separator 0x2c
+    assert buf[desc] == 0x2C
+    buf[desc + 9] |= 0x40
+    assert np.array_equal(_decode_gif(bytes(buf)), img)
+    # local color table: move the GCT into the frame (clear LSD flag,
+    # set descriptor flag, relocate the table bytes after the descriptor)
+    buf = bytearray(encode_gif(img))
+    bits = buf[10] & 0x07
+    gct_len = 3 * (2 << bits)
+    table = bytes(buf[13 : 13 + gct_len])
+    lsd_packed = buf[10] & ~0x80
+    desc_packed = buf[13 + gct_len + 9] | 0x80 | bits  # same size field as the LSD carried
+    lct_gif = (
+        bytes(buf[:10]) + bytes([lsd_packed]) + bytes(buf[11:13])
+        + bytes(buf[13 + gct_len : 13 + gct_len + 9]) + bytes([desc_packed])
+        + table + bytes(buf[13 + gct_len + 10 :])
+    )
+    assert np.array_equal(_decode_gif(lct_gif), img)
+    # >256 colors rejected with the no-quantizer message
+    i = np.arange(18 * 18, dtype=np.uint32)  # 324 distinct (r, g) pairs
+    grad = np.stack([i & 0xFF, i >> 8, np.zeros_like(i)], axis=1).reshape(18, 18, 3)
+    with pytest.raises(ValueError, match="256 colors"):
+        encode_gif(grad.astype(np.uint8))
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"JUNK")
+
+
+def test_gif_through_spark_pipeline_auto(spark):
+    """GIF payloads through the mapInPandas pipeline under codec='auto',
+    mixed with PNG in one batch: features match the numpy oracle and
+    resize keeps each row's native format — GIF re-encode works without a
+    quantizer because nearest-neighbour output is a palette subset."""
+    import numpy as np
+
+    from piperider_spark.multimodal.media import (
+        _decode_gif,
+        _decode_png,
+        encode_gif,
+        encode_png,
+        extract_image_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    imgs = {i: pal[rng.integers(0, 32, size=(12, 16))] for i in range(4)}
+    payloads = {
+        i: (encode_gif(img) if i % 2 == 0 else encode_png(img))
+        for i, img in imgs.items()
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()], "id long, media binary"
+    )
+    feats = {r.id: r for r in extract_image_features(df, codec="auto").collect()}
+    for i, img in imgs.items():
+        assert (feats[i].width, feats[i].height) == (16, 12)
+        assert abs(feats[i].mean_g - img[:, :, 1].mean()) < 1e-3
+    resized = {r.id: r for r in resize_images(df, 8, 6, codec="auto").collect()}
+    yi = (np.arange(6) * 12 // 6).clip(0, 11)
+    xi = (np.arange(8) * 16 // 8).clip(0, 15)
+    for i, img in imgs.items():
+        buf = bytes(resized[i].media)
+        if i % 2 == 0:
+            assert buf[:6] in (b"GIF87a", b"GIF89a")  # stayed GIF
+            out = _decode_gif(buf)
+        else:
+            assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+            out = _decode_png(buf)
+        assert np.array_equal(out, img[np.ix_(yi, xi)])
+
+
 def test_png_through_spark_pipeline_mixed_auto(spark):
     """PNG payloads through the full mapInPandas pipeline, mixed with BMP in
     one batch under codec='auto': features match the numpy oracle and
