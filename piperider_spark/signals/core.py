@@ -516,8 +516,10 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     """Vectorized char-bigram perplexity. Rows with <2 usable chars -> 1.0.
 
     The whole batch is cleaned byte-level (:func:`_ppl_clean_bytes`) and
-    scored as one flat numpy array with row-boundary masking +
-    ``np.add.reduceat`` — no per-row Python loop. Content NULs are
+    scored as one flat numpy array with row-boundary masking + a per-row
+    ``np.bincount`` accumulation — no per-row Python loop, and each row's
+    float accumulation order is fixed regardless of what shares the batch
+    (scores are partition-independent by construction). Content NULs are
     pre-mapped to spaces, which the spec does anyway (any non-[a-z ] run →
     one space; splitting a run with a space collapses back to one space),
     so they can't masquerade as row separators.
@@ -554,11 +556,15 @@ def _ppl_score(idx: np.ndarray, lengths: np.ndarray, n: int, index) -> pd.Series
         lp[:-1] = _BIGRAM_LP_FLAT32[code]
     lp[ends - 1] = 0.0  # last char of each row starts no bigram
 
-    # per-row sums; reduceat needs strictly valid offsets (empty rows share
-    # offsets with their successor — reduceat handles equal offsets by
-    # returning the element there, so zero those rows after).
-    offsets = np.minimum(starts, len(idx) - 1)
-    rowsum = np.add.reduceat(lp, offsets) if len(idx) else np.zeros(n)
+    # per-row sums via bincount: a single in-order pass that accumulates each
+    # row's own lp values sequentially into a float64 slot. The result for a
+    # row depends ONLY on that row's elements and their order — NOT on batch
+    # composition. (np.add.reduceat is pairwise over float32: the pairing
+    # tree changes with segment length, so the offset clamp for trailing
+    # empty rows shifted row sums by 1 ulp depending on the rows that
+    # happened to share the batch — a partition-dependent score.)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    rowsum = np.bincount(row_ids, weights=lp, minlength=n)
     nbig = np.maximum(lengths - 1, 0)
     rowsum = np.where(nbig > 0, rowsum, 0.0)
     ppl = np.where(nbig > 0, np.exp(-rowsum / np.maximum(nbig, 1)), 1.0)
