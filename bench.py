@@ -514,7 +514,13 @@ def main() -> None:
     warm_path = str(REPO / ".bench_cache" / f"profiler_warm_sf{sf}.parquet")
     if not os.path.exists(warm_path):
         li.limit(60000).write.mode("overwrite").parquet(warm_path)
-    profile_table(spark.read.parquet(warm_path), "warm")
+    # Two warm passes: the first tiers the hot loops to C2, but itself
+    # triggers compilation mid-run that leaves some units interpreted; a
+    # second pass runs fully compiled (r5 A/B: first timed run 5.85 s after
+    # one warm pass vs 5.45 s after two; steady state 4.5 s).
+    warm_df = spark.read.parquet(warm_path)
+    profile_table(warm_df, "warm")
+    profile_table(warm_df, "warm")
     t0 = time.time()
     profile_table(li, "lineitem")
     timings["profiler_lineitem_full"] = round(time.time() - t0, 3)

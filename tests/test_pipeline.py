@@ -383,3 +383,35 @@ def test_resume_true_with_changed_input_reprocesses(spark, tmp_path):
     r = run_pipeline(spark, inp_b, out, n_buckets=2)  # resume=True default
     assert r.buckets_processed == 2 and r.buckets_skipped == 0
     assert spark.read.parquet(out + "/decisions").count() == len(b)
+
+
+def test_decisions_partition_and_batch_invariant(spark, transcripts_pdf, spark_result):
+    """Every per-turn output (keep, reasons, lang, ppl, scrubbed text) must be
+    byte-identical no matter how rows are partitioned or how Arrow slices
+    them into UDF batches — a turn's score may depend only on that turn.
+
+    Regression pin for the perplexity batch-composition bug: the old
+    np.add.reduceat row sums were pairwise float32 over segments whose
+    length shifted by one when a trailing empty/NULL row shared the batch,
+    so the same text scored 1 ulp differently per partitioning.
+    """
+    df = spark.createDataFrame(transcripts_pdf)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        # tiny Arrow batches + a skewed repartition: maximally different
+        # batch composition from the module fixture's default run
+        spark.conf.set(key, "37")
+        got = (
+            build_decisions(df.repartition(17, "turn_idx"))
+            .select("conv_id", "turn_idx", "keep", "reasons", "text_scrubbed", "lang", "ppl")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    pd.testing.assert_frame_equal(got, spark_result, check_exact=True)
