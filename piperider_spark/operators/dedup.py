@@ -790,3 +790,100 @@ def corpus_line_dedup(
         F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
         F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conversation-grain dedup (transcripts: one logical document per conv_id)
+# ---------------------------------------------------------------------------
+
+
+def conversation_text(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Roll a turn-grain transcripts table up to one row per conversation:
+    ``(conv_col, conv_text, n_turns)`` with turn texts concatenated in
+    stable ``turn_idx`` order — the same ordering invariant the scrub
+    contract relies on.
+
+    Dedup at the *conversation* grain is what a training pipeline wants for
+    multi-turn data: re-posted/forked conversations duplicate whole
+    transcripts, while turn-grain fingerprints can't see that (every short
+    "hello" turn collides; whole-conversation texts don't).
+
+    Scale shape: ONE shuffle on ``conv_col``. collect_list partial-aggregates
+    map-side, so each task ships ~one partial row per conversation; turn
+    order is restored inside the reduce slot by ``array_sort`` over
+    ``(turn_idx, text)`` structs — no window, no secondary-sort exchange.
+    ``max_turns`` truncates pathological conversations AFTER the sort (the
+    dedup signal saturates long before 10^4 turns; the cap bounds row width
+    the same way ``max_bucket_size`` bounds LSH buckets). NULL turn texts
+    concatenate as empty strings so a NULL never erases its neighbours'
+    separator positions.
+    """
+    struct_col = F.struct(
+        F.col(turn_idx_col).alias("i"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    ordered = F.array_sort(F.collect_list(struct_col))
+    if max_turns is not None:
+        ordered = F.slice(ordered, 1, max_turns)
+    return df.groupBy(F.col(conv_col)).agg(
+        F.array_join(F.transform(ordered, lambda s: s["t"]), sep).alias("conv_text"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conversation_exact_dup_groups(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exactly-duplicated conversations: fingerprint groups with >1 member
+    over the stable-order concatenated transcript —
+    ``(fp, n_convs, min_conv_id)``. Composition: :func:`conversation_text`
+    → :func:`exact_dup_groups`; two shuffles total (the conv rollup, then
+    the 16-byte fingerprint groupBy)."""
+    convs = conversation_text(df, conv_col, turn_idx_col, text_col)
+    return (
+        exact_dup_groups(convs, id_col=conv_col, text_col="conv_text")
+        .withColumnsRenamed({"n_docs": "n_convs", "min_doc_id": "min_conv_id"})
+    )
+
+
+def conversation_near_dup_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_idx_col: str = "turn_idx",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    max_turns: int | None = 512,
+) -> DataFrame:
+    """Near-duplicate conversation pairs: MinHash+LSH over whole-transcript
+    text in stable turn order, delegating to :func:`minhash_lsh_pairs` —
+    mining, bucket caps, and the exact-Jaccard verify are identical, and
+    the eager-materialization contract is inherited (the result is computed
+    when this returns; the internal shingle cache is already released).
+    Output ids (``id_a``/``id_b``) are conv_ids, ordered lexically."""
+    convs = conversation_text(
+        df, conv_col, turn_idx_col, text_col, max_turns=max_turns
+    )
+    return minhash_lsh_pairs(
+        convs,
+        id_col=conv_col,
+        text_col="conv_text",
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        k=k,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )

@@ -1164,3 +1164,83 @@ def test_ivf_centroids_lazy_and_memoized():
     # the oracle SQL embeds the same trained literals
     sql = qmod2.oracle_sql()["ivf_topk_embeddings"]
     assert repr(float(c1[0][0])) in sql
+
+
+# ---------------------------------------------------------------------------
+# conversation-grain dedup
+# ---------------------------------------------------------------------------
+
+
+def _transcripts_df(spark):
+    base = [
+        "hello there how can i help you today",
+        "i need to reset my password for the billing portal",
+        "sure i can walk you through the reset flow step by step",
+    ]
+    rows = []
+    # conv a: canonical. conv b: exact copy (turns delivered in REVERSE input
+    # order — rollup must restore turn_idx order). conv c: near copy (one
+    # word changed in the last turn). conv d: unrelated.
+    for i, t in enumerate(base):
+        rows.append(("conv_a", i, t))
+    for i, t in reversed(list(enumerate(base))):
+        rows.append(("conv_b", i, t))
+    near = base[:2] + ["sure i can walk you through the recovery flow step by step"]
+    for i, t in enumerate(near):
+        rows.append(("conv_c", i, t))
+    rows += [
+        ("conv_d", 0, "the quarterly report numbers look completely different"),
+        ("conv_d", 1, "revenue is up but churn doubled in the enterprise tier"),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def test_conversation_text_stable_order_and_null_handling(spark):
+    df = _transcripts_df(spark)
+    out = {r.conv_id: r for r in dedup.conversation_text(df).collect()}
+    # reverse-delivered conv_b concatenates identically to conv_a
+    assert out["conv_a"].conv_text == out["conv_b"].conv_text
+    assert out["conv_a"].n_turns == 3
+    assert out["conv_a"].conv_text.split("\n")[1].startswith("i need to reset")
+    # NULL turn text -> empty string slot, separators preserved
+    withnull = spark.createDataFrame(
+        [("x", 0, "a"), ("x", 1, None), ("x", 2, "c")],
+        "conv_id string, turn_idx int, text string",
+    )
+    row = dedup.conversation_text(withnull).collect()[0]
+    assert row.conv_text == "a\n\nc"
+    # max_turns truncates AFTER the sort
+    trunc = dedup.conversation_text(df, max_turns=2).where("conv_id = 'conv_b'")
+    assert trunc.collect()[0].conv_text == "\n".join(
+        ["hello there how can i help you today",
+         "i need to reset my password for the billing portal"]
+    )
+
+
+def test_conversation_exact_dup_groups(spark):
+    groups = dedup.conversation_exact_dup_groups(_transcripts_df(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0].n_convs == 2
+    assert groups[0].min_conv_id == "conv_a"
+
+
+def test_conversation_near_dup_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.conversation_near_dup_pairs(
+            _transcripts_df(spark), threshold=0.5
+        ).collect()
+    }
+    assert pairs[("conv_a", "conv_b")] == 1.0  # exact dup pair verifies at 1.0
+    assert ("conv_a", "conv_c") in pairs or ("conv_b", "conv_c") in pairs
+    near = pairs.get(("conv_a", "conv_c"), pairs.get(("conv_b", "conv_c")))
+    assert 0.5 <= near < 1.0
+    assert not any("conv_d" in p for p in pairs)  # unrelated conv never pairs
+
+
+def test_conversation_text_single_exchange_plan(spark):
+    """The rollup is ONE shuffle on conv_id — no window/secondary-sort
+    exchange (order restored by array_sort inside the aggregate)."""
+    plan = dedup.conversation_text(_transcripts_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
