@@ -848,8 +848,13 @@ def conversation_exact_dup_groups(
     over the stable-order concatenated transcript —
     ``(fp, n_convs, min_conv_id)``. Composition: :func:`conversation_text`
     → :func:`exact_dup_groups`; two shuffles total (the conv rollup, then
-    the 16-byte fingerprint groupBy)."""
-    convs = conversation_text(df, conv_col, turn_idx_col, text_col)
+    the 16-byte fingerprint groupBy).
+
+    Turns are joined with ``\\x1e`` (record separator), not whitespace:
+    ``fingerprint`` collapses whitespace runs, so a newline separator would
+    make ["a", "b"] collide with the one-turn conversation "a b" — \\x1e
+    survives the normalization and keeps turn boundaries in the key."""
+    convs = conversation_text(df, conv_col, turn_idx_col, text_col, sep="\x1e")
     return (
         exact_dup_groups(convs, id_col=conv_col, text_col="conv_text")
         .withColumnsRenamed({"n_docs": "n_convs", "min_doc_id": "min_conv_id"})

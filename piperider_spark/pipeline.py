@@ -181,6 +181,7 @@ def run_pipeline(
     wave_buckets: int = 8,
     conv_rollup: bool = False,
     conv_min_keep_frac: float = 0.5,
+    conv_dedup: bool = False,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -192,7 +193,21 @@ def run_pipeline(
       conversations/  (when ``conv_rollup``) conversation-grain stats +
                       conversation-level keep — partitioned by bucket, same
                       idempotent dynamic-overwrite contract as metrics
-    """
+      dup_convs/      (when ``conv_dedup``) the dropped duplicate
+                      conversations (conv_id, canonical_conv_id, fp,
+                      group_size) — the audit record of what dedup removed
+
+    ``conv_dedup`` drops exactly-duplicated conversations (stable-turn-order
+    transcript fingerprint, \\x1e-joined so turn boundaries stay in the key)
+    before the keep/drop rules run: only the lexically-first conv_id of each
+    duplicate group flows into decisions/. The duplicate list is computed
+    ONCE per staging (one conversation rollup + one 16-byte fingerprint
+    groupBy over the staged corpus), written partitioned by bucket, and each
+    wave anti-joins only its own buckets' slice — the join stays pruned and
+    AQE broadcasts it when small, so dedup adds no per-wave full-corpus work.
+    Lineage rows record the flag: resuming with a different ``conv_dedup``
+    setting reprocesses buckets rather than mixing deduped and non-deduped
+    decisions in one output."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -200,6 +215,7 @@ def run_pipeline(
     metrics_path = os.path.join(output_dir, "metrics")
     lineage_path = os.path.join(output_dir, "lineage")
     staged_path = os.path.join(output_dir, "staged")
+    dup_convs_path = os.path.join(output_dir, "dup_convs")
 
     # Stage the input ONCE, partitioned by bucket, so every wave (and every
     # resume) prunes to its bucket directories at the scan. The previous
@@ -238,9 +254,43 @@ def run_pipeline(
         # put zero rows in a bucket the old input populated.
         import shutil
 
-        for stale in (lineage_path, decisions_path, metrics_path):
+        for stale in (lineage_path, decisions_path, metrics_path, dup_convs_path):
             shutil.rmtree(stale, ignore_errors=True)
     src = spark.read.parquet(staged_path)
+
+    dup_schema = (
+        "conv_id string, canonical_conv_id string, fp string, "
+        "group_size long, bucket int"
+    )
+    if conv_dedup and not os.path.exists(os.path.join(dup_convs_path, "_SUCCESS")):
+        # ONE corpus-wide pass per staging: conversation rollup (single
+        # shuffle on conv_id, map-side partial collect_list) + fingerprint
+        # groupBy on a 16-byte key + join back. bucket is recomputed from
+        # conv_id (pure function), so the sidecar partitions align with the
+        # staged input and each wave reads only its own directories.
+        from piperider_spark.functions.text import fingerprint
+        from piperider_spark.operators.dedup import conversation_text
+
+        convs = conversation_text(src, sep="\x1e").select(
+            "conv_id", fingerprint("conv_text").alias("fp")
+        )
+        stats = convs.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("conv_id").alias("canonical_conv_id"),
+        )
+        (
+            convs.join(stats, "fp")
+            .where(
+                (F.col("group_size") > 1)
+                & (F.col("conv_id") != F.col("canonical_conv_id"))
+            )
+            .select("conv_id", "canonical_conv_id", "fp", "group_size")
+            .withColumn("bucket", _bucket_col(n_buckets))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dup_convs_path)
+        )
 
     done: set[int] = set()
     if resume and os.path.isdir(lineage_path):
@@ -248,18 +298,39 @@ def run_pipeline(
             # mergeSchema: lineage written before the conv_rollup column
             # existed must still read (missing column ⇒ null ⇒ no rollup)
             lin = spark.read.option("mergeSchema", "true").parquet(lineage_path)
-            if conv_rollup:
-                # A bucket only counts as done if its lineage row proves the
-                # conversations/ output was produced too — resuming a
-                # rollup-enabled run over rollup-less lineage must reprocess
-                # those buckets, or conversations/ silently ends up partial
-                # (the writes are idempotent dynamic overwrites, so
-                # reprocessing is safe).
-                if "conv_rollup" in lin.columns:
-                    lin = lin.where(F.col("conv_rollup") == True)  # noqa: E712
-                else:
-                    lin = lin.where(F.lit(False))
-            done = {r["bucket"] for r in lin.select("bucket").distinct().collect()}
+
+            def _flag(name: str) -> F.Column:
+                # lineage written before a column existed reads as absent /
+                # null under mergeSchema — treat as "flag was off"
+                if name in lin.columns:
+                    return F.coalesce(F.col(name), F.lit(False))
+                return F.lit(False)
+
+            ts_col = (
+                F.coalesce(F.col("ts"), F.lit(0.0))
+                if "ts" in lin.columns
+                else F.lit(0.0)
+            )
+            # Judge each bucket by its LATEST lineage row only: lineage is
+            # append-only, so after a flag flip (e.g. conv_dedup on → off →
+            # on) BOTH flag values exist for a bucket, but decisions/ holds
+            # only the most recent processing's content. A bucket is done
+            # iff that latest processing used the same conv_dedup flag
+            # (dedup changes decision rows themselves) and, when
+            # conv_rollup is requested, also produced the rollup output.
+            last = lin.groupBy("bucket").agg(
+                F.max_by(
+                    F.struct(
+                        _flag("conv_rollup").alias("r"),
+                        _flag("conv_dedup").alias("d"),
+                    ),
+                    ts_col,
+                ).alias("s")
+            )
+            ok = (F.col("s.d") == F.lit(conv_dedup)) & (
+                F.col("s.r") | F.lit(not conv_rollup)
+            )
+            done = {r["bucket"] for r in last.where(ok).collect()}
         except Exception:
             done = set()
 
@@ -273,6 +344,19 @@ def run_pipeline(
         t0 = time.time()
         # partition-column predicate → directory pruning at the scan
         part = src.where(F.col("bucket").isin(wave))
+        if conv_dedup:
+            # explicit schema: a dup-free corpus writes a file-less sidecar
+            # (only _SUCCESS), which schema inference cannot read
+            dup_wave = (
+                spark.read.schema(dup_schema)
+                .parquet(dup_convs_path)
+                .where(F.col("bucket").isin(wave))
+                .select("conv_id")
+            )
+            # left-anti on conv_id: both sides pruned to this wave's
+            # buckets; no broadcast hint — the dup list is usually tiny
+            # (AQE broadcasts it) but is corpus-shaped in the worst case
+            part = part.join(dup_wave, "conv_id", "left_anti")
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -331,8 +415,9 @@ def run_pipeline(
 
         elapsed = int((time.time() - t0) * 1000)
         lineage_rows = spark.createDataFrame(
-            [(run_id, b, elapsed, conv_rollup) for b in wave],
-            "run_id string, bucket int, elapsed_ms long, conv_rollup boolean",
+            [(run_id, b, elapsed, conv_rollup, conv_dedup, time.time()) for b in wave],
+            "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
+            "conv_dedup boolean, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -374,6 +459,12 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         action="store_true",
         help="also write conversations/ (conversation-grain stats + keep)",
     )
+    p.add_argument(
+        "--conv-dedup",
+        action="store_true",
+        help="drop exactly-duplicated conversations before the rules run "
+        "(dropped list written to dup_convs/)",
+    )
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -384,6 +475,7 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         n_buckets=args.buckets,
         resume=not args.no_resume,
         conv_rollup=args.conv_rollup,
+        conv_dedup=args.conv_dedup,
     )
     print(json.dumps(res.__dict__))
 

@@ -415,3 +415,63 @@ def test_decisions_partition_and_batch_invariant(spark, transcripts_pdf, spark_r
         else:
             spark.conf.set(key, old)
     pd.testing.assert_frame_equal(got, spark_result, check_exact=True)
+
+
+def test_conv_dedup_stage_and_flag_flip_resume(spark, transcripts_pdf, tmp_path):
+    """conv_dedup drops exact-duplicate conversations before the rules run,
+    records them in dup_convs/, and the lineage latest-row check reprocesses
+    buckets whenever the flag differs from the bucket's LAST processing —
+    including the on → off → on flip, where stale on-rows would otherwise
+    mark buckets done against non-deduped decisions content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = transcripts_pdf.copy()
+    dup_src = sorted(pdf["conv_id"].unique())[:3]
+    copies = pdf[pdf["conv_id"].isin(dup_src)].copy()
+    copies["conv_id"] = copies["conv_id"] + "_copy"  # lexically after source
+    both = pd.concat([pdf, copies], ignore_index=True)
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), inp)
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, conv_dedup=True)
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    got_convs = {r.conv_id for r in dec.select("conv_id").distinct().collect()}
+    assert got_convs == set(pdf["conv_id"].unique())  # copies dropped, sources kept
+    assert dec.count() == len(pdf)
+
+    dup_rows = spark.read.parquet(f"{out}/dup_convs").collect()
+    assert {r.conv_id for r in dup_rows} == {c + "_copy" for c in dup_src}
+    assert all(r.canonical_conv_id == r.conv_id[: -len("_copy")] for r in dup_rows)
+    assert all(r.group_size == 2 for r in dup_rows)
+
+    # same flag resumes clean
+    r2 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, conv_dedup=True)
+    assert (r2.buckets_processed, r2.buckets_skipped) == (0, 4)
+
+    # flag off: every bucket's latest lineage row says dedup -> reprocess all
+    r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, conv_dedup=False)
+    assert r3.buckets_processed == 4
+    assert spark.read.parquet(r1.decisions_path).count() == len(both)
+
+    # flip BACK on: stale dedup rows exist for every bucket, but each
+    # bucket's latest row says non-dedup -> must reprocess, not skip
+    r4 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, conv_dedup=True)
+    assert r4.buckets_processed == 4
+    assert spark.read.parquet(r1.decisions_path).count() == len(pdf)
+
+
+def test_conv_dedup_dup_free_corpus(spark, transcripts_pdf, tmp_path):
+    """A corpus with no duplicate conversations writes a file-less sidecar;
+    the explicit-schema read keeps the anti-join a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp)
+    out = str(tmp_path / "out")
+    r = run_pipeline(spark, inp, out, n_buckets=2, conv_dedup=True)
+    assert r.buckets_processed == 2
+    assert spark.read.parquet(r.decisions_path).count() == len(transcripts_pdf)
