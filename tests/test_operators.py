@@ -1244,3 +1244,28 @@ def test_conversation_text_single_exchange_plan(spark):
     plan = dedup.conversation_text(_transcripts_df(spark))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_conversation_text_input_order_and_partition_invariant(spark):
+    """The rollup must be a pure function of the (conv_id, turn_idx, text)
+    multiset — input row order, partitioning, and even duplicate turn_idx
+    rows (array_sort ties broken by the struct's text field) may not change
+    any conversation's concatenation."""
+    import random
+
+    rnd = random.Random(41)
+    rows = []
+    for c in range(30):
+        for i in range(rnd.randint(1, 12)):
+            rows.append((f"c{c:02d}", i, f"turn {i} of conversation {c} " * rnd.randint(1, 3)))
+    rows.append(("c00", 1, "a tied turn_idx row"))  # deterministic tie-break by text
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    def snap(frame):
+        return {r.conv_id: (r.conv_text, r.n_turns) for r in dedup.conversation_text(frame).collect()}
+
+    base = snap(df)
+    assert snap(df.orderBy(F.rand(7))) == base
+    assert snap(df.repartition(17)) == base
+    assert snap(df.coalesce(1)) == base
