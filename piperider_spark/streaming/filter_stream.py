@@ -411,6 +411,53 @@ def stream_near_dup_verified(
     )
 
 
+def stream_conversation_rollup(
+    decisions: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    min_keep_frac: float = 0.5,
+) -> DataFrame:
+    """Conversation-grain keep decisions over a *stream* of per-turn
+    decisions — the streaming twin of ``pipeline.conversation_rollup``.
+
+    A conversation is "complete" when no turn has arrived for ``gap`` of
+    event time: ``session_window(ts, gap)`` keyed by conv_id merges turns
+    into per-conversation sessions, and append mode emits each session's
+    rollup exactly once, when the watermark passes its end. Aggregates and
+    the keep policy (kept-turn fraction ≥ ``min_keep_frac``) are identical
+    to the batch rollup, so a conversation whose turns span less than
+    ``gap`` produces the same row streaming or batch.
+
+    Scale notes: state is one (conv_id, open-session aggregate) row per
+    LIVE conversation — the built-in session-window state store, merged
+    incrementally and dropped on emit; idle conversations age out at
+    watermark + gap, so state tracks concurrent traffic, not corpus size.
+    n_roles uses collect_set over the bounded role enum (same partial-agg
+    reasoning as the batch rollup — never a distinct aggregate)."""
+    agg = (
+        decisions.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.size(F.collect_set("role")).alias("n_roles"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+        )
+    )
+    frac = F.col("n_kept") / F.col("n_turns").cast("double")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_kept",
+        "n_roles",
+        "ts_min",
+        "ts_max",
+        F.round(frac, 6).alias("keep_frac"),
+        (frac >= F.lit(min_keep_frac)).alias("conv_keep"),
+    )
+
+
 def keep_rate_by_minute(decisions: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked per-minute keep/drop counts — the streaming analogue of
     the per-bucket metrics rows (late turns beyond the watermark are

@@ -1227,3 +1227,100 @@ def test_png_adaptive_filter_mixes_rows():
     # never worse than the best uniform filter (small zlib-context slack)
     best_uniform = min(len(encode_png(img, ft)) for ft in range(5))
     assert len(p) <= best_uniform * 1.05
+
+
+def test_stream_conversation_rollup_matches_batch(spark, tmp_path):
+    """Session-window conversation rollup over the decisions stream equals
+    the batch conversation_rollup row-for-row once the watermark closes the
+    sessions (every test conversation spans << gap, so one session each).
+    Emission is append-mode exactly-once: a conversation's row appears only
+    after its session is closed by watermark advance (the flush batches)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.pipeline import build_decisions, conversation_rollup
+    from piperider_spark.streaming.filter_stream import (
+        stream_conversation_rollup,
+        stream_decisions,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = generate_transcripts(1500, seed=21)
+    main_tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(main_tbl, str(inp / "p0.parquet"))
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(inp))
+        rolled = stream_conversation_rollup(
+            stream_decisions(stream), gap="30 days", watermark="1 second"
+        )
+        q = (
+            rolled.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # ingest the real conversations; their sessions stay open
+
+    # flush batches: far-future singleton conversations advance the
+    # watermark past every real session's end (last ts + gap)
+    for i, days in enumerate((400, 800)):
+        flush = pd.DataFrame(
+            {
+                "conv_id": [f"zz_flush_{i}"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": ["flush"],
+                "tool": [None],
+                "ts": [pdf["ts"].max() + pd.Timedelta(days=days)],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(flush, schema=main_tbl.schema, preserve_index=False),
+            str(inp / f"flush_{i}.parquet"),
+        )
+        run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .where(~F.col("conv_id").startswith("zz_flush"))
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        conversation_rollup(build_decisions(spark.createDataFrame(pdf)))
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == list(exp["conv_id"])
+    for col in ("n_turns", "n_kept", "n_roles", "ts_min", "ts_max", "keep_frac", "conv_keep"):
+        assert list(got[col]) == list(exp[col]), col
