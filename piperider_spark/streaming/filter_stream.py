@@ -458,6 +458,116 @@ def stream_conversation_rollup(
     )
 
 
+def stream_conversation_fingerprints(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-conversation exact-dedup fingerprints over a transcript stream:
+    ``(conv_id, fp, n_turns, ts_min, ts_max)``, one row per completed
+    session (``session_window(ts, gap)`` keyed by conv_id, append-mode
+    exactly-once emission like :func:`stream_conversation_rollup`).
+
+    ``fp`` is byte-identical to the batch key
+    (``dedup.conversation_exact_dup_groups``): fingerprint of the turn
+    texts in stable turn_idx order, \\x1e-joined so turn boundaries
+    survive the fingerprint's whitespace normalization. Order is restored
+    at emission by ``array_sort`` over (turn_idx, text) structs — the
+    declarative streaming twin of ``dedup.conversation_text``.
+
+    Scale notes: the session state holds the LIVE conversation's
+    (turn_idx, text) structs (collect_list merges incrementally across
+    micro-batches) — bounded by conversation length × concurrent
+    conversations, not corpus size, and dropped on emit. A deployment with
+    pathological conversation lengths should bound the turn texts upstream
+    (the quality rules' too_long cap) rather than here: truncating inside
+    the aggregate would silently change the dedup key."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("i"),
+                F.coalesce(F.col("text"), F.lit("")).alias("t"),
+            )
+        )
+    )
+    agg = (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            ordered.alias("__turns"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+        )
+    )
+    from piperider_spark.functions.text import fingerprint
+
+    conv_text = F.array_join(
+        F.transform(F.col("__turns"), lambda s: s["t"]), "\x1e"
+    )
+    return agg.select(
+        "conv_id",
+        fingerprint(conv_text).alias("fp"),
+        "n_turns",
+        "ts_min",
+        "ts_max",
+    )
+
+
+_CONV_FIRST_SEEN_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("fp", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("ts_min", TimestampType()),
+        StructField("ts_max", TimestampType()),
+        StructField("is_first", BooleanType()),
+    ]
+)
+
+
+def _conv_first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-seen-wins per conversation fingerprint (deterministic within a
+    batch: rows ordered by (ts_min, conv_id) before flagging)."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ).sort_values(["ts_min", "conv_id"], kind="mergesort")
+    flags = [False] * len(pdf)
+    if not state.exists:
+        flags[0] = True
+    state.update((True,))
+    pdf = pdf.assign(is_first=flags)
+    yield pdf[[f.name for f in _CONV_FIRST_SEEN_OUT.fields]]
+
+
+def stream_conversation_exact_dedup(sessions: DataFrame) -> DataFrame:
+    """Cross-conversation streaming exact dedup over the
+    :func:`stream_conversation_fingerprints` output: keyed state remembers
+    whether a conversation fingerprint was ever seen; the first completed
+    conversation with each fingerprint keeps ``is_first = true`` (earliest
+    ts_min, conv_id tie-break — the streaming first-wins policy, vs the
+    batch rollup's min-conv_id canonical; group MEMBERSHIP is identical).
+
+    Spark does not allow arbitrary stateful operators after an aggregation
+    in one streaming query, so this composes with the fingerprint stage as
+    TWO queries chained through storage (sessions parquet/Kafka) — the
+    standard production topology; the test drives exactly that. State is
+    one boolean per distinct conversation fingerprint, the same budget as
+    :func:`stream_exact_dedup`."""
+    return sessions.groupBy("fp").applyInPandasWithState(
+        _conv_first_seen_fn,
+        outputStructType=_CONV_FIRST_SEEN_OUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def keep_rate_by_minute(decisions: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked per-minute keep/drop counts — the streaming analogue of
     the per-bucket metrics rows (late turns beyond the watermark are

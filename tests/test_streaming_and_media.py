@@ -1324,3 +1324,129 @@ def test_stream_conversation_rollup_matches_batch(spark, tmp_path):
     assert list(got["conv_id"]) == list(exp["conv_id"])
     for col in ("n_turns", "n_kept", "n_roles", "ts_min", "ts_max", "keep_frac", "conv_keep"):
         assert list(got[col]) == list(exp[col]), col
+
+
+def test_stream_conversation_exact_dedup_two_query_chain(spark, tmp_path):
+    """The conversation dedup streaming topology: query 1 emits completed-
+    session fingerprints (session_window + stable-order \\x1e fingerprint,
+    byte-identical to the batch key), query 2 applies first-seen keyed
+    state over them — chained through parquet storage because Spark
+    forbids arbitrary stateful ops after an aggregation in one query.
+    Group membership must equal the batch conversation_exact_dup_groups."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.functions.text import fingerprint
+    from piperider_spark.operators import dedup as bdedup
+    from piperider_spark.streaming.filter_stream import (
+        stream_conversation_exact_dedup,
+        stream_conversation_fingerprints,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    sessions = str(tmp_path / "sessions")
+    out = str(tmp_path / "out")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    pdf = generate_transcripts(900, seed=33)
+    dup_src = sorted(pdf["conv_id"].unique())[:2]
+    copies = pdf[pdf["conv_id"].isin(dup_src)].copy()
+    copies["conv_id"] = copies["conv_id"] + "_copy"
+    copies["ts"] = copies["ts"] + pd.Timedelta(hours=1)  # originals come first
+    both = pd.concat([pdf, copies], ignore_index=True)
+    both["ts"] = both["ts"].astype("datetime64[us]")  # Spark timestamp = micros
+    main_tbl = pa.Table.from_pandas(both, preserve_index=False)
+    pq.write_table(main_tbl, str(inp / "p0.parquet"))
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    def run_q1():
+        stream = spark.readStream.schema(schema).parquet(str(inp))
+        q = (
+            stream_conversation_fingerprints(stream, gap="30 days", watermark="1 second")
+            .writeStream.format("parquet")
+            .option("path", sessions)
+            .option("checkpointLocation", ck1)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_q1()
+    for i, days in enumerate((400, 800)):  # advance watermark -> close sessions
+        flush = pd.DataFrame(
+            {
+                "conv_id": [f"zz_flush_{i}"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": ["flush"],
+                "tool": [None],
+                "ts": [both["ts"].max() + pd.Timedelta(days=days)],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(flush, schema=main_tbl.schema, preserve_index=False),
+            str(inp / f"flush_{i}.parquet"),
+        )
+        run_q1()
+
+    sess_schema = "conv_id string, fp string, n_turns long, ts_min timestamp, ts_max timestamp"
+    q2 = (
+        stream_conversation_exact_dedup(
+            spark.readStream.schema(sess_schema).parquet(sessions)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .where(~F.col("conv_id").startswith("zz_flush"))
+        .toPandas()
+    )
+    assert len(got) == both["conv_id"].nunique()
+
+    # fingerprints match the batch key byte-for-byte
+    batch_fp = {
+        r.conv_id: r.fp
+        for r in bdedup.conversation_text(spark.createDataFrame(both), sep="\x1e")
+        .select("conv_id", fingerprint("conv_text").alias("fp"))
+        .collect()
+    }
+    assert dict(zip(got["conv_id"], got["fp"])) == batch_fp
+
+    # group membership == batch conversation_exact_dup_groups; exactly one
+    # is_first per group, and it is the earliest-ts member (the original)
+    groups = bdedup.conversation_exact_dup_groups(spark.createDataFrame(both)).collect()
+    assert {g.fp for g in groups} == set(got.loc[got.duplicated("fp", keep=False), "fp"])
+    for g in groups:
+        members = got[got["fp"] == g.fp]
+        assert len(members) == g.n_convs == 2
+        assert members.loc[members["is_first"], "conv_id"].tolist() == [g.min_conv_id]
+    # singletons are all first
+    singles = got[~got.duplicated("fp", keep=False)]
+    assert singles["is_first"].all()
