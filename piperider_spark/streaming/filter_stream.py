@@ -147,28 +147,55 @@ _FIRST_SEEN_OUT = StructType(
 _FIRST_SEEN_STATE = StructType([StructField("seen", BooleanType())])
 
 
-def _first_seen_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """First-seen-wins within a fingerprint group: exactly one row across
-    the whole stream keeps ``is_first`` (deterministic: rows inside a batch
-    are ordered by (ts, conv_id, turn_idx) before flagging)."""
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if not chunks:
-        state.update((True,)) if state.exists else None
-        return
-    pdf = (
-        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    ).sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
-    flags = [False] * len(pdf)
-    if not state.exists and key[0] != "__null__":
-        flags[0] = True
-    state.update((True,))
-    pdf = pdf.assign(is_first=flags)
-    yield pdf[[f.name for f in _FIRST_SEEN_OUT.fields]]
+def _ttl_ms(state_ttl: str | None) -> int | None:
+    """Parse a pandas-style duration string ('30 minutes') to milliseconds
+    for ``GroupState.setTimeoutDuration``; None passes through."""
+    if state_ttl is None:
+        return None
+    ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    if ms <= 0:
+        raise ValueError(f"state_ttl must be a positive duration, got {state_ttl!r}")
+    return ms
 
 
-def stream_exact_dedup(stream_df: DataFrame) -> DataFrame:
+def _make_first_seen_fn(ttl_ms: int | None):
+    def _first_seen_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """First-seen-wins within a fingerprint group: exactly one row across
+        the whole stream keeps ``is_first`` (deterministic: rows inside a batch
+        are ordered by (ts, conv_id, turn_idx) before flagging). With a TTL,
+        a fingerprint idle for the duration is evicted — the documented
+        bounded-state trade: a duplicate arriving after eviction is first
+        again."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((True,)) if state.exists else None
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        flags = [False] * len(pdf)
+        if not state.exists and key[0] != "__null__":
+            flags[0] = True
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        pdf = pdf.assign(is_first=flags)
+        yield pdf[[f.name for f in _FIRST_SEEN_OUT.fields]]
+
+    return _first_seen_fn
+
+
+_first_seen_fn = _make_first_seen_fn(None)
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame, state_ttl: str | None = None
+) -> DataFrame:
     """Cross-document streaming exact dedup: the stream is keyed by the
     text fingerprint (md5 of whitespace-normalized lowercase text — the
     same exact-dedup key as batch ``operators/dedup``), and keyed state
@@ -177,25 +204,37 @@ def stream_exact_dedup(stream_df: DataFrame) -> DataFrame:
 
     Scale notes: state is ONE boolean per distinct fingerprint — the
     streaming twin of the batch hash-groupBy, bounded by corpus
-    distinctness, not stream length; RocksDB state store + a state TTL
-    (``applyInPandasWithState`` timeout, or periodic state rewrite from
-    the batch fingerprint table) bound it in unbounded deployments.
-    NULL-text rows have no dedup identity: they pass through with
-    ``is_first = false`` (the quality rules drop empty text anyway).
+    distinctness, not stream length. ``state_ttl`` (a duration string,
+    e.g. ``"7 days"``) bounds it further for unbounded deployments via a
+    processing-time timeout: a fingerprint IDLE for the duration (no new
+    occurrence re-arms it) is evicted, so state tracks the recently-active
+    set. The trade is explicit: a duplicate arriving after its
+    fingerprint's eviction is flagged first again — exact dedup within the
+    TTL horizon, the same semantics every bounded-state streaming dedup
+    (e.g. a TTL'd Redis set) has. TTL is for CONTINUOUS deployments only:
+    under ``Trigger.AvailableNow`` pending processing-time timers keep the
+    query scheduling no-data cleanup batches indefinitely (measured:
+    batches spin at rowsTotal=0 after the eviction), so drain-style runs
+    must leave ``state_ttl`` unset. NULL-text rows have no dedup identity:
+    they pass through with ``is_first = false`` (the quality rules drop
+    empty text anyway).
     """
     from piperider_spark.functions.text import fingerprint
 
+    ttl = _ttl_ms(state_ttl)
     keyed = stream_df.withColumn(
         "__fp", F.coalesce(fingerprint("text"), F.lit("__null__"))
     )
     return (
         keyed.groupBy("__fp")
         .applyInPandasWithState(
-            _first_seen_fn,
+            _make_first_seen_fn(ttl) if ttl is not None else _first_seen_fn,
             outputStructType=_FIRST_SEEN_OUT,
             stateStructType=_FIRST_SEEN_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -211,29 +250,40 @@ _NEAR_DUP_OUT = StructType(
 _NEAR_DUP_STATE = StructType([StructField("first_doc_id", LongType())])
 
 
-def _bucket_first_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """First-doc-wins within one LSH band bucket. Rows inside a batch are
-    ordered by doc_id before flagging (deterministic); the bucket's first
-    doc id persists in state so later micro-batches flag against it."""
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if not chunks:
-        return
-    pdf = (
-        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    ).sort_values("doc_id", kind="mergesort")
-    if state.exists:
-        first = int(state.get[0])
-    else:
-        first = int(pdf["doc_id"].iloc[0])
-        state.update((first,))
-    # is_first is identity-based in BOTH branches: a replayed/re-delivered
-    # row for the bucket owner itself (at-least-once delivery) must never be
-    # emitted as a candidate against its own doc_id.
-    is_first = (pdf["doc_id"] == first).tolist()
-    out = pdf.assign(is_first=is_first, first_doc_id=first)
-    yield out[[f.name for f in _NEAR_DUP_OUT.fields]]
+def _make_bucket_first_fn(ttl_ms: int | None):
+    def _bucket_first_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """First-doc-wins within one LSH band bucket. Rows inside a batch are
+        ordered by doc_id before flagging (deterministic); the bucket's first
+        doc id persists in state so later micro-batches flag against it."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ).sort_values("doc_id", kind="mergesort")
+        if state.exists:
+            first = int(state.get[0])
+        else:
+            first = int(pdf["doc_id"].iloc[0])
+            state.update((first,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        # is_first is identity-based in BOTH branches: a replayed/re-delivered
+        # row for the bucket owner itself (at-least-once delivery) must never
+        # be emitted as a candidate against its own doc_id.
+        is_first = (pdf["doc_id"] == first).tolist()
+        out = pdf.assign(is_first=is_first, first_doc_id=first)
+        yield out[[f.name for f in _NEAR_DUP_OUT.fields]]
+
+    return _bucket_first_fn
+
+
+_bucket_first_fn = _make_bucket_first_fn(None)
 
 
 def stream_near_dup_candidates(
@@ -243,6 +293,7 @@ def stream_near_dup_candidates(
     n_hashes: int = 8,
     n_bands: int = 4,
     k: int = 3,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup candidate detection — the streaming
     twin of the batch ``dedup.minhash_lsh_pairs`` mining stage.
@@ -257,12 +308,17 @@ def stream_near_dup_candidates(
 
     Scale notes: state is one int64 per non-empty band bucket — bounded by
     corpus distinctness × n_bands, the streaming analogue of the batch
-    bucket join; RocksDB state store + state TTL bound it in unbounded
-    deployments. Docs with no shingles (empty text) carry no similarity
-    identity and are filtered before the state op.
+    bucket join. ``state_ttl`` (duration string) evicts buckets idle for
+    the duration via a processing-time timeout, bounding state to the
+    recently-active set; a doc landing in an evicted bucket becomes its new
+    owner (near-dup detection within the TTL horizon; continuous triggers
+    only — see :func:`stream_exact_dedup` on AvailableNow). Docs with no
+    shingles (empty text) carry no similarity identity and are filtered
+    before the state op.
     """
     from piperider_spark.operators.dedup import minhash_band_keys
 
+    ttl = _ttl_ms(state_ttl)
     keys = minhash_band_keys(text_col, n_hashes, n_bands, k)
     exploded = (
         stream_df.select(
@@ -272,11 +328,13 @@ def stream_near_dup_candidates(
         .where(F.col("band_key").isNotNull())
     )
     return exploded.groupBy("band_key").applyInPandasWithState(
-        _bucket_first_fn,
+        _make_bucket_first_fn(ttl) if ttl is not None else _bucket_first_fn,
         outputStructType=_NEAR_DUP_OUT,
         stateStructType=_NEAR_DUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -298,7 +356,7 @@ _NEAR_DUP_VERIFIED_STATE = StructType(
 )
 
 
-def _make_bucket_verify_fn(threshold: float):
+def _make_bucket_verify_fn(threshold: float, ttl_ms: int | None = None):
     def _bucket_verify_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -308,6 +366,9 @@ def _make_bucket_verify_fn(threshold: float):
         stateful step — no batch join needed. Owner rows (including
         at-least-once re-deliveries of the owner) carry NULL jaccard and
         ``verified = false``: a doc is never a candidate against itself."""
+        if state.hasTimedOut:
+            state.remove()
+            return
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
@@ -324,6 +385,8 @@ def _make_bucket_verify_fn(threshold: float):
                 int(h) for h in pdf.loc[pdf["doc_id"] == first, "shingles"].iloc[0]
             )
             state.update((first, sorted(owner_set)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         jac, ver = [], []
         n_owner = len(owner_set)
         for did, sh in zip(pdf["doc_id"], pdf["shingles"]):
@@ -357,6 +420,7 @@ def stream_near_dup_verified(
     k: int = 3,
     threshold: float = 0.5,
     max_state_shingles: int = 4096,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup detection WITH stream-side exact
     verification — the full streaming twin of ``dedup.minhash_lsh_pairs``
@@ -380,7 +444,10 @@ def stream_near_dup_verified(
     Jaccard estimate is exact whenever either side fits the cap and
     min-wise-consistent beyond it). At 10^9 buckets × a few hundred
     hashes this is RocksDB-state-store territory, the same budget class
-    as the batch shuffle it replaces; a state TTL ages out cold buckets.
+    as the batch shuffle it replaces; ``state_ttl`` ages out cold buckets
+    (processing-time idle eviction — an evicted bucket's next doc becomes
+    its new owner, i.e. near-dup detection within the TTL horizon;
+    continuous triggers only — see :func:`stream_exact_dedup`).
     """
     from piperider_spark.operators.dedup import minhash_band_keys, word_shingles
 
@@ -403,11 +470,13 @@ def stream_near_dup_verified(
         .where(F.col("band_key").isNotNull())
     )
     return exploded.groupBy("band_key").applyInPandasWithState(
-        _make_bucket_verify_fn(threshold),
+        _make_bucket_verify_fn(threshold, _ttl_ms(state_ttl)),
         outputStructType=_NEAR_DUP_VERIFIED_OUT,
         stateStructType=_NEAR_DUP_VERIFIED_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -526,26 +595,39 @@ _CONV_FIRST_SEEN_OUT = StructType(
 )
 
 
-def _conv_first_seen_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """First-seen-wins per conversation fingerprint (deterministic within a
-    batch: rows ordered by (ts_min, conv_id) before flagging)."""
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if not chunks:
-        return
-    pdf = (
-        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    ).sort_values(["ts_min", "conv_id"], kind="mergesort")
-    flags = [False] * len(pdf)
-    if not state.exists:
-        flags[0] = True
-    state.update((True,))
-    pdf = pdf.assign(is_first=flags)
-    yield pdf[[f.name for f in _CONV_FIRST_SEEN_OUT.fields]]
+def _make_conv_first_seen_fn(ttl_ms: int | None):
+    def _conv_first_seen_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """First-seen-wins per conversation fingerprint (deterministic within
+        a batch: rows ordered by (ts_min, conv_id) before flagging)."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts_min", "conv_id"], kind="mergesort")
+        flags = [False] * len(pdf)
+        if not state.exists:
+            flags[0] = True
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        pdf = pdf.assign(is_first=flags)
+        yield pdf[[f.name for f in _CONV_FIRST_SEEN_OUT.fields]]
+
+    return _conv_first_seen_fn
 
 
-def stream_conversation_exact_dedup(sessions: DataFrame) -> DataFrame:
+_conv_first_seen_fn = _make_conv_first_seen_fn(None)
+
+
+def stream_conversation_exact_dedup(
+    sessions: DataFrame, state_ttl: str | None = None
+) -> DataFrame:
     """Cross-conversation streaming exact dedup over the
     :func:`stream_conversation_fingerprints` output: keyed state remembers
     whether a conversation fingerprint was ever seen; the first completed
@@ -558,13 +640,19 @@ def stream_conversation_exact_dedup(sessions: DataFrame) -> DataFrame:
     TWO queries chained through storage (sessions parquet/Kafka) — the
     standard production topology; the test drives exactly that. State is
     one boolean per distinct conversation fingerprint, the same budget as
-    :func:`stream_exact_dedup`."""
+    :func:`stream_exact_dedup` — and the same optional ``state_ttl``
+    idle-eviction bound, with the same explicit trade (a duplicate
+    conversation completing after its fingerprint's eviction is first
+    again) and the same continuous-trigger-only constraint."""
+    ttl = _ttl_ms(state_ttl)
     return sessions.groupBy("fp").applyInPandasWithState(
-        _conv_first_seen_fn,
+        _make_conv_first_seen_fn(ttl) if ttl is not None else _conv_first_seen_fn,
         outputStructType=_CONV_FIRST_SEEN_OUT,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

@@ -1450,3 +1450,108 @@ def test_stream_conversation_exact_dedup_two_query_chain(spark, tmp_path):
     # singletons are all first
     singles = got[~got.duplicated("fp", keep=False)]
     assert singles["is_first"].all()
+
+
+def test_stream_exact_dedup_state_ttl_evicts_idle_fingerprints(spark, tmp_path):
+    """state_ttl bounds dedup state: a fingerprint idle past the TTL is
+    evicted (the processing-time timer fires on a later micro-batch), so a
+    later duplicate is flagged first again — the documented TTL-horizon
+    semantics. TTL runs under a CONTINUOUS trigger (processing-time timers
+    keep an availableNow query alive forever — see the stream_exact_dedup
+    docstring), so this test drives one long-running query and stops it."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.streaming.filter_stream import stream_exact_dedup
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")  # all-None would infer non-string
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(inp / name))
+
+    t = "the duplicated transcript text under test"
+    write_batch("p0.parquet", [("a", 0, "user", t, None, "2021-01-01 00:00:00")])
+
+    q = (
+        stream_exact_dedup(
+            spark.readStream.schema(schema).parquet(str(inp)),
+            state_ttl="50 milliseconds",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+
+        def wait_for(n_convs, deadline=60):
+            t0 = _time.time()
+            while _time.time() - t0 < deadline:
+                try:
+                    if spark.read.parquet(out).select("conv_id").distinct().count() >= n_convs:
+                        return
+                except Exception:
+                    pass  # sink not initialized yet
+                _time.sleep(0.5)
+            raise AssertionError(f"sink never reached {n_convs} conversations")
+
+        wait_for(1)          # a processed; fp(t) armed with 50 ms TTL
+        _time.sleep(1.5)     # let the timer expire and cleanup batches fire
+        write_batch("p1.parquet", [("b", 0, "user", "unrelated filler", None, "2021-01-01 00:01:00")])
+        wait_for(2)
+        _time.sleep(1.5)
+        write_batch("p2.parquet", [("c", 0, "user", t, None, "2021-01-01 00:02:00")])
+        wait_for(3)          # fp(t) was evicted -> duplicate is first again
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out).toPandas()
+    by_conv = dict(zip(got["conv_id"], got["is_first"]))
+    assert by_conv == {"a": True, "b": True, "c": True}
+
+    # contrast: without a TTL the same input flags the re-arrival False
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q2 = (
+        stream_exact_dedup(spark.readStream.schema(schema).parquet(str(inp)))
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out2).toPandas()
+    by_conv2 = dict(zip(got2["conv_id"], got2["is_first"]))
+    assert by_conv2 == {"a": True, "b": True, "c": False}
