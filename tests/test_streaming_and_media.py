@@ -1555,3 +1555,54 @@ def test_stream_exact_dedup_state_ttl_evicts_idle_fingerprints(spark, tmp_path):
     got2 = spark.read.parquet(out2).toPandas()
     by_conv2 = dict(zip(got2["conv_id"], got2["is_first"]))
     assert by_conv2 == {"a": True, "b": True, "c": False}
+
+
+# ---------------------------------------------------------------------------
+# codec property tests (pure python/numpy — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_property():
+    """Distilled from the round-5 fuzz sweep: every color type × interlace ×
+    adversarial shape (1×N, N×1, odd sizes) roundtrips exactly under the
+    documented (h, w, 3) normalization (gray broadcast, alpha dropped)."""
+    import itertools
+
+    import numpy as np
+
+    from piperider_spark.multimodal.media import _decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    shapes = [(1, 1), (1, 7), (7, 1), (2, 3), (16, 9), (31, 2)]
+    for (h, w), ch, interlace in itertools.product(shapes, [1, 2, 3, 4], [False, True]):
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        if ch == 1:
+            img = img[:, :, 0]
+        dec = _decode_png(encode_png(img, interlace=interlace))
+        a = img if img.ndim == 3 else img[:, :, None]
+        ref = np.repeat(a[:, :, :1], 3, axis=2) if ch in (1, 2) else a[:, :, :3]
+        assert np.array_equal(dec, ref), (h, w, ch, interlace)
+
+
+def test_gif_and_bmp_and_avi_roundtrip_property():
+    import numpy as np
+
+    from piperider_spark.multimodal.media import (
+        _decode_bmp,
+        _decode_gif,
+        _iter_avi_frames,
+        encode_avi,
+        encode_bmp,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (1, 7), (7, 1), (2, 3), (16, 9), (31, 2)]:
+        gif_img = rng.integers(0, 5, (h, w, 3), dtype=np.uint8) * 47  # ≤125 colors
+        assert np.array_equal(_decode_gif(encode_gif(gif_img))[:, :, :3], gif_img), (h, w)
+        bmp_img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_bmp(encode_bmp(bmp_img)), bmp_img), (h, w)
+    for h, w, n in [(1, 1, 1), (3, 5, 2), (8, 8, 7)]:
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        arr = np.stack([f for *_, f in _iter_avi_frames(encode_avi(frames))])
+        assert np.array_equal(arr, frames), (h, w, n)
