@@ -182,6 +182,8 @@ def run_pipeline(
     conv_rollup: bool = False,
     conv_min_keep_frac: float = 0.5,
     conv_dedup: bool = False,
+    conv_near_dedup: bool = False,
+    conv_near_threshold: float = 0.85,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -193,21 +195,26 @@ def run_pipeline(
       conversations/  (when ``conv_rollup``) conversation-grain stats +
                       conversation-level keep — partitioned by bucket, same
                       idempotent dynamic-overwrite contract as metrics
-      dup_convs/      (when ``conv_dedup``) the dropped duplicate
-                      conversations (conv_id, canonical_conv_id, fp,
-                      group_size) — the audit record of what dedup removed
+      dup_convs/      (when dedup is on) the dropped duplicate conversations
+                      (conv_id, canonical_conv_id, fp, group_size, method)
+                      — the audit record of what dedup removed
 
     ``conv_dedup`` drops exactly-duplicated conversations (stable-turn-order
     transcript fingerprint, \\x1e-joined so turn boundaries stay in the key)
-    before the keep/drop rules run: only the lexically-first conv_id of each
-    duplicate group flows into decisions/. The duplicate list is computed
-    ONCE per staging (one conversation rollup + one 16-byte fingerprint
-    groupBy over the staged corpus), written partitioned by bucket, and each
-    wave anti-joins only its own buckets' slice — the join stays pruned and
-    AQE broadcasts it when small, so dedup adds no per-wave full-corpus work.
-    Lineage rows record the flag: resuming with a different ``conv_dedup``
-    setting reprocesses buckets rather than mixing deduped and non-deduped
-    decisions in one output."""
+    before the keep/drop rules run; ``conv_near_dedup`` additionally drops
+    NEAR-duplicate conversations — MinHash-LSH pairs over the whole
+    transcript at ``conv_near_threshold`` Jaccard, clustered with
+    label-propagation connected components, keeping each cluster's
+    lexically-first conv_id (the same canonical policy as the exact stage).
+    Only canonical conversations flow into decisions/.
+
+    The duplicate list is computed ONCE per staging+mode (the sidecar
+    carries a mode manifest and is rebuilt when the dedup mode changes),
+    written partitioned by bucket, and each wave anti-joins only its own
+    buckets' slice — the join stays pruned and AQE broadcasts it when
+    small, so dedup adds no per-wave full-corpus work. Lineage rows record
+    the dedup MODE: resuming with a different mode reprocesses buckets
+    rather than mixing differently-deduped decisions in one output."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -258,39 +265,98 @@ def run_pipeline(
             shutil.rmtree(stale, ignore_errors=True)
     src = spark.read.parquet(staged_path)
 
+    dedup_mode = (
+        "+".join(
+            part
+            for part in (
+                "exact" if conv_dedup else "",
+                f"near:{conv_near_threshold}" if conv_near_dedup else "",
+            )
+            if part
+        )
+        or "none"
+    )
     dup_schema = (
         "conv_id string, canonical_conv_id string, fp string, "
-        "group_size long, bucket int"
+        "group_size long, method string, bucket int"
     )
-    if conv_dedup and not os.path.exists(os.path.join(dup_convs_path, "_SUCCESS")):
-        # ONE corpus-wide pass per staging: conversation rollup (single
-        # shuffle on conv_id, map-side partial collect_list) + fingerprint
-        # groupBy on a 16-byte key + join back. bucket is recomputed from
-        # conv_id (pure function), so the sidecar partitions align with the
-        # staged input and each wave reads only its own directories.
+    dup_meta_path = os.path.join(dup_convs_path, "_dedup_meta.json")
+    dup_reuse = os.path.exists(os.path.join(dup_convs_path, "_SUCCESS"))
+    if dup_reuse:
+        try:
+            with open(dup_meta_path) as fh:
+                dup_reuse = json.load(fh) == {"mode": dedup_mode}
+        except (OSError, ValueError):
+            dup_reuse = False
+    if dedup_mode != "none" and not dup_reuse:
+        # ONE corpus-wide pass per staging+mode. Exact leg: conversation
+        # rollup (single shuffle on conv_id, map-side partial collect_list)
+        # + fingerprint groupBy on a 16-byte key + join back. Near leg:
+        # MinHash-LSH pairs over the rollup (bucket-capped banded join,
+        # exact-Jaccard verify — eager-materializing) + label-propagation
+        # components; canonical = the cluster's min conv_id, matching the
+        # exact leg's policy. bucket is recomputed from conv_id (pure
+        # function), so the sidecar partitions align with the staged input
+        # and each wave reads only its own directories.
         from piperider_spark.functions.text import fingerprint
-        from piperider_spark.operators.dedup import conversation_text
+        from piperider_spark.operators.dedup import (
+            connected_components,
+            conversation_near_dup_pairs,
+            conversation_text,
+        )
 
-        convs = conversation_text(src, sep="\x1e").select(
-            "conv_id", fingerprint("conv_text").alias("fp")
-        )
-        stats = convs.groupBy("fp").agg(
-            F.count(F.lit(1)).alias("group_size"),
-            F.min("conv_id").alias("canonical_conv_id"),
-        )
-        (
-            convs.join(stats, "fp")
-            .where(
-                (F.col("group_size") > 1)
-                & (F.col("conv_id") != F.col("canonical_conv_id"))
+        legs = []
+        if conv_dedup:
+            convs = conversation_text(src, sep="\x1e").select(
+                "conv_id", fingerprint("conv_text").alias("fp")
             )
-            .select("conv_id", "canonical_conv_id", "fp", "group_size")
-            .withColumn("bucket", _bucket_col(n_buckets))
+            stats = convs.groupBy("fp").agg(
+                F.count(F.lit(1)).alias("group_size"),
+                F.min("conv_id").alias("canonical_conv_id"),
+            )
+            legs.append(
+                convs.join(stats, "fp")
+                .where(
+                    (F.col("group_size") > 1)
+                    & (F.col("conv_id") != F.col("canonical_conv_id"))
+                )
+                .select(
+                    "conv_id",
+                    "canonical_conv_id",
+                    "fp",
+                    "group_size",
+                    F.lit("exact").alias("method"),
+                )
+            )
+        if conv_near_dedup:
+            pairs = conversation_near_dup_pairs(
+                src, threshold=conv_near_threshold
+            )
+            clusters = connected_components(pairs, id_a="id_a", id_b="id_b")
+            sizes = clusters.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("group_size")
+            )
+            legs.append(
+                clusters.where(F.col("id") != F.col("cluster_id"))
+                .join(sizes, "cluster_id")
+                .select(
+                    F.col("id").alias("conv_id"),
+                    F.col("cluster_id").alias("canonical_conv_id"),
+                    F.lit(None).cast("string").alias("fp"),
+                    "group_size",
+                    F.lit("near").alias("method"),
+                )
+            )
+        dups = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        (
+            dups.withColumn("bucket", _bucket_col(n_buckets))
             .repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(dup_convs_path)
         )
+        with open(dup_meta_path, "w") as fh:
+            json.dump({"mode": dedup_mode}, fh)
 
     done: set[int] = set()
     if resume and os.path.isdir(lineage_path):
@@ -311,23 +377,31 @@ def run_pipeline(
                 if "ts" in lin.columns
                 else F.lit(0.0)
             )
+            if "dedup_mode" in lin.columns:
+                mode_col = F.coalesce(F.col("dedup_mode"), F.lit("none"))
+            elif "conv_dedup" in lin.columns:  # pre-mode lineage: boolean flag
+                mode_col = F.when(_flag("conv_dedup"), F.lit("exact")).otherwise(
+                    F.lit("none")
+                )
+            else:
+                mode_col = F.lit("none")
             # Judge each bucket by its LATEST lineage row only: lineage is
-            # append-only, so after a flag flip (e.g. conv_dedup on → off →
-            # on) BOTH flag values exist for a bucket, but decisions/ holds
+            # append-only, so after a mode flip (e.g. dedup on → off → on)
+            # BOTH mode values exist for a bucket, but decisions/ holds
             # only the most recent processing's content. A bucket is done
-            # iff that latest processing used the same conv_dedup flag
-            # (dedup changes decision rows themselves) and, when
-            # conv_rollup is requested, also produced the rollup output.
+            # iff that latest processing used the same dedup mode (dedup
+            # changes decision rows themselves) and, when conv_rollup is
+            # requested, also produced the rollup output.
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
                         _flag("conv_rollup").alias("r"),
-                        _flag("conv_dedup").alias("d"),
+                        mode_col.alias("m"),
                     ),
                     ts_col,
                 ).alias("s")
             )
-            ok = (F.col("s.d") == F.lit(conv_dedup)) & (
+            ok = (F.col("s.m") == F.lit(dedup_mode)) & (
                 F.col("s.r") | F.lit(not conv_rollup)
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
@@ -344,7 +418,7 @@ def run_pipeline(
         t0 = time.time()
         # partition-column predicate → directory pruning at the scan
         part = src.where(F.col("bucket").isin(wave))
-        if conv_dedup:
+        if dedup_mode != "none":
             # explicit schema: a dup-free corpus writes a file-less sidecar
             # (only _SUCCESS), which schema inference cannot read
             dup_wave = (
@@ -415,9 +489,9 @@ def run_pipeline(
 
         elapsed = int((time.time() - t0) * 1000)
         lineage_rows = spark.createDataFrame(
-            [(run_id, b, elapsed, conv_rollup, conv_dedup, time.time()) for b in wave],
+            [(run_id, b, elapsed, conv_rollup, dedup_mode, time.time()) for b in wave],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
-            "conv_dedup boolean, ts double",
+            "dedup_mode string, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -465,6 +539,13 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         help="drop exactly-duplicated conversations before the rules run "
         "(dropped list written to dup_convs/)",
     )
+    p.add_argument(
+        "--conv-near-dedup",
+        action="store_true",
+        help="also drop NEAR-duplicate conversations (MinHash-LSH + "
+        "connected components at --conv-near-threshold Jaccard)",
+    )
+    p.add_argument("--conv-near-threshold", type=float, default=0.85)
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -476,6 +557,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         resume=not args.no_resume,
         conv_rollup=args.conv_rollup,
         conv_dedup=args.conv_dedup,
+        conv_near_dedup=args.conv_near_dedup,
+        conv_near_threshold=args.conv_near_threshold,
     )
     print(json.dumps(res.__dict__))
 

@@ -475,3 +475,57 @@ def test_conv_dedup_dup_free_corpus(spark, transcripts_pdf, tmp_path):
     r = run_pipeline(spark, inp, out, n_buckets=2, conv_dedup=True)
     assert r.buckets_processed == 2
     assert spark.read.parquet(r.decisions_path).count() == len(transcripts_pdf)
+
+
+def test_conv_near_dedup_stage_and_mode_change(spark, transcripts_pdf, tmp_path):
+    """conv_near_dedup drops near-duplicate conversations (one turn edited
+    in the copy — invisible to the exact fingerprint, caught by LSH +
+    components), records them with method='near', and a dedup MODE change
+    (exact -> exact+near) rebuilds the sidecar and reprocesses buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = transcripts_pdf.copy()
+    src_conv = sorted(pdf["conv_id"].unique())[0]
+    near = pdf[pdf["conv_id"] == src_conv].copy()
+    near["conv_id"] = src_conv + "_near"
+    # edit exactly one turn: exact dedup must NOT fire, near dedup must
+    idx = near.index[0]
+    near.loc[idx, "text"] = str(near.loc[idx, "text"]) + " with an extra edited tail"
+    both = pd.concat([pdf, near], ignore_index=True)
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), inp)
+    out = str(tmp_path / "out")
+
+    # exact-only first: the edited copy survives
+    r1 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=4, conv_dedup=True)
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    convs1 = {r.conv_id for r in dec.select("conv_id").distinct().collect()}
+    assert src_conv + "_near" in convs1
+
+    # exact+near: mode changed -> sidecar rebuilt, all buckets reprocessed,
+    # the near-copy is dropped and audited with method='near'
+    r2 = run_pipeline(
+        spark, inp, out, n_buckets=4, wave_buckets=4,
+        conv_dedup=True, conv_near_dedup=True, conv_near_threshold=0.8,
+    )
+    assert r2.buckets_processed == 4
+    dec2 = spark.read.parquet(r1.decisions_path)
+    convs2 = {r.conv_id for r in dec2.select("conv_id").distinct().collect()}
+    assert src_conv + "_near" not in convs2
+    assert src_conv in convs2  # canonical (lexically first) survives
+    assert convs2 == set(pdf["conv_id"].unique())
+
+    dup_rows = spark.read.parquet(f"{out}/dup_convs").collect()
+    near_rows = [r for r in dup_rows if r.method == "near"]
+    assert {r.conv_id for r in near_rows} == {src_conv + "_near"}
+    assert near_rows[0].canonical_conv_id == src_conv
+    assert near_rows[0].fp is None and near_rows[0].group_size == 2
+
+    # same mode resumes clean
+    r3 = run_pipeline(
+        spark, inp, out, n_buckets=4, wave_buckets=4,
+        conv_dedup=True, conv_near_dedup=True, conv_near_threshold=0.8,
+    )
+    assert (r3.buckets_processed, r3.buckets_skipped) == (0, 4)
