@@ -346,6 +346,110 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup: cluster-bounded embedding near-dup prune)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    drop any item that has a same-cluster neighbour above ``threshold``
+    cosine similarity with a stronger keep claim.
+
+    Keep policy (the paper's keep-low-centroid-similarity rule, made
+    deterministic): a row is DROPPED iff some same-cluster row with
+    lexicographically smaller ``(centroid_sim, id)`` is ≥ ``threshold``
+    similar to it — so within any mutually-similar group exactly the
+    member closest to the cluster's "edge" survives. Dropped rows carry
+    their strongest witness (max pair similarity, ties to the larger
+    witness id via struct max — identical semantics to DuckDB's
+    ``max(struct_pack(...))``, which the oracle twin uses).
+
+    Scale shape (the reason this beats all-pairs embedding dedup at
+    10^12 rows): centroid assignment + centroid_sim are ONE row-local
+    projection over a broadcast literal centroid matrix (zero shuffle —
+    same plan shape as :func:`ivf_cell`); the only shuffle is the
+    self-join on ``cell``; the quadratic term is bounded per cell because
+    k scales with the corpus (the paper runs k=50k on LAION) — the same
+    bounded-bucket physics as MinHash-LSH's capped bands. For adversarial
+    cell sizes feed the verify step from :func:`ann_candidate_pairs`
+    within each cell instead of the raw cell self-join.
+
+    Returns one row per input row:
+    ``(id, cell, centroid_sim, keep, witness_id, witness_sim)``.
+    """
+    cents = F.array(
+        *[F.lit([float(v) for v in centroids[j]]) for j in range(centroids.shape[0])]
+    )
+    # one pass over the literal matrix: argmax-dot cell AND its dot value;
+    # centroids are L2-normalized so centroid cosine = max_dot / ||v||
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c, j: F.struct(dot(F.col(vec_col), c).alias("s"), j.cast("int").alias("j")),
+        )
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        best["j"].alias("cell"),
+        F.round(best["s"] / norm(F.col(vec_col)), 6).alias("centroid_sim"),
+    )
+    a = scored.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell",
+        F.col("centroid_sim").alias("ca"),
+    )
+    b = scored.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell",
+        F.col("centroid_sim").alias("cb"),
+    )
+    dropped = (
+        a.join(b, "cell")  # the only shuffle: hash-partition on cell
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                (F.col("cb") < F.col("ca"))
+                | ((F.col("cb") == F.col("ca")) & (F.col("id_b") < F.col("id_a")))
+            )
+        )
+        .withColumn("pair_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("pair_sim") >= threshold)
+        .groupBy("id_a")
+        .agg(
+            F.max(
+                F.struct(F.col("pair_sim").alias("s"), F.col("id_b").alias("w"))
+            ).alias("wit")
+        )
+    )
+    return (
+        scored.select(id_col, "cell", "centroid_sim")
+        .join(
+            dropped.select(
+                F.col("id_a").alias(id_col),
+                F.col("wit.w").alias("witness_id"),
+                F.col("wit.s").alias("witness_sim"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            F.col("witness_id").isNull().alias("keep"),
+            "witness_id",
+            "witness_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------
 

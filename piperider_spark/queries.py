@@ -1462,23 +1462,82 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "embedding_near_dup_pairs",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+def _embedding_near_dup_union_sql() -> str:
+    """DuckDB twin of the embedding near-dup union: exact all-pairs leg +
+    SemDeDup leg sharing the gated IVF quantizer literals
+    (:func:`_ivf_cents_sql` — identical centroid matrix in both engines)."""
+    return f"""
+    WITH cents AS (SELECT * FROM {_ivf_cents_sql()}),
+    scored AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             (max(struct_pack(s := list_dot_product(embedding::DOUBLE[], cv),
+                              j := j))).j AS cell,
+             round((max(struct_pack(s := list_dot_product(embedding::DOUBLE[], cv),
+                                    j := j))).s
+                   / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])),
+                   6) AS centroid_sim
+      FROM embeddings, cents GROUP BY vec_id, embedding::DOUBLE[]
+    ),
+    dropped AS (
+      SELECT a.vec_id,
+             max(struct_pack(s := round(list_cosine_similarity(a.v, b.v), 6),
+                             w := b.vec_id)) AS wit
+      FROM scored a JOIN scored b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       AND (b.centroid_sim < a.centroid_sim
+            OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      GROUP BY a.vec_id
+    )
+    SELECT 'pair' AS kind, a.vec_id AS id, b.vec_id AS other_id,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-             AS cosine_sim
+             AS sim,
+           NULL::INTEGER AS cell, NULL::DOUBLE AS centroid_sim, NULL::BOOLEAN AS keep
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
           >= 0.5
-    """,
-)
+    UNION ALL
+    SELECT 'semdedup' AS kind, s.vec_id AS id, (d.wit).w AS other_id,
+           (d.wit).s AS sim, s.cell, s.centroid_sim,
+           (d.vec_id IS NULL) AS keep
+    FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """
+
+
+@register("embedding_near_dup_pairs", _embedding_near_dup_union_sql)
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs variant; the scale
-    path is similarity.ann_candidate_pairs LSH bucketing)."""
-    return similarity.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.5
+    """Embedding near-dup, both families in one gated union (round-5
+    registry consolidation — the 50-slot pattern of fingerprint/minhash):
+
+    * ``pair`` — exact all-pairs cosine ≥ 0.5 (the oracle-verifiable small
+      variant; the scale path is similarity.ann_candidate_pairs bucketing);
+    * ``semdedup`` — SemDeDup cluster-bounded prune (Abbas et al. 2023)
+      over the SAME trained IVF quantizer the ivf_topk gate uses, one row
+      per vector with keep flag + strongest witness. ε=0.35 here because
+      the synthetic corpus has no true semantic dups — the gate exercises
+      the full keep-claim policy; production runs ε≈0.95.
+    """
+    df = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.5).select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("other_id"),
+        F.col("cosine_sim").alias("sim"),
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.lit(None).cast("boolean").alias("keep"),
     )
+    sem = similarity.semdedup(df, _ivf_cents(), threshold=0.35).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("vec_id").alias("id"),
+        F.col("witness_id").alias("other_id"),
+        F.col("witness_sim").alias("sim"),
+        "cell",
+        "centroid_sim",
+        "keep",
+    )
+    return pairs.unionByName(sem)
 
 
 # rolling_fingerprint_documents was consolidated into the

@@ -141,6 +141,73 @@ def test_cosine_topk_matches_numpy(spark):
     assert got == expected
 
 
+def test_semdedup_matches_numpy_bruteforce(spark):
+    """similarity.semdedup vs an independent numpy mirror of the frozen
+    policy (cell = lexicographic (dot, j) max; drop iff a same-cell row
+    with smaller (centroid_sim, id) is >= eps similar; witness = max
+    (sim, id) struct) on a clustered corpus with planted near-dups."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((3, 16)) * 2
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(15):
+            rows.append((vid, (c + rng.standard_normal(16) * 0.3).tolist()))
+            vid += 1
+    for j in (0, 17, 31):  # planted near-dups of existing rows
+        rows.append((vid, (np.asarray(rows[j][1]) + rng.standard_normal(16) * 0.01).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.array([r[1] for r in rows])
+    C = similarity.train_ivf_centroids(X, 4, seed=3)
+    eps = 0.9
+    got = {
+        r.vec_id: (r.cell, r.keep, r.witness_id)
+        for r in similarity.semdedup(df, C, threshold=eps).collect()
+    }
+
+    n, k = len(X), len(C)
+    dots = X @ C.T
+    norms = np.linalg.norm(X, axis=1)
+    cell = [max(range(k), key=lambda j: (dots[i, j], j)) for i in range(n)]
+    csim = [round(dots[i, cell[i]] / norms[i], 6) for i in range(n)]
+    cos = np.round((X @ X.T) / np.outer(norms, norms), 6)
+    expected = {}
+    drops = 0
+    for i in range(n):
+        wits = [
+            j
+            for j in range(n)
+            if j != i
+            and cell[j] == cell[i]
+            and (csim[j], j) < (csim[i], i)
+            and cos[i, j] >= eps
+        ]
+        if wits:
+            w = max(wits, key=lambda j: (cos[i, j], j))
+            expected[i] = (cell[i], False, w)
+            drops += 1
+        else:
+            expected[i] = (cell[i], True, None)
+    assert drops >= 3  # every planted dup pair loses one member
+    assert got == expected
+
+
+def test_semdedup_threshold_monotone_and_empty(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C = qmod._ivf_cents()
+    keeps = {
+        t: similarity.semdedup(emb, C, threshold=t).where(F.col("keep")).count()
+        for t in (0.3, 0.35, 0.5)
+    }
+    assert keeps[0.3] <= keeps[0.35] <= keeps[0.5]  # looser eps drops more
+    assert keeps[0.5] <= emb.count()
+    empty = similarity.semdedup(emb.where(F.lit(False)), C)
+    assert empty.count() == 0
+    assert empty.columns == [
+        "vec_id", "cell", "centroid_sim", "keep", "witness_id", "witness_sim",
+    ]
+
+
 def test_ann_bucketed_hits_top_neighbors(spark):
     """On clustered vectors (where near neighbours exist), the hyperplane-LSH
     bucket ring must recover the query's cluster members. (The sf testdata
