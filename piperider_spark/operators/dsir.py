@@ -1,0 +1,149 @@
+"""DSIR-style hashed n-gram importance resampling (Xie et al. 2023,
+arXiv:2302.03169 — "Data Selection for Language Models via Importance
+Resampling"): select raw pretraining documents distributed like a small
+target corpus by (1) featurizing text as hashed n-gram bucket counts,
+(2) fitting bag-of-hashed-ngrams models for target and raw, (3) scoring
+every raw doc with the importance log-ratio, (4) resampling without
+replacement via Gumbel-top-k.
+
+Reference parity: the reference (piperider) has no data-selection
+operator — DSIR belongs to the training-data operator family this repo
+adds beyond the reference (like MinHash dedup and SemDeDup), and it is
+the canonical published *quality-filter* selection method.
+
+Spark shape / the 100 TB story:
+* featurization (tokens → uni+bigrams → md5 mod B) is one row-local
+  projection — no shuffle, no Python;
+* fitting is one partial-agg ``groupBy(bucket)`` per corpus whose output
+  is bounded by B (10^4-10^5 rows — always broadcastable), plus a
+  single-row totals aggregate;
+* scoring is explode → **broadcast** join against the B-row log-ratio
+  table → per-doc partial-agg sum (ONE shuffle, on the doc id);
+* resampling is a deterministic seeded Gumbel perturbation +
+  TakeOrderedAndProject — top-k without a global sort.
+
+Determinism / oracle portability: hashing is :func:`~piperider_spark.
+functions.text.md5_60bit` (bit-identical in DuckDB), the uniform for the
+Gumbel noise is ``(h+1) / (2^60+2)`` in double (identical IEEE rounding
+in both engines), and every ``ln`` output is quantized to 9 dp before
+summation so libm 1-ulp differences between the JVM and DuckDB cannot
+reach the 6 dp the gate compares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from piperider_spark.functions.text import md5_60bit, tokens
+
+# (h + 1) / _U_DENOM maps the 60-bit md5 hash onto a uniform in (0, 1).
+# 2^60 + 2 is not representable in double; both engines round the literal
+# to 2^60 identically, which is the point — one shared constant.
+_U_DENOM = float(2**60 + 2)
+
+
+def ngram_buckets(text: Column | str, n_buckets: int = 4096) -> Column:
+    """Hashed uni+bigram bucket ids (``array<long>``, one entry per n-gram
+    occurrence — counts matter to DSIR, so no dedup). Row-local."""
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return F.transform(grams, lambda g: F.pmod(md5_60bit(g), F.lit(n_buckets)))
+
+
+def fit_bucket_log_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Fit the importance log-ratio per hashed bucket:
+    ``ln p_target(b) - ln p_raw(b)`` with add-``alpha`` smoothing.
+
+    Two bounded aggregations (≤ ``n_buckets`` rows each), full-outer
+    joined so buckets seen in only one corpus still get their smoothed
+    mass; totals ride a broadcast single-row cross join — no collect.
+    Returns ``(bucket, log_ratio)`` with log_ratio quantized to 9 dp.
+    """
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(ngram_buckets(text_col, n_buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = (
+        counts(target, "ct")
+        .join(counts(raw, "cr"), "bucket", "full_outer")
+        .fillna(0, ["ct", "cr"])
+    )
+    totals = joined.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    b = float(n_buckets)
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * b))
+            - F.log((F.col("cr") + alpha) / (F.col("tr") + alpha * b)),
+            9,
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Importance score per document: sum of its n-gram occurrences'
+    bucket log-ratios (docs with no n-grams score 0.0, per the paper's
+    empty-feature convention). Explode → broadcast join (≤ n_buckets
+    rows) → partial-agg sum; the only shuffle keys on the doc id."""
+    ex = df.select(
+        F.col(id_col), F.explode(ngram_buckets(text_col, n_buckets)).alias("bucket")
+    )
+    scores = (
+        ex.join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_score"))
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col, F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score")
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "dsir_score",
+    seed: int = 7,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Resample without replacement: Gumbel-top-k over the importance
+    scores (equivalent to sampling proportional to ``exp(score/T)``
+    without replacement — Gumbel-max trick). The uniform comes from the
+    portable md5 hash of ``seed:id``, so the draw is deterministic and
+    engine-independent; TakeOrderedAndProject keeps it a top-k, not a
+    global sort. Output adds ``gumbel_key`` (ties broken by id)."""
+    u = (md5_60bit(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))) + 1) / F.lit(
+        _U_DENOM
+    )
+    g = F.round(-F.log(-F.log(u)), 9)
+    key = F.round(F.col(score_col) / F.lit(float(temperature)) + g, 6)
+    return (
+        scored.select(id_col, score_col, key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

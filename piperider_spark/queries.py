@@ -39,7 +39,7 @@ from piperider_spark.functions.text import (
     repetition_ratio,
     token_count,
 )
-from piperider_spark.operators import dedup, similarity
+from piperider_spark.operators import dedup, dsir, similarity
 from piperider_spark.operators.metrics_engine import metric_series
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1561,11 +1561,14 @@ _MINHASH8_SQL = f"""
 
 @register(
     "near_dup_pairs_documents",
-    f"""
-    SELECT 'exact' AS method, id_a, id_b, jaccard
+    lambda: f"""
+    SELECT 'exact' AS method, id_a, id_b, jaccard AS score
     FROM ({_JACCARD_PAIRS_SQL})
     UNION ALL
-    SELECT 'lsh' AS method, id_a, id_b, jaccard
+    SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+    FROM ({_SIMHASH_CAND_SQL})
+    UNION ALL
+    SELECT 'lsh' AS method, id_a, id_b, jaccard AS score
     FROM ("""
     + _MINHASH8_SQL
     + """,
@@ -1604,18 +1607,40 @@ _MINHASH8_SQL = f"""
     """,
 )
 def near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair mining, both paths in one gated union: ``exact`` =
-    all-pairs n-gram Jaccard (threshold 0.5, the oracle-verifiable
-    small-scale variant); ``lsh`` = MinHash+LSH banded bucket join + exact
-    verify, the corpus-scale path. Banding IS SQL-expressible (concat over
-    the already-oracle'd signature columns), so the full LSH path sits under
-    the oracle gate; the xxhash64 engine variant (hash_fn) is the bench
-    path. One driver slot verifies both (registry-window consolidation)."""
+    """Near-dup pair mining, three paths in one gated union (round-5 widened
+    the r4 two-leg union to absorb the former ``simhash_candidates_documents``
+    slot for DSIR): ``exact`` = all-pairs n-gram Jaccard (threshold 0.5, the
+    oracle-verifiable small-scale variant); ``lsh`` = MinHash+LSH banded
+    bucket join + exact verify, the corpus-scale path; ``simhash`` =
+    Hamming-band candidate pairs at distance ≤ 3 (``score`` carries the
+    Hamming distance for that leg, Jaccard for the other two). Banding IS
+    SQL-expressible (concat/shift over the already-oracle'd signatures), so
+    every path sits under the oracle gate; the xxhash64 engine variants
+    (hash_fn) are the bench paths. One driver slot verifies all three."""
     docs = load(spark, sf_dir, "documents")
     exact = dedup.shingle_pairs_jaccard(docs, threshold=0.5)
     lsh = dedup.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, threshold=0.5)
-    return exact.select(F.lit("exact").alias("method"), "id_a", "id_b", "jaccard").unionByName(
-        lsh.select(F.lit("lsh").alias("method"), "id_a", "id_b", "jaccard")
+    sigs = dedup.simhash_signatures(docs, bits=32)
+    sh = (
+        dedup.simhash_candidates(sigs, n_bands=4, bits=32)
+        .where(F.col("hamming") <= 3)
+        .select(
+            F.lit("simhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
+    )
+    return (
+        exact.select(
+            F.lit("exact").alias("method"), "id_a", "id_b", F.col("jaccard").alias("score")
+        )
+        .unionByName(sh)
+        .unionByName(
+            lsh.select(
+                F.lit("lsh").alias("method"), "id_a", "id_b", F.col("jaccard").alias("score")
+            )
+        )
     )
 
 
@@ -1665,8 +1690,11 @@ _SIMHASH_SIG_SQL = r"""
 """
 
 
-@register(
-    "simhash_candidates_documents",
+# SimHash Hamming-band candidate SQL, subquery form — the former
+# simhash_candidates_documents gate, consolidated into the
+# near_dup_pairs_documents union (round-5 registry-window consolidation
+# freeing the slot that dsir_documents now occupies).
+_SIMHASH_CAND_SQL = (
     _SIMHASH_SIG_SQL
     + """,
     bands AS (
@@ -1681,17 +1709,74 @@ _SIMHASH_SIG_SQL = r"""
     SELECT id_a, id_b, hamming FROM (
       SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming FROM pairs)
     WHERE hamming <= 3
-    """,
+    """
 )
-def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-band candidate pairs (near-dup at Hamming ≤ 3).
-    Bands are shift/mask over the already-oracle'd signature — gated."""
-    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"), bits=32)
-    return (
-        dedup.simhash_candidates(sigs, n_bands=4, bits=32)
-        .where(F.col("hamming") <= 3)
-        .withColumn("hamming", F.col("hamming").cast("int"))
+
+
+_DSIR_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(toks) AS g FROM base
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM base WHERE len(toks) >= 2
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket
+      FROM grams
+    ),
+    rcnt AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY bucket),
+    tcnt AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM bk WHERE lang = 'en') AS tt,
+                   (SELECT count(*) FROM bk) AS tr),
+    ratio AS (
+      SELECT r.bucket,
+             round(ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 4096.0))
+                   - ln((r.cr + 1.0) / (tot.tr + 4096.0)), 9) AS log_ratio
+      FROM rcnt r LEFT JOIN tcnt t ON r.bucket = t.bucket, tot
+    ),
+    sc AS (
+      SELECT bk.doc_id, round(sum(ratio.log_ratio), 6) AS dsir_score
+      FROM bk JOIN ratio ON bk.bucket = ratio.bucket GROUP BY bk.doc_id
+    ),
+    allsc AS (
+      SELECT d.doc_id, coalesce(sc.dsir_score, 0.0) AS dsir_score
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     )
+    SELECT doc_id, dsir_score,
+           round(dsir_score
+                 + round(-ln(-ln((('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT + 1)
+                                 / 1152921504606846978.0)), 9), 6) AS gumbel_key
+    FROM allsc
+    ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
+"""
+
+
+@register("dsir_documents", _DSIR_SQL)
+def dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+    target = the corpus's English slice, raw = the full corpus; hashed
+    uni+bigram features (B=4096, md5 portable hash), add-1 smoothing,
+    Gumbel-top-100 resample (seed 7). The full fit→score→resample chain
+    under one oracle gate; every ln is 9 dp-quantized before summation so
+    JVM/DuckDB libm ulps cannot reach the compared 6 dp (dsir.py
+    docstring). Takes the registry slot freed by folding the simhash
+    candidates into the near_dup_pairs_documents union."""
+    docs = load(spark, sf_dir, "documents")
+    ratio = dsir.fit_bucket_log_ratio(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=4096
+    )
+    scored = dsir.dsir_scores(docs, ratio, n_buckets=4096)
+    return dsir.gumbel_topk(scored, k=100, seed=7)
 
 
 def _ann_planes_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:

@@ -141,6 +141,67 @@ def test_cosine_topk_matches_numpy(spark):
     assert got == expected
 
 
+def test_dsir_scores_match_numpy(spark):
+    """operators/dsir.py vs an independent python mirror (hashlib md5
+    buckets, add-1 smoothing, 9dp-quantized ln terms) on a tiny corpus."""
+    import hashlib as _hl
+    from collections import Counter
+
+    from piperider_spark.operators import dsir
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog ate my homework", "en"),
+        (2, "el gato come pescado fresco", "es"),
+        (3, "la casa es muy grande", "es"),
+        (4, "the cat and the dog", "en"),
+        (5, "", "en"),
+        (6, None, "es"),
+    ]
+    B = 64
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ratio = dsir.fit_bucket_log_ratio(df, df.where(F.col("lang") == "en"), n_buckets=B)
+    got = {
+        r.doc_id: r.dsir_score for r in dsir.dsir_scores(df, ratio, n_buckets=B).collect()
+    }
+
+    def grams(text):
+        toks = (text or "").strip().lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(_hl.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    raw = {i: [bucket(g) for g in grams(t)] for i, t, _ in rows}
+    cr = Counter(b for bs in raw.values() for b in bs)
+    ct = Counter(b for i, bs in raw.items() if rows[i][2] == "en" for b in bs)
+    tr, tt = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: round(
+            math.log((ct.get(b, 0) + 1) / (tt + B)) - math.log((cr[b] + 1) / (tr + B)), 9
+        )
+        for b in cr
+    }
+    expected = {i: round(sum(lr[b] for b in bs), 6) if bs else 0.0 for i, bs in raw.items()}
+    assert got == expected
+    # english docs must outscore spanish ones — the whole point of DSIR
+    assert min(got[0], got[1], got[4]) > max(got[2], got[3])
+
+
+def test_dsir_gumbel_topk_deterministic_and_shifts(spark):
+    """The gated resample: (a) deterministic across invocations, (b) the
+    selected set is enriched in the target language vs the base rate."""
+    sel = qmod.queries()["dsir_documents"](spark, SF_DIR)
+    a = [(r.doc_id, r.dsir_score, r.gumbel_key) for r in sel.collect()]
+    b = [(r.doc_id, r.dsir_score, r.gumbel_key) for r in sel.collect()]
+    assert a == b and len(a) == 100
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.where(F.col("lang") == "en").count() / docs.count()
+    ids = {t[0] for t in a}
+    en_sel = docs.where(F.col("doc_id").isin(ids) & (F.col("lang") == "en")).count()
+    assert en_sel / 100 > base + 0.1, (en_sel, base)
+
+
 def test_semdedup_matches_numpy_bruteforce(spark):
     """similarity.semdedup vs an independent numpy mirror of the frozen
     policy (cell = lexicographic (dot, j) max; drop iff a same-cell row
