@@ -123,6 +123,40 @@ def dsir_scores(
     )
 
 
+def log_ratio_array(log_ratio: DataFrame, n_buckets: int = 4096) -> list[float]:
+    """Collect the fitted log-ratio table into a dense ``list[float]``
+    indexed by bucket id (missing buckets → 0.0, the inner-join-drop
+    convention of :func:`dsir_scores`). The collect is bounded by
+    ``n_buckets`` BY CONSTRUCTION (same bounded-collect class as the IVF
+    centroid literals) — this is the handoff from the distributed fit to
+    the row-local scorer below."""
+    arr = [0.0] * n_buckets
+    for r in log_ratio.collect():
+        arr[int(r["bucket"])] = float(r["log_ratio"])
+    return arr
+
+
+def dsir_score_col(text: Column | str, ratio_arr: list[float]) -> Column:
+    """Row-local DSIR score: ONE array-literal lookup per n-gram, folded
+    with ``F.aggregate`` — no explode, no join, no shuffle. This is the
+    10^12-turn scoring plan (a pure projection over the corpus scan) and,
+    being stateless, the streaming scorer too: apply it to a readStream
+    DataFrame directly. The literal rides the plan the way the IVF
+    centroid matrix does (one array, not B inlined expressions — the
+    codegen lesson of similarity.ivf_cell). Equality with the gated
+    explode-path scorer is pinned in tests."""
+    lit_arr = F.lit(ratio_arr)
+    bks = ngram_buckets(text, n_buckets=len(ratio_arr))
+    return F.round(
+        F.aggregate(
+            bks,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(lit_arr, b.cast("int") + 1),
+        ),
+        6,
+    )
+
+
 def gumbel_topk(
     scored: DataFrame,
     k: int,

@@ -73,6 +73,18 @@ PLAN_QUERIES = [
         "per-cluster argmax via partial-agg max(struct) + equi-join — no "
         "window over a mega-cluster",
     ),
+    (
+        "dsir_documents",
+        "DSIR: row-local hashed-ngram featurize; B-bounded fit aggs; "
+        "log-ratio table broadcast-joined into the scoring pass; "
+        "Gumbel-top-k as TakeOrderedAndProject (no global sort)",
+    ),
+    (
+        "embedding_near_dup_pairs",
+        "semdedup leg: broadcast centroid literal (row-local cell + "
+        "centroid_sim), ONE shuffle on cell for the bounded self-join, "
+        "partial-agg witness max",
+    ),
 ]
 
 

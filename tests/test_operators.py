@@ -202,6 +202,29 @@ def test_dsir_gumbel_topk_deterministic_and_shifts(spark):
     assert en_sel / 100 > base + 0.1, (en_sel, base)
 
 
+def test_dsir_rowlocal_scorer_matches_distributed(spark):
+    """dsir.dsir_score_col (array-literal fold, zero-shuffle — the
+    10^12-turn / streaming scoring plan) == the gated explode+join
+    scorer, doc for doc."""
+    from piperider_spark.operators import dsir
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ratio = dsir.fit_bucket_log_ratio(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=4096
+    )
+    want = {
+        r.doc_id: r.dsir_score for r in dsir.dsir_scores(docs, ratio).collect()
+    }
+    arr = dsir.log_ratio_array(ratio, n_buckets=4096)
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", dsir.dsir_score_col("text", arr).alias("s")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_semdedup_matches_numpy_bruteforce(spark):
     """similarity.semdedup vs an independent numpy mirror of the frozen
     policy (cell = lexicographic (dot, j) max; drop iff a same-cell row

@@ -1606,3 +1606,63 @@ def test_gif_and_bmp_and_avi_roundtrip_property():
         frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
         arr = np.stack([f for *_, f in _iter_avi_frames(encode_avi(frames))])
         assert np.array_equal(arr, frames), (h, w, n)
+
+
+def test_stream_dsir_scoring_matches_batch(spark, tmp_path):
+    """DSIR scoring on a STREAM: the fitted log-ratio rides the plan as an
+    array literal (dsir.dsir_score_col is a stateless projection — no
+    stateful op, no watermark), so streaming scores == batch scores turn
+    for turn. Fit happens offline on the batch corpus, the realistic
+    deployment shape."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.operators import dsir
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=1200, seed=29)
+    batch = spark.read.parquet(str(inp))
+    ratio = dsir.fit_bucket_log_ratio(
+        batch, batch.where(F.col("role") == "assistant"), n_buckets=512
+    )
+    arr = dsir.log_ratio_array(ratio, n_buckets=512)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    scored = stream.select(
+        "conv_id", "turn_idx", dsir.dsir_score_col("text", arr).alias("dsir_score")
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.turn_idx): r.dsir_score
+        for r in spark.sql("select * from dsir_stream").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.s
+        for r in batch.select(
+            "conv_id", "turn_idx", dsir.dsir_score_col("text", arr).alias("s")
+        ).collect()
+    }
+    assert got == want and len(got) == batch.count()
