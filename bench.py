@@ -77,6 +77,10 @@ HEADLINE = [
     # clustering headline is the LSH engine path; the exact-pair twin
     # (dup_clusters_documents) is oracle-gate-only, like ngram_jaccard
     "dup_clusters_fast",
+    # round-5 additions (new entries append — earlier entries keep their
+    # r4 per-entry comparability)
+    "dsir_documents",
+    "semdedup_embeddings",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

@@ -184,6 +184,9 @@ def run_pipeline(
     conv_dedup: bool = False,
     conv_near_dedup: bool = False,
     conv_near_threshold: float = 0.85,
+    dsir_fit: str | None = None,
+    dsir_ratio_path: str | None = None,
+    dsir_buckets: int = 4096,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -214,7 +217,19 @@ def run_pipeline(
     buckets' slice — the join stays pruned and AQE broadcasts it when
     small, so dedup adds no per-wave full-corpus work. Lineage rows record
     the dedup MODE: resuming with a different mode reprocesses buckets
-    rather than mixing differently-deduped decisions in one output."""
+    rather than mixing differently-deduped decisions in one output.
+
+    ``dsir_fit`` (a SQL predicate over the input columns selecting the
+    TARGET slice, e.g. ``"role = 'assistant'"``) fits a DSIR importance
+    model ONCE per staging (operators/dsir.py — two B-bounded aggs, the
+    log-ratio table written to dsir_ratio/ as an audit record) and adds a
+    ``dsir_score`` column to decisions/; ``dsir_ratio_path`` instead loads
+    an externally-fitted table (the production shape: fit offline on a
+    trusted target corpus, score everywhere). Scoring is a zero-shuffle
+    row-local projection (the ≤``dsir_buckets``-row table rides the plan
+    as one array literal), so the stage adds no per-wave exchanges.
+    Lineage records the DSIR mode like the dedup mode: resuming with a
+    different fit/ratio reprocesses rather than mixing scores."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -261,7 +276,13 @@ def run_pipeline(
         # put zero rows in a bucket the old input populated.
         import shutil
 
-        for stale in (lineage_path, decisions_path, metrics_path, dup_convs_path):
+        for stale in (
+            lineage_path,
+            decisions_path,
+            metrics_path,
+            dup_convs_path,
+            os.path.join(output_dir, "dsir_ratio"),
+        ):
             shutil.rmtree(stale, ignore_errors=True)
     src = spark.read.parquet(staged_path)
 
@@ -358,6 +379,51 @@ def run_pipeline(
         with open(dup_meta_path, "w") as fh:
             json.dump({"mode": dedup_mode}, fh)
 
+    if dsir_ratio_path:
+        dsir_mode = f"path:{_input_key(dsir_ratio_path)}:{dsir_buckets}"
+    elif dsir_fit:
+        dsir_mode = f"fit:{dsir_fit}:{dsir_buckets}"
+    else:
+        dsir_mode = "none"
+    dsir_arr: list[float] | None = None
+    if dsir_mode != "none":
+        from piperider_spark.operators import dsir as _dsir
+
+        if dsir_ratio_path:
+            ratio_src = dsir_ratio_path
+        else:
+            # fit ONCE per staging+predicate; the B-bounded log-ratio table
+            # is written as an audit record (same sidecar contract as
+            # dup_convs: meta manifest + reuse gated on the mode string)
+            ratio_src = os.path.join(output_dir, "dsir_ratio")
+            ratio_meta_path = os.path.join(ratio_src, "_dsir_meta.json")
+            ratio_reuse = os.path.exists(os.path.join(ratio_src, "_SUCCESS"))
+            if ratio_reuse:
+                try:
+                    with open(ratio_meta_path) as fh:
+                        ratio_reuse = json.load(fh) == {"mode": dsir_mode}
+                except (OSError, ValueError):
+                    ratio_reuse = False
+            if not ratio_reuse:
+                (
+                    _dsir.fit_bucket_log_ratio(
+                        src,
+                        src.where(F.expr(dsir_fit)),
+                        text_col="text",
+                        n_buckets=dsir_buckets,
+                    )
+                    .coalesce(1)  # ≤ dsir_buckets rows — one tiny file
+                    .write.mode("overwrite")
+                    .parquet(ratio_src)
+                )
+                with open(ratio_meta_path, "w") as fh:
+                    json.dump({"mode": dsir_mode}, fh)
+        # bounded collect (≤ dsir_buckets rows) → one array literal shared
+        # by every wave's zero-shuffle scoring projection
+        dsir_arr = _dsir.log_ratio_array(
+            spark.read.parquet(ratio_src), n_buckets=dsir_buckets
+        )
+
     done: set[int] = set()
     if resume and os.path.isdir(lineage_path):
         try:
@@ -392,17 +458,25 @@ def run_pipeline(
             # iff that latest processing used the same dedup mode (dedup
             # changes decision rows themselves) and, when conv_rollup is
             # requested, also produced the rollup output.
+            dsir_col = (
+                F.coalesce(F.col("dsir_mode"), F.lit("none"))
+                if "dsir_mode" in lin.columns
+                else F.lit("none")
+            )
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
                         _flag("conv_rollup").alias("r"),
                         mode_col.alias("m"),
+                        dsir_col.alias("d"),
                     ),
                     ts_col,
                 ).alias("s")
             )
-            ok = (F.col("s.m") == F.lit(dedup_mode)) & (
-                F.col("s.r") | F.lit(not conv_rollup)
+            ok = (
+                (F.col("s.m") == F.lit(dedup_mode))
+                & (F.col("s.d") == F.lit(dsir_mode))
+                & (F.col("s.r") | F.lit(not conv_rollup))
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
         except Exception:
@@ -431,6 +505,12 @@ def run_pipeline(
             # buckets; no broadcast hint — the dup list is usually tiny
             # (AQE broadcasts it) but is corpus-shaped in the worst case
             part = part.join(dup_wave, "conv_id", "left_anti")
+        if dsir_arr is not None:
+            # zero-shuffle projection: the fitted table rides the plan as
+            # one array literal (dsir.dsir_score_col), no per-wave joins
+            from piperider_spark.operators.dsir import dsir_score_col
+
+            part = part.withColumn("dsir_score", dsir_score_col("text", dsir_arr))
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -440,6 +520,8 @@ def run_pipeline(
             "bucket", "conv_id", "turn_idx", "role", "ts",
             "keep", "reasons", "lang", "ppl", "text_scrubbed",
         ]
+        if dsir_arr is not None:
+            out_cols.append("dsir_score")
         (
             decided.select(*out_cols)
             .repartition("bucket")
@@ -489,9 +571,12 @@ def run_pipeline(
 
         elapsed = int((time.time() - t0) * 1000)
         lineage_rows = spark.createDataFrame(
-            [(run_id, b, elapsed, conv_rollup, dedup_mode, time.time()) for b in wave],
+            [
+                (run_id, b, elapsed, conv_rollup, dedup_mode, dsir_mode, time.time())
+                for b in wave
+            ],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
-            "dedup_mode string, ts double",
+            "dedup_mode string, dsir_mode string, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -546,6 +631,21 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         "connected components at --conv-near-threshold Jaccard)",
     )
     p.add_argument("--conv-near-threshold", type=float, default=0.85)
+    p.add_argument(
+        "--dsir-fit",
+        default=None,
+        metavar="PREDICATE",
+        help="SQL predicate selecting the DSIR target slice (e.g. "
+        "\"role = 'assistant'\"); fits once per staging and adds a "
+        "dsir_score column to decisions/",
+    )
+    p.add_argument(
+        "--dsir-ratio-path",
+        default=None,
+        help="externally fitted (bucket, log_ratio) parquet — score with "
+        "it instead of fitting in-run",
+    )
+    p.add_argument("--dsir-buckets", type=int, default=4096)
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -559,6 +659,9 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         conv_dedup=args.conv_dedup,
         conv_near_dedup=args.conv_near_dedup,
         conv_near_threshold=args.conv_near_threshold,
+        dsir_fit=args.dsir_fit,
+        dsir_ratio_path=args.dsir_ratio_path,
+        dsir_buckets=args.dsir_buckets,
     )
     print(json.dumps(res.__dict__))
 

@@ -1540,6 +1540,18 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionByName(sem)
 
 
+@register("semdedup_embeddings")
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path SemDeDup alone (no quadratic exact-pair leg) — the
+    bench-timed production shape: row-local cell assignment over the
+    broadcast centroid literal, one shuffle on cell, partial-agg witness
+    max. Rows-only; the full oracle lives in the
+    ``embedding_near_dup_pairs`` union's semdedup leg."""
+    return similarity.semdedup(
+        load(spark, sf_dir, "embeddings"), _ivf_cents(), threshold=0.35
+    )
+
+
 # rolling_fingerprint_documents was consolidated into the
 # fingerprint_documents gated union (round-4 registry-window consolidation:
 # 54 gated entries > the driver's 50-slot budget pushed the strongest new

@@ -529,3 +529,64 @@ def test_conv_near_dedup_stage_and_mode_change(spark, transcripts_pdf, tmp_path)
         conv_dedup=True, conv_near_dedup=True, conv_near_threshold=0.8,
     )
     assert (r3.buckets_processed, r3.buckets_skipped) == (0, 4)
+
+
+def test_pipeline_dsir_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
+    """--dsir-fit: decisions carry a dsir_score equal to an independent
+    batch computation with the same fit; same config resumes clean; turning
+    DSIR off reprocesses (lineage latest-row dsir_mode check) and removes
+    the column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from piperider_spark.operators import dsir
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp
+    )
+    out = str(tmp_path / "out")
+    pred = "role = 'assistant'"
+
+    r1 = run_pipeline(
+        spark, inp, out, n_buckets=4, wave_buckets=2, dsir_fit=pred, dsir_buckets=512
+    )
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    assert "dsir_score" in dec.columns
+
+    batch = spark.read.parquet(inp)
+    ratio = dsir.fit_bucket_log_ratio(
+        batch, batch.where(F.expr(pred)), n_buckets=512
+    )
+    arr = dsir.log_ratio_array(ratio, n_buckets=512)
+    want = {
+        (r.conv_id, r.turn_idx): r.s
+        for r in batch.select(
+            "conv_id", "turn_idx", dsir.dsir_score_col("text", arr).alias("s")
+        ).collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.dsir_score
+        for r in dec.select("conv_id", "turn_idx", "dsir_score").collect()
+    }
+    assert got == want
+
+    # the audit sidecar holds the fitted table (<= B rows, one file)
+    sidecar = spark.read.parquet(f"{out}/dsir_ratio")
+    assert sidecar.count() <= 512
+    assert set(sidecar.columns) == {"bucket", "log_ratio"}
+
+    # same config resumes clean
+    r2 = run_pipeline(
+        spark, inp, out, n_buckets=4, wave_buckets=2, dsir_fit=pred, dsir_buckets=512
+    )
+    assert (r2.buckets_processed, r2.buckets_skipped) == (0, 4)
+
+    # DSIR off: latest lineage rows say dsir was on -> reprocess all,
+    # decisions drop the column
+    r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
+    assert r3.buckets_processed == 4
+    assert "dsir_score" not in spark.read.parquet(r1.decisions_path).columns
