@@ -78,8 +78,9 @@ HEADLINE = [
     # (dup_clusters_documents) is oracle-gate-only, like ngram_jaccard
     "dup_clusters_fast",
     # round-5 additions (new entries append — earlier entries keep their
-    # r4 per-entry comparability)
-    "dsir_documents",
+    # r4 per-entry comparability); like the minhash/cluster families, the
+    # headline times the xxhash64 ENGINE paths, the md5 twins stay gate-only
+    "dsir_documents_fast",
     "semdedup_embeddings",
 ]
 

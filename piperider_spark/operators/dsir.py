@@ -43,9 +43,16 @@ from piperider_spark.functions.text import md5_60bit, tokens
 _U_DENOM = float(2**60 + 2)
 
 
-def ngram_buckets(text: Column | str, n_buckets: int = 4096) -> Column:
+def ngram_buckets(
+    text: Column | str, n_buckets: int = 4096, hash_fn: str = "md5"
+) -> Column:
     """Hashed uni+bigram bucket ids (``array<long>``, one entry per n-gram
-    occurrence — counts matter to DSIR, so no dedup). Row-local."""
+    occurrence — counts matter to DSIR, so no dedup). Row-local.
+
+    ``hash_fn``: ``md5`` is the portable oracle path (bit-identical in
+    DuckDB); ``xxhash64`` is the JVM-native engine path — no md5-hex +
+    conv() string math per gram, ~4× faster featurize (the same twin
+    pattern as dedup.minhash_signatures)."""
     toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
     n = F.size(toks)
     bigrams = F.when(
@@ -56,6 +63,8 @@ def ngram_buckets(text: Column | str, n_buckets: int = 4096) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
+    if hash_fn == "xxhash64":
+        return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
     return F.transform(grams, lambda g: F.pmod(md5_60bit(g), F.lit(n_buckets)))
 
 
@@ -65,6 +74,7 @@ def fit_bucket_log_ratio(
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 1.0,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Fit the importance log-ratio per hashed bucket:
     ``ln p_target(b) - ln p_raw(b)`` with add-``alpha`` smoothing.
@@ -77,7 +87,9 @@ def fit_bucket_log_ratio(
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.select(F.explode(ngram_buckets(text_col, n_buckets)).alias("bucket"))
+            df.select(
+                F.explode(ngram_buckets(text_col, n_buckets, hash_fn)).alias("bucket")
+            )
             .groupBy("bucket")
             .agg(F.count("*").alias(name))
         )
@@ -105,16 +117,71 @@ def dsir_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 4096,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Importance score per document: sum of its n-gram occurrences'
     bucket log-ratios (docs with no n-grams score 0.0, per the paper's
     empty-feature convention). Explode → broadcast join (≤ n_buckets
     rows) → partial-agg sum; the only shuffle keys on the doc id."""
     ex = df.select(
-        F.col(id_col), F.explode(ngram_buckets(text_col, n_buckets)).alias("bucket")
+        F.col(id_col),
+        F.explode(ngram_buckets(text_col, n_buckets, hash_fn)).alias("bucket"),
     )
     scores = (
         ex.join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_score"))
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col, F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score")
+    )
+
+
+def dsir_fit_score(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    hash_fn: str = "md5",
+    cache: bool = True,
+) -> DataFrame:
+    """Single-featurize fit+score for the common DSIR deployment where the
+    target is a SLICE of the raw corpus (``target_pred`` a boolean column
+    over ``df``'s rows): explode ONCE carrying the flag, aggregate both
+    corpus counts in one partial-agg pass (``count_if`` for the target
+    leg), and score off the same exploded frame — one featurize total vs
+    the general two-corpus path's three. Identical output to
+    ``fit_bucket_log_ratio`` + ``dsir_scores`` (pinned in tests): with
+    target ⊆ raw every target bucket exists in the raw counts, so the
+    flagged single aggregation reproduces the full-outer join exactly.
+
+    ``cache=True`` persists the exploded frame so the fit job (executed
+    for the broadcast) and the scoring job share it — lazy, bounded by
+    corpus gram count; pass False for plan-only consumers."""
+    bk = df.select(
+        F.col(id_col),
+        target_pred.alias("is_t"),
+        F.explode(ngram_buckets(text_col, n_buckets, hash_fn)).alias("bucket"),
+    )
+    if cache:
+        bk = bk.persist()
+    counts = bk.groupBy("bucket").agg(
+        F.count("*").alias("cr"), F.count_if(F.col("is_t")).alias("ct")
+    )
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    b = float(n_buckets)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * b))
+            - F.log((F.col("cr") + alpha) / (F.col("tr") + alpha * b)),
+            9,
+        ).alias("log_ratio"),
+    )
+    scores = (
+        bk.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_score"))
     )
@@ -136,7 +203,9 @@ def log_ratio_array(log_ratio: DataFrame, n_buckets: int = 4096) -> list[float]:
     return arr
 
 
-def dsir_score_col(text: Column | str, ratio_arr: list[float]) -> Column:
+def dsir_score_col(
+    text: Column | str, ratio_arr: list[float], hash_fn: str = "md5"
+) -> Column:
     """Row-local DSIR score: ONE array-literal lookup per n-gram, folded
     with ``F.aggregate`` — no explode, no join, no shuffle. This is the
     10^12-turn scoring plan (a pure projection over the corpus scan) and,
@@ -144,9 +213,10 @@ def dsir_score_col(text: Column | str, ratio_arr: list[float]) -> Column:
     DataFrame directly. The literal rides the plan the way the IVF
     centroid matrix does (one array, not B inlined expressions — the
     codegen lesson of similarity.ivf_cell). Equality with the gated
-    explode-path scorer is pinned in tests."""
+    explode-path scorer is pinned in tests. ``hash_fn`` MUST match the
+    one the ratio table was fitted with."""
     lit_arr = F.lit(ratio_arr)
-    bks = ngram_buckets(text, n_buckets=len(ratio_arr))
+    bks = ngram_buckets(text, n_buckets=len(ratio_arr), hash_fn=hash_fn)
     return F.round(
         F.aggregate(
             bks,
@@ -164,6 +234,7 @@ def gumbel_topk(
     score_col: str = "dsir_score",
     seed: int = 7,
     temperature: float = 1.0,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Resample without replacement: Gumbel-top-k over the importance
     scores (equivalent to sampling proportional to ``exp(score/T)``
@@ -171,9 +242,11 @@ def gumbel_topk(
     portable md5 hash of ``seed:id``, so the draw is deterministic and
     engine-independent; TakeOrderedAndProject keeps it a top-k, not a
     global sort. Output adds ``gumbel_key`` (ties broken by id)."""
-    u = (md5_60bit(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))) + 1) / F.lit(
-        _U_DENOM
+    tag = F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    h = (
+        F.pmod(F.xxhash64(tag), F.lit(2**60)) if hash_fn == "xxhash64" else md5_60bit(tag)
     )
+    u = (h + 1) / F.lit(_U_DENOM)
     g = F.round(-F.log(-F.log(u)), 9)
     key = F.round(F.col(score_col) / F.lit(float(temperature)) + g, 6)
     return (

@@ -449,6 +449,93 @@ def semdedup(
     )
 
 
+def semdedup_arrow(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Vectorized engine twin of :func:`semdedup` — the same frozen policy
+    evaluated with numpy matmuls instead of interpreted higher-order
+    functions (HOF expressions disable whole-stage codegen, so the pure-SQL
+    form pays interpreted per-element costs; one Arrow batch matmul is
+    orders faster per row on wide embeddings).
+
+    Plan shape is identical to the SQL form: assignment + centroid_sim in
+    ``mapInPandas`` (row-local, the centroid matrix ships inside the
+    closure), the within-cluster prune in ``applyInPandas`` over
+    ``groupBy(cell)`` — ONE shuffle on cell, the group bounded exactly as
+    the paper bounds it (k scales with the corpus). Policy equality with
+    the oracle-gated :func:`semdedup` is pinned in tests (keep sets exact;
+    sims agree to the shared 6 dp rounding)."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    k = C.shape[0]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            dots = X @ C.T
+            # argmax with ties to the LARGER j — flip so the first max seen
+            # (np.argmax takes the first) is the largest index
+            cell = (k - 1) - np.argmax(dots[:, ::-1], axis=1)
+            csim = np.round(
+                dots[np.arange(len(X)), cell] / np.linalg.norm(X, axis=1), 6
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "v": pdf[vec_col].values,
+                    "cell": cell.astype("int32"),
+                    "centroid_sim": csim,
+                }
+            )
+
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    scored = df.mapInPandas(
+        assign, f"{id_col} long, v {vec_t}, cell int, centroid_sim double"
+    )
+
+    def prune(pdf):
+        n = len(pdf)
+        ids = pdf[id_col].values
+        X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = np.round(Xn @ Xn.T, 6)
+        cs = pdf["centroid_sim"].values
+        # claim[i] < claim[j] iff (cs_i, id_i) < (cs_j, id_j): i beats j
+        order = np.lexsort((ids, cs))  # ascending keep-claim strength
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        stronger = rank[:, None] < rank[None, :]  # [i, j]: i has the stronger claim
+        hit = (sims >= threshold) & stronger  # [i, j]: i is a witness against j
+        keep = ~hit.any(axis=0)
+        # strongest witness per dropped row: max (sim, witness_id)
+        wid = np.full(n, -1, dtype=np.int64)
+        wsim = np.full(n, np.nan)
+        for j in np.flatnonzero(~keep):
+            wits = np.flatnonzero(hit[:, j])
+            w = wits[np.lexsort((ids[wits], sims[wits, j]))[-1]]
+            wid[j], wsim[j] = ids[w], sims[w, j]
+        out = pdf[[id_col, "cell", "centroid_sim"]].copy()
+        out["keep"] = keep
+        out["witness_id"] = pd.array(
+            [None if keep[j] else int(wid[j]) for j in range(n)], dtype="Int64"
+        )
+        out["witness_sim"] = [None if keep[j] else float(wsim[j]) for j in range(n)]
+        return out
+
+    return scored.groupBy("cell").applyInPandas(
+        prune,
+        f"{id_col} long, cell int, centroid_sim double, keep boolean, "
+        "witness_id long, witness_sim double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------

@@ -1542,14 +1542,32 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("semdedup_embeddings")
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-path SemDeDup alone (no quadratic exact-pair leg) — the
-    bench-timed production shape: row-local cell assignment over the
-    broadcast centroid literal, one shuffle on cell, partial-agg witness
-    max. Rows-only; the full oracle lives in the
-    ``embedding_near_dup_pairs`` union's semdedup leg."""
-    return similarity.semdedup(
-        load(spark, sf_dir, "embeddings"), _ivf_cents(), threshold=0.35
+    """Engine-path SemDeDup — the bench-timed production shape:
+    ``similarity.semdedup_arrow`` (numpy matmuls in mapInPandas /
+    per-cell applyInPandas; HOF expressions disable codegen, so the
+    pure-SQL twin pays interpreted per-element costs on wide embeddings).
+    Same frozen policy as the oracle-gated SQL form (parity pinned in
+    tests); rows-only here — the full oracle lives in the
+    ``embedding_near_dup_pairs`` union's semdedup leg. The repartition
+    restores scan parallelism on the single-file test input — a real
+    multi-split corpus scan supplies it."""
+    return similarity.semdedup_arrow(
+        load(spark, sf_dir, "embeddings").repartition(64), _ivf_cents(), threshold=0.35
     )
+
+
+@register("dsir_documents_fast")
+def dsir_documents_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path DSIR (xxhash64 featurize — JVM-native, no md5-hex +
+    conv() string math per gram) — the bench-timed production shape; the
+    md5 twin ``dsir_documents`` is fully oracle-gated. Repartition as in
+    ``semdedup_embeddings``: featurize is row-local, the single-file test
+    scan supplies one split."""
+    docs = load(spark, sf_dir, "documents").repartition(64)
+    scored = dsir.dsir_fit_score(
+        docs, F.col("lang") == "en", n_buckets=4096, hash_fn="xxhash64"
+    )
+    return dsir.gumbel_topk(scored, k=100, seed=7, hash_fn="xxhash64")
 
 
 # rolling_fingerprint_documents was consolidated into the
@@ -1784,10 +1802,7 @@ def dsir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring). Takes the registry slot freed by folding the simhash
     candidates into the near_dup_pairs_documents union."""
     docs = load(spark, sf_dir, "documents")
-    ratio = dsir.fit_bucket_log_ratio(
-        docs, docs.where(F.col("lang") == "en"), n_buckets=4096
-    )
-    scored = dsir.dsir_scores(docs, ratio, n_buckets=4096)
+    scored = dsir.dsir_fit_score(docs, F.col("lang") == "en", n_buckets=4096)
     return dsir.gumbel_topk(scored, k=100, seed=7)
 
 

@@ -276,6 +276,53 @@ def test_semdedup_matches_numpy_bruteforce(spark):
     assert got == expected
 
 
+def test_semdedup_arrow_matches_sql_policy(spark):
+    """similarity.semdedup_arrow (numpy/Arrow engine path) == the
+    oracle-gated HOF form: cells, keep flags and witnesses EXACT; sims
+    equal at the shared 6dp rounding (tolerance covers BLAS-vs-fold
+    summation-order ulps at the rounding boundary)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C = qmod._ivf_cents()
+    a = {
+        r.vec_id: r
+        for r in similarity.semdedup_arrow(emb, C, threshold=0.35).collect()
+    }
+    h = {
+        r.vec_id: r for r in similarity.semdedup(emb, C, threshold=0.35).collect()
+    }
+    assert set(a) == set(h)
+    for vid, ra in a.items():
+        rh = h[vid]
+        assert (ra.cell, ra.keep, ra.witness_id) == (rh.cell, rh.keep, rh.witness_id)
+        for x, y in ((ra.centroid_sim, rh.centroid_sim), (ra.witness_sim, rh.witness_sim)):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert abs(x - y) <= 2e-6
+
+
+def test_dsir_fit_score_matches_two_corpus_path(spark):
+    """dsir.dsir_fit_score (single-featurize flagged path) == the general
+    fit_bucket_log_ratio + dsir_scores chain, doc for doc, both hashes."""
+    from piperider_spark.operators import dsir
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for hf in ("md5", "xxhash64"):
+        ratio = dsir.fit_bucket_log_ratio(
+            docs, docs.where(F.col("lang") == "en"), n_buckets=512, hash_fn=hf
+        )
+        want = {
+            r.doc_id: r.dsir_score
+            for r in dsir.dsir_scores(docs, ratio, n_buckets=512, hash_fn=hf).collect()
+        }
+        got = {
+            r.doc_id: r.dsir_score
+            for r in dsir.dsir_fit_score(
+                docs, F.col("lang") == "en", n_buckets=512, hash_fn=hf, cache=False
+            ).collect()
+        }
+        assert got == want, hf
+
+
 def test_semdedup_threshold_monotone_and_empty(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     C = qmod._ivf_cents()
