@@ -109,6 +109,194 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup gate (exact dedup's zero-shuffle companion)
+# ---------------------------------------------------------------------------
+#
+# exact_dup_flags dedups ONE corpus with one shuffle on a 16-byte key —
+# optimal for a batch. The Bloom gate covers the other production shape:
+# continuously ingesting NEW batches against a corpus of already-seen
+# fingerprints (the Dolma/BFF pattern). Re-shuffling 10^12 historical
+# fingerprints per daily batch is absurd; instead the history is compacted
+# ONCE into a Bloom bitset (1.2 GB per 10^9 docs at fpp=1%), broadcast, and
+# every new batch is gated MAP-SIDE — zero shuffle, no join against history.
+#
+# Design notes (scale):
+# * bit positions come from JVM-side xxhash64(seed_j, fingerprint) — the
+#   python probe never re-implements the hash, so build and probe agree by
+#   construction and the python stage is pure numpy bit lookups.
+# * the OR-reduction of per-partition bitsets is CHUNKED: partitions emit
+#   fixed-size bitset chunks keyed by chunk_id and a groupBy(chunk_id) ORs
+#   them, so the driver collects exactly m/8 bytes — NOT n_partitions×m/8
+#   (32 partitions × a 1.2 GB bitset would be a 38 GB collect).
+# * beyond broadcastable m (~2-4 GB): shard by a fingerprint prefix into S
+#   independent blooms built/probed with the same functions — or keep the
+#   streaming first-seen keyed state (streaming/filter_stream.py), which is
+#   the exact (non-probabilistic) variant of the same gate.
+# * contract: maybe_seen=False is definite (Blooms have no false negatives
+#   — pinned in tests); maybe_seen=True is wrong with prob ≤ fpp, i.e. the
+#   incremental dedup DROPS ~fpp of genuinely-new docs. Pick fpp for the
+#   recall you can afford; use the exact paths where loss is unacceptable.
+
+_BLOOM_SEED = 0x51_B1_00  # arbitrary fixed salt base, disjoint per hash j
+_BLOOM_CHUNK_BYTES = 4 << 20
+
+
+def bloom_params(expected: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln p/(ln 2)², k = (m/n)·ln 2 (≥1), with m
+    rounded up to a whole byte."""
+    import math
+
+    n = max(int(expected), 1)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(text_col: Column | str, m_bits: int, k: int) -> list[Column]:
+    """k bit positions per row, JVM-computed from the row's fingerprint.
+
+    NULL text coalesces to the same sentinel exact_dup_flags uses, so NULL
+    docs gate against each other exactly like the shuffle path groups them."""
+    fp = F.coalesce(fingerprint(text_col), F.lit("\x00__null__"))
+    return [
+        F.pmod(F.xxhash64(F.lit(_BLOOM_SEED + j), fp), F.lit(m_bits)).alias(f"__bp{j}")
+        for j in range(k)
+    ]
+
+
+def build_fingerprint_bloom(
+    df: DataFrame,
+    text_col: str = "text",
+    expected: int | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Compact a corpus' text fingerprints into a Bloom bitset.
+
+    EAGER (documented contract, like percentile_disc_multi): runs a count
+    when ``expected`` is not given, then the build job itself. Returns
+    ``{"bits": bytes, "m_bits": int, "k": int, "fpp": float, "expected": int}``
+    — serialize it however you store snapshots; OR two epochs' filters with
+    :func:`bloom_or`."""
+    import numpy as np
+
+    if expected is None:
+        expected = df.count()
+    m_bits, k = bloom_params(expected, fpp)
+    m_bytes = m_bits // 8
+    chunk = min(_BLOOM_CHUNK_BYTES, m_bytes)
+    n_chunks = (m_bytes + chunk - 1) // chunk
+
+    pos = df.select(*_bloom_positions(text_col, m_bits, k))
+
+    def _partition_chunks(pdf_iter):
+        import pandas as pd
+
+        bits = np.zeros(m_bytes, dtype=np.uint8)
+        for pdf in pdf_iter:
+            for c in pdf.columns:
+                p = pdf[c].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        out = [
+            (i, bits[i * chunk : (i + 1) * chunk].tobytes())
+            for i in range(n_chunks)
+            # all-zero chunks carry nothing — skip them (most chunks, for a
+            # small partition of a large bitset)
+            if bits[i * chunk : (i + 1) * chunk].any()
+        ]
+        yield pd.DataFrame(
+            {
+                "chunk_id": pd.array([o[0] for o in out], dtype="int32"),
+                "bits": pd.array([o[1] for o in out], dtype="object"),
+            }
+        )
+
+    chunks = pos.mapInPandas(_partition_chunks, schema="chunk_id int, bits binary")
+
+    def _or_chunks(key, pdf):
+        import pandas as pd
+
+        acc = None
+        for raw in pdf["bits"]:
+            a = np.frombuffer(raw, dtype=np.uint8)
+            acc = a.copy() if acc is None else np.bitwise_or(acc, a)
+        return pd.DataFrame({"chunk_id": [key[0]], "bits": [acc.tobytes()]})
+
+    merged = chunks.groupBy("chunk_id").applyInPandas(
+        _or_chunks, schema="chunk_id int, bits binary"
+    )
+    bits = np.zeros(m_bytes, dtype=np.uint8)
+    for row in merged.collect():
+        start = row["chunk_id"] * chunk
+        arr = np.frombuffer(row["bits"], dtype=np.uint8)
+        bits[start : start + len(arr)] = arr
+    return {
+        "bits": bits.tobytes(),
+        "m_bits": m_bits,
+        "k": k,
+        "fpp": fpp,
+        "expected": int(expected),
+    }
+
+
+def bloom_or(a: dict, b: dict) -> dict:
+    """Union of two filters over the SAME (m_bits, k) — e.g. merging epoch
+    snapshots. fpp degrades with total insertions; re-size when the union's
+    expected count outgrows the original sizing."""
+    import numpy as np
+
+    if (a["m_bits"], a["k"]) != (b["m_bits"], b["k"]):
+        raise ValueError(
+            f"bloom_or needs identical layouts, got (m={a['m_bits']},k={a['k']}) "
+            f"vs (m={b['m_bits']},k={b['k']}) — rebuild at a common sizing"
+        )
+    bits = np.bitwise_or(
+        np.frombuffer(a["bits"], dtype=np.uint8), np.frombuffer(b["bits"], dtype=np.uint8)
+    )
+    return {**a, "bits": bits.tobytes(), "expected": a["expected"] + b["expected"]}
+
+
+def bloom_seen_flags(
+    df: DataFrame, bloom: dict, text_col: str = "text", out: str = "maybe_seen"
+) -> DataFrame:
+    """Map-side membership test of each row's fingerprint against a built
+    filter: zero shuffle, bitset shipped once per executor via broadcast,
+    python stage is vectorized numpy bit lookups over JVM-computed
+    positions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    m_bits, k = bloom["m_bits"], bloom["k"]
+    bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
+
+    # no type hints: pyspark's hint inference rejects *args signatures —
+    # the legacy (hint-free) pandas_udf path supports them
+    @pandas_udf(BooleanType())
+    def _probe(*pos_cols):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        acc = None
+        for s in pos_cols:
+            p = s.to_numpy(dtype=np.int64)
+            hit = (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            acc = hit if acc is None else (acc & hit)
+        return pd.Series(acc)
+
+    return df.withColumn(out, _probe(*_bloom_positions(text_col, m_bits, k)))
+
+
+def bloom_incremental_dedup(df: DataFrame, bloom: dict, text_col: str = "text") -> DataFrame:
+    """Rows whose fingerprint is DEFINITELY absent from the filter (see the
+    recall contract in the section header: ~fpp of genuinely-new rows are
+    dropped). Does NOT dedup rows against each other within ``df`` — chain
+    exact_dup_flags for intra-batch dedup, then fold the survivors into the
+    next epoch's filter."""
+    flagged = bloom_seen_flags(df, bloom, text_col, out="__seen")
+    return flagged.where(~F.col("__seen")).drop("__seen")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise over shingle-sharing pairs)
 # ---------------------------------------------------------------------------
 

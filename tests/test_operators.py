@@ -1467,3 +1467,61 @@ def test_conversation_text_input_order_and_partition_invariant(spark):
     assert snap(df.orderBy(F.rand(7))) == base
     assert snap(df.repartition(17)) == base
     assert snap(df.coalesce(1)) == base
+
+
+def test_bloom_gate_no_false_negatives_and_fpr(spark):
+    """Bloom incremental dedup gate: (a) every built-in fingerprint probes
+    maybe_seen=True — Blooms have no false negatives; (b) observed FPR on
+    fingerprints NOT in the filter stays near the nominal sizing; (c) the
+    gate's executed plan is shuffle-free (the whole point: gating a new
+    batch against 10^12 seen turns without a join against history)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    bloom = dedup.build_fingerprint_bloom(half_a, fpp=0.01)
+    m, k = dedup.bloom_params(bloom["expected"], 0.01)
+    assert (bloom["m_bits"], bloom["k"]) == (m, k) and m % 8 == 0
+
+    # (a) no false negatives, including re-probing duplicates
+    flags_a = dedup.bloom_seen_flags(half_a, bloom)
+    assert flags_a.where(~F.col("maybe_seen")).count() == 0
+
+    # (b) FPR on genuinely-unseen fingerprints (left_anti drops texts the
+    # halves happen to share): ≤ 4× nominal leaves slack for the small n
+    fps_a = dedup.with_fingerprint(half_a).select("fp").distinct()
+    unseen = dedup.with_fingerprint(half_b).join(fps_a, "fp", "left_anti")
+    n_unseen = unseen.count()
+    n_hits = dedup.bloom_seen_flags(unseen, bloom).where(F.col("maybe_seen")).count()
+    assert n_unseen > 100  # the fixture halves genuinely differ
+    assert n_hits / n_unseen <= 0.04, f"FPR {n_hits}/{n_unseen} vs nominal 0.01"
+
+    # incremental dedup keeps exactly the definite-unseen rows
+    assert dedup.bloom_incremental_dedup(half_b, bloom).count() == n_unseen - n_hits
+
+    # (c) zero Exchange in the gate plan
+    plan = flags_a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bloom_or_union_and_null_text_group(spark):
+    """bloom_or unions epoch snapshots (no false negatives on either side);
+    NULL-text rows gate through the same sentinel fingerprint exact dedup
+    groups them under; mismatched layouts are rejected."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    n = half_a.count()
+    b1 = dedup.build_fingerprint_bloom(half_a, expected=n, fpp=0.01)
+    b2 = dedup.build_fingerprint_bloom(half_b, expected=n, fpp=0.01)
+    union = dedup.bloom_or(b1, b2)
+    assert dedup.bloom_seen_flags(docs, union).where(~F.col("maybe_seen")).count() == 0
+    assert union["expected"] == 2 * n
+
+    with pytest.raises(ValueError, match="identical layouts"):
+        dedup.bloom_or(b1, dedup.build_fingerprint_bloom(half_b, expected=5 * n, fpp=0.01))
+
+    null_df = spark.createDataFrame([(1, None), (2, None), (3, "x")], "doc_id long, text string")
+    b_null = dedup.build_fingerprint_bloom(null_df, expected=16, fpp=0.01)
+    seen = {r.doc_id: r.maybe_seen for r in dedup.bloom_seen_flags(null_df, b_null).collect()}
+    assert seen == {1: True, 2: True, 3: True}
