@@ -1666,3 +1666,68 @@ def test_stream_dsir_scoring_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == batch.count()
+
+
+def test_bloom_gate_is_streaming_safe(spark, tmp_path):
+    """The Bloom incremental gate is a stateless projection (JVM hash
+    positions + broadcast-bitset probe), so it must drop into a readStream
+    unchanged — the live-ingest twin of gating a new batch against corpus
+    history. Flags on the stream must equal the batch application row for
+    row (deterministic positions, pure probe — no state, no watermark)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.operators.dedup import bloom_seen_flags, build_fingerprint_bloom
+
+    hist = tmp_path / "hist.parquet"
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(hist), n_turns=800, seed=31)
+    # overlap: new data re-delivers some history texts (same seed prefix)
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=400, seed=31)
+    write_transcripts_parquet(str(inp / "p1.parquet"), n_turns=400, seed=32)
+
+    bloom = build_fingerprint_bloom(spark.read.parquet(str(hist)), fpp=0.01)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    q = (
+        bloom_seen_flags(stream, bloom)
+        .select("conv_id", "turn_idx", "maybe_seen")
+        .writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from bloom_stream")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        bloom_seen_flags(spark.read.parquet(str(inp)), bloom)
+        .select("conv_id", "turn_idx", "maybe_seen")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the overlap makes the test meaningful: some rows gate seen, some not
+    assert got["maybe_seen"].any() and not got["maybe_seen"].all()
