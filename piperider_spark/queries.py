@@ -2351,3 +2351,20 @@ def retention_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
     )
     return exact.unionByName(near)
+
+
+@register("bloom_incremental_documents")
+def bloom_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom incremental dedup gate (rows-only engine twin — the bitset is
+    an engine-side artifact with no SQL-expressible oracle; the contract is
+    pinned in pytest instead: no false negatives, FPR ≤ 4× nominal,
+    zero-Exchange probe plan, stream == batch). History = even doc_ids
+    compacted into a Bloom (EAGER: the build runs at query-construction
+    time, like percentile_disc_multi); the "new batch" = odd doc_ids, gated
+    map-side. maybe_seen=True rows are history re-deliveries (duplicate
+    texts across the halves) or ≤fpp false positives."""
+    docs = load(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = dedup.build_fingerprint_bloom(history, fpp=0.01)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.bloom_seen_flags(new_batch, bloom).select("doc_id", "maybe_seen")
