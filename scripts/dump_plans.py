@@ -85,6 +85,12 @@ PLAN_QUERIES = [
         "centroid_sim), ONE shuffle on cell for the bounded self-join, "
         "partial-agg witness max",
     ),
+    (
+        "bloom_incremental_documents",
+        "Bloom gate probe: ZERO exchanges — JVM xxhash64 positions + "
+        "broadcast-bitset ArrowEvalPython over the scan (the history "
+        "compaction ran eagerly, once; this is the per-batch plan)",
+    ),
 ]
 
 
