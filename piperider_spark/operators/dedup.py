@@ -170,19 +170,27 @@ def build_fingerprint_bloom(
     text_col: str = "text",
     expected: int | None = None,
     fpp: float = 0.01,
+    layout: tuple[int, int] | None = None,
 ) -> dict:
     """Compact a corpus' text fingerprints into a Bloom bitset.
 
     EAGER (documented contract, like percentile_disc_multi): runs a count
     when ``expected`` is not given, then the build job itself. Returns
     ``{"bits": bytes, "m_bits": int, "k": int, "fpp": float, "expected": int}``
-    — serialize it however you store snapshots; OR two epochs' filters with
-    :func:`bloom_or`."""
+    — persist with :func:`save_bloom`/:func:`load_bloom`; OR two epochs'
+    filters with :func:`bloom_or`. ``layout`` forces ``(m_bits, k)`` —
+    required when the result must union into an existing filter (epoch
+    snapshots share the first epoch's layout)."""
     import numpy as np
 
     if expected is None:
         expected = df.count()
-    m_bits, k = bloom_params(expected, fpp)
+    if layout is not None:
+        m_bits, k = layout
+        if m_bits % 8:
+            raise ValueError(f"layout m_bits must be a byte multiple, got {m_bits}")
+    else:
+        m_bits, k = bloom_params(expected, fpp)
     m_bytes = m_bits // 8
     chunk = min(_BLOOM_CHUNK_BYTES, m_bytes)
     n_chunks = (m_bytes + chunk - 1) // chunk
@@ -237,6 +245,36 @@ def build_fingerprint_bloom(
         "fpp": fpp,
         "expected": int(expected),
     }
+
+
+def save_bloom(bloom: dict, path: str) -> None:
+    """Persist a filter as one JSON file (bits base64) — the epoch-snapshot
+    artifact `pipeline --bloom-out` writes and `--bloom-history` loads.
+    Atomic (write-then-rename), so a crashed writer never leaves a torn
+    artifact for the next epoch."""
+    import base64
+    import json
+    import os
+
+    payload = {**bloom, "bits": base64.b64encode(bloom["bits"]).decode("ascii")}
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def load_bloom(path: str) -> dict:
+    import base64
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    data["bits"] = base64.b64decode(data["bits"])
+    if len(data["bits"]) * 8 != data["m_bits"]:
+        raise ValueError(
+            f"corrupt bloom artifact {path}: {len(data['bits'])} bytes vs m_bits={data['m_bits']}"
+        )
+    return data
 
 
 def bloom_or(a: dict, b: dict) -> dict:

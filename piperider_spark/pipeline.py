@@ -184,6 +184,9 @@ def run_pipeline(
     conv_dedup: bool = False,
     conv_near_dedup: bool = False,
     conv_near_threshold: float = 0.85,
+    bloom_history: str | None = None,
+    bloom_out: str | None = None,
+    bloom_expected: int | None = None,
     dsir_fit: str | None = None,
     dsir_ratio_path: str | None = None,
     dsir_buckets: int = 4096,
@@ -218,6 +221,22 @@ def run_pipeline(
     small, so dedup adds no per-wave full-corpus work. Lineage rows record
     the dedup MODE: resuming with a different mode reprocesses buckets
     rather than mixing differently-deduped decisions in one output.
+
+    ``bloom_history`` extends dedup ACROSS runs: a Bloom snapshot of
+    previous epochs' conversation fingerprints (operators/dedup.save_bloom
+    artifact) gates this corpus map-side — conversations whose stable-order
+    transcript fingerprint probes seen are dropped like exact duplicates
+    (method ``bloom_history`` in dup_convs/, canonical_conv_id NULL: the
+    canonical was emitted by an earlier epoch). Zero shuffle against
+    history — the 10^12-turn archive never re-keys; ~fpp of genuinely-new
+    conversations are falsely dropped (the artifact records its fpp).
+    ``bloom_out`` writes the next epoch's snapshot (history ∪ this corpus,
+    same bitset layout) after the waves complete; on the FIRST epoch (no
+    history) pass ``bloom_expected`` sized for the archive's growth horizon
+    — every later epoch inherits that layout, and a filter sized only for
+    epoch 1 saturates (fpp →1) as insertions accumulate. The history
+    artifact's identity joins the lineage dedup mode, so resuming against
+    a different snapshot reprocesses buckets.
 
     ``dsir_fit`` (a SQL predicate over the input columns selecting the
     TARGET slice, e.g. ``"role = 'assistant'"``) fits a DSIR importance
@@ -292,6 +311,7 @@ def run_pipeline(
             for part in (
                 "exact" if conv_dedup else "",
                 f"near:{conv_near_threshold}" if conv_near_dedup else "",
+                f"bloom:{_input_key(bloom_history)}" if bloom_history else "",
             )
             if part
         )
@@ -327,10 +347,15 @@ def run_pipeline(
         )
 
         legs = []
+        # the conversation rollup (one shuffle on conv_id) is shared by the
+        # exact and bloom legs; persist only when both consume it
+        rolled = (
+            conversation_text(src, sep="\x1e") if (conv_dedup or bloom_history) else None
+        )
+        if conv_dedup and bloom_history:
+            rolled = rolled.persist()
         if conv_dedup:
-            convs = conversation_text(src, sep="\x1e").select(
-                "conv_id", fingerprint("conv_text").alias("fp")
-            )
+            convs = rolled.select("conv_id", fingerprint("conv_text").alias("fp"))
             stats = convs.groupBy("fp").agg(
                 F.count(F.lit(1)).alias("group_size"),
                 F.min("conv_id").alias("canonical_conv_id"),
@@ -368,7 +393,29 @@ def run_pipeline(
                     F.lit("near").alias("method"),
                 )
             )
-        dups = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        if bloom_history:
+            # cross-run leg: probe each conversation's transcript
+            # fingerprint against the history snapshot — map-side (one
+            # conv rollup shuffle, ZERO shuffle against the archive).
+            # canonical_conv_id is NULL: the keeper lives in a previous
+            # epoch's output. group_size NULL likewise (unknown here).
+            from piperider_spark.operators.dedup import bloom_seen_flags, load_bloom
+
+            hist_bloom = load_bloom(bloom_history)
+            legs.append(
+                bloom_seen_flags(rolled, hist_bloom, text_col="conv_text")
+                .where(F.col("maybe_seen"))
+                .select(
+                    "conv_id",
+                    F.lit(None).cast("string").alias("canonical_conv_id"),
+                    fingerprint("conv_text").alias("fp"),
+                    F.lit(None).cast("long").alias("group_size"),
+                    F.lit("bloom_history").alias("method"),
+                )
+            )
+        dups = legs[0]
+        for leg in legs[1:]:
+            dups = dups.unionByName(leg)
         (
             dups.withColumn("bucket", _bucket_col(n_buckets))
             .repartition("bucket")
@@ -378,6 +425,8 @@ def run_pipeline(
         )
         with open(dup_meta_path, "w") as fh:
             json.dump({"mode": dedup_mode}, fh)
+        if conv_dedup and bloom_history:
+            rolled.unpersist()
 
     if dsir_ratio_path:
         dsir_mode = f"path:{_input_key(dsir_ratio_path)}:{dsir_buckets}"
@@ -581,6 +630,30 @@ def run_pipeline(
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
 
+    if bloom_out:
+        # next epoch's snapshot: history ∪ this corpus' conversation
+        # fingerprints, in the history's bitset layout (first epoch sets
+        # the layout; size it for the archive's growth horizon). Derived
+        # from staged input + the history artifact only — idempotent, so
+        # a resumed/no-op run rewrites the same content (atomic rename).
+        from piperider_spark.operators.dedup import (
+            bloom_or,
+            build_fingerprint_bloom,
+            load_bloom,
+            save_bloom,
+        )
+        from piperider_spark.operators.dedup import conversation_text as _conv_text
+
+        hist = load_bloom(bloom_history) if bloom_history else None
+        cur = build_fingerprint_bloom(
+            _conv_text(src, sep="\x1e"),
+            text_col="conv_text",
+            expected=None if hist else bloom_expected,
+            fpp=hist["fpp"] if hist else 0.01,
+            layout=(hist["m_bits"], hist["k"]) if hist else None,
+        )
+        save_bloom(bloom_or(hist, cur) if hist else cur, bloom_out)
+
     return PipelineResult(
         run_id=run_id,
         n_buckets=n_buckets,
@@ -632,6 +705,26 @@ def main() -> None:  # pragma: no cover — spark-submit entry
     )
     p.add_argument("--conv-near-threshold", type=float, default=0.85)
     p.add_argument(
+        "--bloom-history",
+        default=None,
+        help="Bloom snapshot of previous epochs' conversation fingerprints "
+        "(save_bloom artifact): seen conversations are dropped map-side — "
+        "cross-run dedup with zero shuffle against the archive",
+    )
+    p.add_argument(
+        "--bloom-out",
+        default=None,
+        help="write the next epoch's snapshot (history ∪ this corpus) here "
+        "after the waves complete",
+    )
+    p.add_argument(
+        "--bloom-expected",
+        type=int,
+        default=None,
+        help="first-epoch bitset sizing: expected TOTAL conversations over "
+        "the archive's growth horizon (later epochs inherit the layout)",
+    )
+    p.add_argument(
         "--dsir-fit",
         default=None,
         metavar="PREDICATE",
@@ -659,6 +752,9 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         conv_dedup=args.conv_dedup,
         conv_near_dedup=args.conv_near_dedup,
         conv_near_threshold=args.conv_near_threshold,
+        bloom_history=args.bloom_history,
+        bloom_out=args.bloom_out,
+        bloom_expected=args.bloom_expected,
         dsir_fit=args.dsir_fit,
         dsir_ratio_path=args.dsir_ratio_path,
         dsir_buckets=args.dsir_buckets,

@@ -590,3 +590,81 @@ def test_pipeline_dsir_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
     r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
     assert r3.buckets_processed == 4
     assert "dsir_score" not in spark.read.parquet(r1.decisions_path).columns
+
+
+def test_bloom_history_cross_run_dedup(spark, transcripts_pdf, tmp_path):
+    """--bloom-history/--bloom-out: epoch 1 writes a Bloom snapshot of its
+    conversation fingerprints; epoch 2 (re-delivered epoch-1 data + new
+    conversations) drops every already-seen conversation map-side (method
+    bloom_history, canonical NULL — the keeper lives in epoch 1's output),
+    keeps the new ones, and unions its own fingerprints into the epoch-3
+    snapshot in the INHERITED layout. The history identity joins the
+    lineage dedup mode: same snapshot resumes clean, dropping it
+    reprocesses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from piperider_spark.operators.dedup import load_bloom
+
+    e1 = transcripts_pdf.copy()
+    inp1 = str(tmp_path / "e1.parquet")
+    pq.write_table(pa.Table.from_pandas(e1, preserve_index=False), inp1)
+    snap1 = str(tmp_path / "bloom1.json")
+    out1 = str(tmp_path / "out1")
+    # size the first-epoch layout for the horizon (both epochs fit easily)
+    r1 = run_pipeline(
+        spark, inp1, out1, n_buckets=4, wave_buckets=2,
+        bloom_out=snap1, bloom_expected=10_000,
+    )
+    assert r1.buckets_processed == 4
+
+    fresh = generate_transcripts(N_TURNS // 2, seed=SEED + 7).copy()
+    fresh["conv_id"] = "ep2-" + fresh["conv_id"]
+    both = pd.concat([e1, fresh], ignore_index=True)
+    inp2 = str(tmp_path / "e2.parquet")
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), inp2)
+    snap2 = str(tmp_path / "bloom2.json")
+    out2 = str(tmp_path / "out2")
+
+    r2 = run_pipeline(
+        spark, inp2, out2, n_buckets=4, wave_buckets=2,
+        bloom_history=snap1, bloom_out=snap2,
+    )
+    assert r2.buckets_processed == 4
+    dec = spark.read.parquet(r2.decisions_path)
+    # every epoch-1 conversation gated out; at bloom_expected=10k sizing the
+    # per-conv false-positive odds are ~1e-9 — all new conversations survive
+    assert dec.where(~F.col("conv_id").startswith("ep2-")).count() == 0
+    assert {r.conv_id for r in dec.select("conv_id").distinct().collect()} == set(
+        fresh["conv_id"].unique()
+    )
+    dups = spark.read.parquet(f"{out2}/dup_convs")
+    dup_rows = dups.collect()
+    assert {r.conv_id for r in dup_rows} == set(e1["conv_id"].unique())
+    assert all(r.method == "bloom_history" for r in dup_rows)
+    assert all(r.canonical_conv_id is None and r.group_size is None for r in dup_rows)
+
+    # epoch-3 snapshot: inherited layout, union covers BOTH epochs' convs
+    b1, b2 = load_bloom(snap1), load_bloom(snap2)
+    assert (b2["m_bits"], b2["k"]) == (b1["m_bits"], b1["k"])
+    from piperider_spark.operators.dedup import bloom_seen_flags
+
+    all_convs = spark.createDataFrame(both)
+    from piperider_spark.operators.dedup import conversation_text
+
+    rolled = conversation_text(all_convs, sep="\x1e")
+    assert (
+        bloom_seen_flags(rolled, b2, text_col="conv_text")
+        .where(~F.col("maybe_seen"))
+        .count()
+        == 0
+    )
+
+    # same history resumes clean; dropping it flips the mode -> reprocess
+    r3 = run_pipeline(spark, inp2, out2, n_buckets=4, wave_buckets=2, bloom_history=snap1)
+    assert (r3.buckets_processed, r3.buckets_skipped) == (0, 4)
+    r4 = run_pipeline(spark, inp2, out2, n_buckets=4, wave_buckets=2)
+    assert r4.buckets_processed == 4
+    dec4 = spark.read.parquet(out2 + "/decisions")
+    assert dec4.where(~F.col("conv_id").startswith("ep2-")).count() > 0
