@@ -341,3 +341,69 @@ def c4_filter_stats(
         has_brace.alias("has_brace"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-corruption (mojibake) signal
+# ---------------------------------------------------------------------------
+
+# Frozen artifact inventory: the high-frequency byte-sequence signatures of
+# UTF-8 text decoded as Latin-1/Windows-1252 and re-encoded (the classic
+# web-crawl corruption: ’ -> "â€™", é -> "Ã©", …). Literal sequences, no
+# regex metacharacters; matching is case-sensitive by construction.
+MOJIBAKE_SEQS = (
+    # ’ “ ‘ – — … (the ” artifact ends in an unmapped cp1252 byte that
+    # usually surfaces as U+FFFD — the replacement_chars metric owns it)
+    "â€™", "â€œ", "â€˜", "â€“", "â€”", "â€¦",
+    "Ã©", "Ã¨", "Ã¡", "Ã³", "Ã­", "Ãº", "Ã¼", "Ã¶", "Ã¤", "Ã±", "Ã§",  # é è á ó í ú ü ö ä ñ ç
+    "Â£", "Â°", "Â©", "Â®",  # £ ° © ®
+)
+# C0 controls except \t \n \r — never legitimate in transcript text
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+REPLACEMENT_CHAR_FRAC_MAX = 0.0  # any U+FFFD marks an upstream decode error
+MOJIBAKE_FRAC_MAX = 0.001  # artifact chars per char
+CONTROL_FRAC_MAX = 0.0001
+
+
+def encoding_quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-corruption signal: replacement characters (U+FFFD),
+    double-encoding (mojibake) artifact sequences, and stray C0 control
+    characters, each as a count and a per-character fraction, plus the
+    frozen-threshold ``keep``.
+
+    Same scale shape as gopher_quality_stats — a row-local projection,
+    ZERO shuffles, every count a native ``regexp_count``/``length`` that
+    whole-stage-codegens next to the parquet reader; at 100 TB this rides
+    the same scan as every other quality rule. NULL text: counts 0,
+    keep=false (no text to certify)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    nc = F.greatest(n_chars, F.lit(1)).cast("double")
+
+    repl = F.coalesce(F.regexp_count(text, F.lit("�")), F.lit(0))
+    moji_pat = "|".join(MOJIBAKE_SEQS)  # literals — safe to alternate raw
+    moji = F.coalesce(F.regexp_count(text, F.lit(moji_pat)), F.lit(0))
+    ctrl = F.coalesce(F.regexp_count(text, F.lit(_CONTROL_CLASS)), F.lit(0))
+
+    repl_frac = repl / nc
+    moji_frac = moji / nc
+    ctrl_frac = ctrl / nc
+    keep = (
+        text.isNotNull()
+        & (repl_frac <= REPLACEMENT_CHAR_FRAC_MAX)
+        & (moji_frac <= MOJIBAKE_FRAC_MAX)
+        & (ctrl_frac <= CONTROL_FRAC_MAX)
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n_chars, F.lit(0)).cast("bigint").alias("n_chars"),
+        repl.cast("bigint").alias("replacement_chars"),
+        moji.cast("bigint").alias("mojibake_hits"),
+        ctrl.cast("bigint").alias("control_chars"),
+        F.round(repl_frac, 6).alias("replacement_frac"),
+        F.round(moji_frac, 6).alias("mojibake_frac"),
+        F.round(ctrl_frac, 6).alias("control_frac"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

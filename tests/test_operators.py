@@ -1525,3 +1525,50 @@ def test_bloom_or_union_and_null_text_group(spark):
     b_null = dedup.build_fingerprint_bloom(null_df, expected=16, fpp=0.01)
     seen = {r.doc_id: r.maybe_seen for r in dedup.bloom_seen_flags(null_df, b_null).collect()}
     assert seen == {1: True, 2: True, 3: True}
+
+
+def test_encoding_quality_stats_python_oracle(spark):
+    """encoding_quality_stats vs a character-level python oracle on
+    handcrafted corruption cases, plus the zero-Exchange plan pin (the
+    signal must ride the scan like every other quality rule)."""
+    import re as _re
+
+    from piperider_spark.operators import quality as Q
+
+    rows = [
+        (1, "A perfectly clean sentence with nothing wrong at all."),
+        (2, "He said donâ€™t â€” the crawl double-decoded it, cafÃ© too."),
+        (3, "bad byte here � and another �"),
+        (4, "control\x00chars\x1fin\x08side"),
+        (5, ""),
+        (6, None),
+        (7, "tab\tand\nnewline\rare fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in Q.encoding_quality_stats(df).collect()}
+
+    moji_re = _re.compile("|".join(Q.MOJIBAKE_SEQS))
+    ctrl_re = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    for doc_id, text in rows:
+        g = got[doc_id]
+        t = text or ""
+        nc = max(len(t), 1)
+        repl, moji, ctrl = t.count("�"), len(moji_re.findall(t)), len(ctrl_re.findall(t))
+        assert g["n_chars"] == len(t)
+        assert g["replacement_chars"] == repl, (doc_id, g)
+        assert g["mojibake_hits"] == moji, (doc_id, g)
+        assert g["control_chars"] == ctrl, (doc_id, g)
+        assert g["mojibake_frac"] == round(moji / nc, 6)
+        want_keep = (
+            text is not None
+            and repl / nc <= Q.REPLACEMENT_CHAR_FRAC_MAX
+            and moji / nc <= Q.MOJIBAKE_FRAC_MAX
+            and ctrl / nc <= Q.CONTROL_FRAC_MAX
+        )
+        assert g["keep"] == want_keep, (doc_id, g)
+    # clean docs keep, corrupted ones drop
+    assert got[1]["keep"] and got[7]["keep"] and got[5]["keep"]
+    assert not (got[2]["keep"] or got[3]["keep"] or got[4]["keep"] or got[6]["keep"])
+
+    plan = Q.encoding_quality_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
