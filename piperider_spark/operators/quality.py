@@ -347,16 +347,18 @@ def c4_filter_stats(
 # Encoding-corruption (mojibake) signal
 # ---------------------------------------------------------------------------
 
-# Frozen artifact inventory: the high-frequency byte-sequence signatures of
-# UTF-8 text decoded as Latin-1/Windows-1252 and re-encoded (the classic
-# web-crawl corruption: ’ -> "â€™", é -> "Ã©", …). Literal sequences, no
-# regex metacharacters; matching is case-sensitive by construction.
-MOJIBAKE_SEQS = (
-    # ’ “ ‘ – — … (the ” artifact ends in an unmapped cp1252 byte that
-    # usually surfaces as U+FFFD — the replacement_chars metric owns it)
-    "â€™", "â€œ", "â€˜", "â€“", "â€”", "â€¦",
-    "Ã©", "Ã¨", "Ã¡", "Ã³", "Ã­", "Ãº", "Ã¼", "Ã¶", "Ã¤", "Ã±", "Ã§",  # é è á ó í ú ü ö ä ñ ç
-    "Â£", "Â°", "Â©", "Â®",  # £ ° © ®
+# Frozen artifact inventory: the high-frequency signatures of UTF-8 text
+# decoded as Windows-1252 and re-encoded (the classic web-crawl corruption:
+# ’ -> "â€™", é -> "Ã©"). DERIVED from the true characters at import — the
+# detector, the fixer, and the tests share one provably-correct mapping
+# (hand-typing these bit us once: the í artifact ends in an INVISIBLE soft
+# hyphen). ” is deliberately absent: its cp1252 trip hits an unmapped byte
+# that usually surfaces as U+FFFD — the replacement_chars metric owns it.
+_MOJIBAKE_TRUE = "’“‘–—…éèáóíúüöäñç£°©®"
+MOJIBAKE_MAP = {c: c.encode("utf-8").decode("cp1252") for c in _MOJIBAKE_TRUE}
+# longest-first so a fixer fold never rewrites a prefix of a longer artifact
+MOJIBAKE_SEQS = tuple(
+    sorted(MOJIBAKE_MAP.values(), key=lambda a: (-len(a), a))
 )
 # C0 controls except \t \n \r — never legitimate in transcript text
 _CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
@@ -383,7 +385,9 @@ def encoding_quality_stats(
     nc = F.greatest(n_chars, F.lit(1)).cast("double")
 
     repl = F.coalesce(F.regexp_count(text, F.lit("�")), F.lit(0))
-    moji_pat = "|".join(MOJIBAKE_SEQS)  # literals — safe to alternate raw
+    import re as _re
+
+    moji_pat = "|".join(_re.escape(a) for a in MOJIBAKE_SEQS)
     moji = F.coalesce(F.regexp_count(text, F.lit(moji_pat)), F.lit(0))
     ctrl = F.coalesce(F.regexp_count(text, F.lit(_CONTROL_CLASS)), F.lit(0))
 
@@ -407,3 +411,20 @@ def encoding_quality_stats(
         F.round(ctrl_frac, 6).alias("control_frac"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair the double-encoding artifacts ``encoding_quality_stats``
+    detects: a fold of native literal ``replace`` calls (longest artifact
+    first — MOJIBAKE_SEQS order), one per inventory entry, driven by the
+    same derived MOJIBAKE_MAP so detect and repair cannot drift. No regex,
+    no UDF — whole-stage-codegens like any string expression; apply before
+    re-profiling rather than silently inside the frozen keep/drop spec
+    (repair changes text, and the scrub byte-equality contract is sacred).
+    Artifacts outside the inventory (and true U+FFFD damage, which is
+    unrecoverable) pass through unchanged."""
+    out = F.col(col) if isinstance(col, str) else col
+    inverse = {a: c for c, a in MOJIBAKE_MAP.items()}
+    for artifact in MOJIBAKE_SEQS:
+        out = F.replace(out, F.lit(artifact), F.lit(inverse[artifact]))
+    return out

@@ -1572,3 +1572,39 @@ def test_encoding_quality_stats_python_oracle(spark):
 
     plan = Q.encoding_quality_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fix_mojibake_roundtrip(spark):
+    """fix_mojibake inverts a REAL utf-8 → cp1252 double-decode for every
+    inventory character (the corruption is produced by the actual codecs,
+    not by hand), leaves clean text byte-identical, and the detector sees
+    zero artifacts after repair."""
+    from piperider_spark.operators import quality as Q
+
+    clean = [
+        # no ” on purpose: its utf-8 bytes hit cp1252's unmapped 0x9D (the
+        # same reason the artifact inventory excludes it)
+        "It’s a “quoted‘ line — with dashes – and … ellipses",
+        "café, piñata, über, señor, garçon — 90° at £5 ©2024 ®",
+        "ASCII only: nothing to fix here.",
+        "",
+    ]
+    corrupted = [s.encode("utf-8").decode("cp1252") for s in clean]
+    # the corruption is real for every non-ASCII case
+    assert corrupted[0] != clean[0] and corrupted[1] != clean[1]
+    assert corrupted[2] == clean[2]
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(corrupted)], "doc_id long, text string"
+    )
+    fixed = {
+        r.doc_id: r.fixed
+        for r in df.select("doc_id", Q.fix_mojibake("text").alias("fixed")).collect()
+    }
+    for i, want in enumerate(clean):
+        assert fixed[i] == want, (i, fixed[i], want)
+
+    # detector reads zero artifacts post-repair
+    refixed = df.select("doc_id", Q.fix_mojibake("text").alias("text"))
+    stats = Q.encoding_quality_stats(refixed)
+    assert stats.agg(F.sum("mojibake_hits")).first()[0] == 0
