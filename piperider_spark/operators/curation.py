@@ -28,12 +28,16 @@ from pyspark.sql import functions as F
 from piperider_spark.operators.dedup import corpus_line_dedup, exact_dup_flags
 from piperider_spark.operators.quality import (
     c4_filter_stats,
+    encoding_quality_stats,
+    fix_mojibake,
     gopher_quality_stats,
     gopher_repetition_stats,
 )
 
-# reason labels in firing-stage order (frozen, like rules/spec reason_order)
-REASON_ORDER = ("exact_dup", "c4", "gopher_repetition", "gopher_quality")
+# reason labels in firing-stage order (frozen, like rules/spec reason_order);
+# "encoding" fires only with fix_encoding=True and precedes everything — a
+# double-encoded doc must be repaired before any text-shape rule reads it
+REASON_ORDER = ("encoding", "exact_dup", "c4", "gopher_repetition", "gopher_quality")
 
 
 def curate_corpus(
@@ -41,6 +45,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_docs: int = 2,
+    fix_encoding: bool = False,
 ) -> DataFrame:
     """Run the staged curation chain; returns one row per input doc:
     (id, text_curated, n_boilerplate_removed, reasons, keep).
@@ -51,7 +56,26 @@ def curate_corpus(
     crucially — they are REMOVED from the line-dedup corpus first, else a
     duplicated document's own lines count as cross-document boilerplate
     and line dedup would hollow out the canonical copy too.
+
+    ``fix_encoding`` (opt-in; default off preserves the frozen four-stage
+    contract byte-for-byte) prepends the encoding stage where the CCNet /
+    RefinedWeb lineage runs text normalization: mojibake artifacts are
+    REPAIRED first (quality.fix_mojibake — so dedup fingerprints and every
+    text-shape rule read the corrected text, and a doc and its corrupted
+    twin dedup together), then docs still failing encoding_quality_stats
+    (U+FFFD damage, stray controls) drop with reason ``encoding``. Both
+    additions are zero-shuffle projections — the chain's shuffle inventory
+    is unchanged.
     """
+    enc_keep = None
+    if fix_encoding:
+        # repair FIRST, then gate the repaired text: a doc drops only for
+        # damage the repair cannot undo (U+FFFD, stray controls, artifacts
+        # outside the inventory) — never for what was just fixed
+        df = df.withColumn(text_col, fix_mojibake(text_col))
+        enc_keep = encoding_quality_stats(df, text_col=text_col, id_col=id_col).select(
+            id_col, F.col("keep").alias("_enc_keep")
+        )
     dup = exact_dup_flags(df, id_col, text_col).select(id_col, "is_canonical")
     canon = df.join(
         dup.where(F.col("is_canonical")).select(id_col), id_col, "left_semi"
@@ -90,7 +114,14 @@ def curate_corpus(
         .join(rep, id_col, "left")
         .join(qual, id_col, "left")
     )
+    if enc_keep is not None:
+        joined = joined.join(enc_keep, id_col, "left")
     fired = {
+        "encoding": (
+            ~F.coalesce(F.col("_enc_keep"), F.lit(True))
+            if enc_keep is not None
+            else F.lit(False)
+        ),
         "exact_dup": ~F.col("is_canonical"),
         "c4": ~F.coalesce(F.col("_c4_keep"), F.lit(True)),
         "gopher_repetition": ~F.coalesce(F.col("_rep_keep"), F.lit(True)),

@@ -354,7 +354,19 @@ def c4_filter_stats(
 # (hand-typing these bit us once: the í artifact ends in an INVISIBLE soft
 # hyphen). ” is deliberately absent: its cp1252 trip hits an unmapped byte
 # that usually surfaces as U+FFFD — the replacement_chars metric owns it.
-_MOJIBAKE_TRUE = "’“‘–—…éèáóíúüöäñç£°©®"
+# cp1252 punctuation + every Latin-1 letter whose utf-8 bytes survive the
+# cp1252 trip (Á Í Ï Ð Ý hit unmapped bytes — like ”, their damage usually
+# surfaces as U+FFFD and belongs to replacement_chars), + common symbols.
+# Matching is literal two/three-char sequences starting "Ã"/"Â"/"â€" — a
+# text legitimately containing those exact sequences (e.g. prose ABOUT
+# mojibake) would be rewritten; that imprecision is inherent to every
+# inventory-based fixer and the detector's frac threshold absorbs it.
+_MOJIBAKE_TRUE = (
+    "’“‘–—…"
+    "ÀÂÃÄÅÆÇÈÉÊËÌÎÑÒÓÔÕÖØÙÚÛÜÞß"
+    "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ"
+    "£°©®§«»"
+)
 MOJIBAKE_MAP = {c: c.encode("utf-8").decode("cp1252") for c in _MOJIBAKE_TRUE}
 # longest-first so a fixer fold never rewrites a prefix of a longer artifact
 MOJIBAKE_SEQS = tuple(

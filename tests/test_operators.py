@@ -1608,3 +1608,45 @@ def test_fix_mojibake_roundtrip(spark):
     refixed = df.select("doc_id", Q.fix_mojibake("text").alias("text"))
     stats = Q.encoding_quality_stats(refixed)
     assert stats.agg(F.sum("mojibake_hits")).first()[0] == 0
+
+
+def test_curate_corpus_fix_encoding_stage(spark):
+    """fix_encoding=True prepends repair-then-gate: a mojibake'd twin of a
+    clean doc is REPAIRED before fingerprinting (so the pair exact-dedups
+    together — the whole point of repairing first), unrepairable U+FFFD
+    damage drops with reason 'encoding', and default-off output is
+    byte-identical to the pre-existing four-stage contract."""
+    from piperider_spark.operators.curation import curate_corpus
+
+    def body(tag: str) -> str:
+        # distinct per doc: shared lines would be corpus-line-dedup'd away
+        return "\n".join(
+            f"the {tag} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} it is fine."
+            for i in range(6)
+        )
+
+    clean = "Résumé naïveté…\n" + body("one")
+    # real double-encode corruption of the SAME text
+    corrupted = clean.encode("utf-8").decode("cp1252")
+    assert corrupted != clean
+    damaged = "broken � replacement\n" + body("two")
+    rows = [("a_clean", clean), ("b_moji", corrupted), ("c_fffd", damaged)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    out = {r.doc_id: r.asDict() for r in curate_corpus(df, fix_encoding=True).collect()}
+    # repaired twin fingerprints equal -> exact dedup catches the pair
+    assert out["a_clean"]["keep"] and out["a_clean"]["reasons"] == []
+    assert out["b_moji"]["reasons"] == ["exact_dup"]
+    # U+FFFD is unrepairable -> encoding reason fires (and nothing else)
+    assert out["c_fffd"]["reasons"] == ["encoding"]
+    assert not out["c_fffd"]["keep"]
+
+    # default off: the frozen four-stage chain — the corrupted twin does
+    # NOT exact-dedup (different bytes; instead their shared ASCII body
+    # lines get line-dedup'd as cross-doc boilerplate, hollowing both out:
+    # precisely the failure mode repair-before-fingerprint exists to
+    # prevent), and no doc ever gains an 'encoding' reason
+    off = {r.doc_id: r.asDict() for r in curate_corpus(df).collect()}
+    assert off["b_moji"]["reasons"] != ["exact_dup"]
+    assert all("encoding" not in v["reasons"] for v in off.values())
+    assert off["c_fffd"]["keep"]  # U+FFFD damage sails through unflagged
