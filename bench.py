@@ -82,6 +82,7 @@ HEADLINE = [
     # headline times the xxhash64 ENGINE paths, the md5 twins stay gate-only
     "dsir_documents_fast",
     "semdedup_embeddings",
+    "dup_substring_fast",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

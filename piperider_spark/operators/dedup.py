@@ -1118,3 +1118,203 @@ def conversation_near_dup_pairs(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the suffix-array family, re-expressed as a
+# distributed rolling k-token-window plan)
+# ---------------------------------------------------------------------------
+
+
+def _window_hash(win: Column, hash_fn: str = "md5") -> Column:
+    """Hash of one k-token window string (matching is case-insensitive —
+    the window is lowercased before hashing). ``md5``: 60-bit portable
+    (DuckDB twin bit-for-bit). ``xxhash64``: JVM-native engine fast path."""
+    low = F.lower(win)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(low)
+    return md5_60bit(low)
+
+
+def substring_dup_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """One row per k-token window: ``(id, pos, h)`` where ``pos`` is the
+    0-based token index the window starts at and ``h`` hashes the
+    lowercased space-joined window. Tokens are whitespace splits of the
+    trimmed RAW text (case preserved for reconstruction; matching is
+    case-insensitive via the hash). Docs with < k tokens emit nothing.
+
+    Row-local projection — the window stream is O(corpus tokens) rows but
+    zero shuffles; everything downstream partial-aggregates before any
+    exchange."""
+    from piperider_spark.functions.text import tokens
+
+    base = (
+        _ensure_parallel(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") >= k)
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - k),
+        lambda i: _window_hash(
+            F.array_join(F.slice(F.col("_toks"), i + F.lit(1), F.lit(k)), " "),
+            hash_fn,
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "h")
+    )
+
+
+def duplicate_substring_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document exact-substring duplication profile: which spans of a
+    doc also occur elsewhere in the corpus (or again in the same doc), at
+    k-token granularity.
+
+    Frozen semantics (DuckDB twin in queries.py mirrors them exactly):
+      * a window is *duplicated* iff its (lowercased) k-token string occurs
+        >= ``min_count`` times in the whole corpus — within-doc repeats
+        count, matching the suffix-array definition (any repeated
+        substring), not just cross-doc.
+      * per doc: ``dup_windows`` = duplicated window starts;
+        ``dup_spans`` = maximal runs after merging overlapping/adjacent
+        windows (gap > k starts a new span); ``dup_token_cov`` = tokens
+        covered by the union of duplicated windows (first window of a span
+        contributes k, each subsequent one ``min(k, pos - prev)``);
+        ``dup_frac`` = coverage / n_tokens (0.0 for empty docs).
+
+    Scale shape — the distributed stand-in for a 100 TB suffix array:
+      1. window stream: row-local, no shuffle (O(corpus tokens) rows).
+      2. groupBy(h) count — ONE shuffle on a 64-bit key, map-side partial
+         agg collapses each partition's repeats first; boilerplate
+         mega-windows arrive as counts, never row lists.
+      3. windows JOIN dup-hash set on h — build side has exactly one row
+         per duplicated hash (no skew amplification; AQE picks the
+         strategy and splits residual probe-side skew).
+      4. per-doc lag window + groupBy — partitioned by doc, state bounded
+         by the longest document, never by the corpus.
+    """
+    from piperider_spark.functions.text import tokens
+
+    wins = substring_dup_windows(df, id_col, text_col, k, hash_fn)
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    per_doc = (
+        wins.join(dup_hashes, "h")
+        .withColumn("_prev", F.lag("pos").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+                    1,
+                ).otherwise(0)
+            ).alias("dup_spans"),
+            F.sum(
+                F.when(F.col("_prev").isNull(), k).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("_prev"))
+                )
+            ).alias("dup_token_cov"),
+        )
+    )
+    spine = df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("_n"))
+    cov = F.coalesce(F.col("dup_token_cov"), F.lit(0)).cast("long")
+    return spine.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+        cov.alias("dup_token_cov"),
+        F.when(F.col("_n") == 0, F.lit(0.0))
+        .otherwise(cov / F.col("_n").cast("double"))
+        .alias("dup_frac"),
+    )
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Drop every token covered by a duplicated k-token window and rebuild
+    the text (Lee et al.'s ExactSubstr removal, token-granular).
+
+    Output contract: ``out_col`` is the kept tokens joined by single
+    spaces — whitespace runs are NOT preserved (token-granular surgery;
+    original case IS preserved because tokens come from the raw text and
+    only the match key is lowercased). NULL text stays NULL; a fully
+    duplicated doc becomes ''. ``n_removed_tokens`` counts the dropped
+    tokens.
+
+    Scale: stages 1-3 as :func:`duplicate_substring_stats`; the rebuild
+    collects *merged spans* per doc (bounded by doc length / k, in practice
+    a handful) and filters the token array with one higher-order
+    expression — O(n_tokens x n_spans) per doc, never corpus-sized."""
+    from piperider_spark.functions.text import tokens
+
+    wins = substring_dup_windows(df, id_col, text_col, k, hash_fn)
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        wins.join(dup_hashes, "h")
+        .withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k)).cast(
+                "long"
+            ),
+        )
+        .withColumn("_span", F.sum("_new").over(w))
+        .groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    toks = tokens(F.col(text_col))
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda sp: (sp.s <= i) & (i <= sp.e)
+    )
+    kept = F.filter(toks, lambda t, i: ~in_span(i))
+    return df.join(spans, id_col, "left").select(
+        *[c for c in df.columns],
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("_spans").isNull(), F.array_join(toks, " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias(out_col),
+        F.when(F.col(text_col).isNull() | F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("long")
+        .alias("n_removed_tokens"),
+    )

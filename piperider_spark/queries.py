@@ -1213,17 +1213,15 @@ def concat_chunk_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_pack(docs, "doc_id", "n_tok", max_len=2048)
 
 
-@register(
-    "deterministic_sample_documents",
-    f"""
-    SELECT doc_id, lang FROM documents
-    WHERE {_DOC_HASH_SQL} % 100 < 20
-    """,
-)
+# The two sampling entries stay registered rows-only so the bench headline
+# keeps timing each single plan unchanged (the canonical_documents pattern);
+# their full oracles moved into the sample_documents kinded union below,
+# freeing one driver slot for dup_substring_documents.
+@register("deterministic_sample_documents")
 def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible ~20% sample by portable id hash — stable across runs,
     partitionings and engines (operators/sampling.py); a pure codegen'd
-    filter, no shuffle."""
+    filter, no shuffle. Oracle-gated inside the sample_documents union."""
     from piperider_spark.operators.sampling import deterministic_sample
 
     return deterministic_sample(
@@ -1231,10 +1229,25 @@ def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("doc_id", "lang")
 
 
+@register("quota_sample_documents")
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: at most 30 docs per language, chosen by stable hash
+    order — corpus balancing with one bounded window shuffle. Oracle-gated
+    inside the sample_documents union."""
+    from piperider_spark.operators.sampling import quota_sample
+
+    return quota_sample(
+        load(spark, sf_dir, "documents"), "lang", "doc_id", quota=30
+    ).select("doc_id", "lang")
+
+
 @register(
-    "quota_sample_documents",
+    "sample_documents",
     f"""
-    SELECT doc_id, lang FROM (
+    SELECT 'det' AS kind, doc_id, lang FROM documents
+    WHERE {_DOC_HASH_SQL} % 100 < 20
+    UNION ALL
+    SELECT 'quota' AS kind, doc_id, lang FROM (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY {_DOC_HASH_SQL}, doc_id) AS rn
@@ -1242,14 +1255,79 @@ def deterministic_sample_documents(spark: SparkSession, sf_dir: str) -> DataFram
     WHERE rn <= 30
     """,
 )
-def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quota sampling: at most 30 docs per language, chosen by stable hash
-    order — corpus balancing with one bounded window shuffle."""
-    from piperider_spark.operators.sampling import quota_sample
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sampling families in one gated union (one driver slot verifies
+    both code paths — the multigrain consolidation pattern): ``det`` =
+    deterministic ~20% id-hash sample (zero-shuffle filter), ``quota`` = at
+    most 30 docs per language by stable hash order (one bounded window
+    shuffle). The bare entries above stay registered rows-only so the bench
+    headline keeps timing each plan separately."""
+    from piperider_spark.operators.sampling import deterministic_sample, quota_sample
 
-    return quota_sample(
-        load(spark, sf_dir, "documents"), "lang", "doc_id", quota=30
-    ).select("doc_id", "lang")
+    docs = load(spark, sf_dir, "documents")
+    det = deterministic_sample(docs, "doc_id", pct=20).select(
+        F.lit("det").alias("kind"), "doc_id", "lang"
+    )
+    quota = quota_sample(docs, "lang", "doc_id", quota=30).select(
+        F.lit("quota").alias("kind"), "doc_id", "lang"
+    )
+    return det.unionByName(quota)
+
+
+@register(
+    "dup_substring_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(toks) - 7),
+                 i -> {'pos': i - 1,
+                       'h': ('0x' || substr(md5(lower(
+                               array_to_string(toks[i:i+7], ' '))), 1, 15))::BIGINT}
+               )) AS u
+        FROM d WHERE len(toks) >= 8)
+    ),
+    c AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    l AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM (SELECT w.doc_id, w.pos FROM w JOIN c USING (h))
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS dup_windows,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               AS dup_spans,
+             sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END)
+               AS dup_token_cov
+      FROM l GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(cov.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(cov.dup_token_cov, 0) AS BIGINT) AS dup_token_cov,
+           CASE WHEN len(d.toks) = 0 THEN 0.0
+                ELSE coalesce(cov.dup_token_cov, 0) / CAST(len(d.toks) AS DOUBLE)
+           END AS dup_frac
+    FROM d LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dup_substring_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022's suffix-array
+    family as a distributed rolling 8-token-window plan): per doc, how many
+    corpus-duplicated windows start in it, how many maximal merged spans
+    they form, and what fraction of its tokens they cover. Portable md5
+    window hashes so the DuckDB twin matches bit-for-bit; the xxhash64
+    engine fast path is the rows-only dup_substring_fast entry."""
+    return dedup.duplicate_substring_stats(
+        load(spark, sf_dir, "documents"), k=8, min_count=2, hash_fn="md5"
+    )
 
 
 # Exact-dedup canonical retention SQL: one canonical doc per fingerprint
@@ -2368,3 +2446,15 @@ def bloom_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = dedup.build_fingerprint_bloom(history, fpp=0.01)
     new_batch = docs.where(F.col("doc_id") % 2 == 1)
     return dedup.bloom_seen_flags(new_batch, bloom).select("doc_id", "maybe_seen")
+
+
+@register("dup_substring_fast")
+def dup_substring_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path exact-substring duplication profile (xxhash64 window
+    hashes — JVM-native, no md5-hex + conv() string math per window) — the
+    bench-timed production shape; the md5 twin ``dup_substring_documents``
+    is fully oracle-gated and pytest pins that the two paths agree on every
+    count (the hash only changes which 64-bit space windows collide in)."""
+    return dedup.duplicate_substring_stats(
+        load(spark, sf_dir, "documents"), k=8, min_count=2, hash_fn="xxhash64"
+    )

@@ -1650,3 +1650,132 @@ def test_curate_corpus_fix_encoding_stage(spark):
     assert off["b_moji"]["reasons"] != ["exact_dup"]
     assert all("encoding" not in v["reasons"] for v in off.values())
     assert off["c_fffd"]["keep"]  # U+FFFD damage sails through unflagged
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. 2022 family)
+# ---------------------------------------------------------------------------
+
+
+def _substr_mirror(rows, k=8, min_count=2):
+    """Brute-force python mirror of duplicate_substring_stats' frozen
+    semantics: window strings (lowercased) counted corpus-wide, per-doc
+    coverage from the sorted duplicated positions."""
+    from collections import Counter
+
+    toks = {
+        i: (t.strip().split() if t is not None and t.strip() else [])
+        for i, t in rows
+    }
+    counts = Counter(
+        " ".join(tk[p : p + k]).lower()
+        for tk in toks.values()
+        for p in range(len(tk) - k + 1)
+    )
+    out = {}
+    for i, tk in toks.items():
+        pos = [
+            p
+            for p in range(len(tk) - k + 1)
+            if counts[" ".join(tk[p : p + k]).lower()] >= min_count
+        ]
+        cov = spans = 0
+        prev = None
+        for p in pos:
+            if prev is None or p - prev > k:
+                spans += 1
+                cov += k
+            else:
+                cov += min(k, p - prev)
+            prev = p
+        out[i] = (
+            len(tk),
+            len(pos),
+            spans,
+            cov,
+            0.0 if not tk else cov / len(tk),
+        )
+    return out
+
+
+def test_duplicate_substring_stats_python_oracle(spark):
+    """Engine output == the brute-force mirror on a corpus exercising every
+    frozen-semantics branch: cross-doc dup, within-doc repeat (counts!),
+    case-insensitive matching, overlapping windows merging into one span,
+    NULL/empty/short docs."""
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens -> 2 windows
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),
+        (2, f"intro words here {boiler.upper()} tail"),  # case-insensitive hit
+        (3, "a b c d e f g h X Y Z a b c d e f g h"),  # within-doc repeat
+        (4, "totally unique words that appear nowhere else in this corpus ok"),
+        (5, None),
+        (6, "   "),
+        (7, "seven tokens only never enough here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_windows"],
+            r["dup_spans"],
+            r["dup_token_cov"],
+            r["dup_frac"],
+        )
+        for r in dedup.duplicate_substring_stats(df, k=8, min_count=2).collect()
+    }
+    want = _substr_mirror(rows, k=8, min_count=2)
+    assert got == pytest.approx(want)
+    # the interesting rows actually fired
+    assert got[1][1] > 0 and got[2][1] > 0 and got[3][2] == 2
+    assert got[4] == (11, 0, 0, 0, 0.0) and got[5][0] == 0 and got[6][0] == 0
+
+
+def test_duplicate_substring_stats_hash_paths_agree(spark):
+    """The xxhash64 engine path and the md5 oracle path compute identical
+    counts on the real sf0.001 corpus — the hash only changes which 64-bit
+    space windows collide in (collisions are ~impossible at this scale, so
+    the duplicated-window SET is the same)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(
+        map(tuple, dedup.duplicate_substring_stats(docs, hash_fn="md5").collect())
+    )
+    b = sorted(
+        map(tuple, dedup.duplicate_substring_stats(docs, hash_fn="xxhash64").collect())
+    )
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # real duplication signal in the corpus
+
+
+def test_remove_duplicate_substrings(spark):
+    """Token-granular span removal: duplicated spans drop (all occurrences,
+    both docs of a cross-doc pair), original case and non-dup tokens are
+    preserved, NULL stays NULL, untouched docs keep their token stream."""
+    rows = [
+        (1, "a b c d e f g h X Y Z a b c d e f g h"),
+        (2, "Keep This A B C D E F G H and keep this too"),
+        (3, "a b c d e f g h"),  # exactly one window, dup w/ docs 1+2
+        (4, None),
+        (5, "untouched words stay exactly as they came in ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_removed_tokens"])
+        for r in dedup.remove_duplicate_substrings(df, k=8, min_count=2).collect()
+    }
+    assert got[1] == ("X Y Z", 16)
+    assert got[2] == ("Keep This and keep this too", 8)  # case preserved
+    assert got[3] == ("", 8)  # fully duplicated doc -> empty
+    assert got[4] == (None, 0)
+    assert got[5] == ("untouched words stay exactly as they came in ok", 0)
+
+
+def test_dup_substring_plan_partitions_doc_window(spark):
+    """The per-doc lag/cumsum windows must be partitioned by doc — an
+    unpartitioned Window here would serialize the whole corpus through one
+    task at 100 TB (the r3 quantile lesson)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = dedup.duplicate_substring_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "doc_id" in line, f"unpartitioned Window in plan: {line}"
