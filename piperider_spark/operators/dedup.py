@@ -1207,6 +1207,16 @@ def duplicate_substring_stats(
          strategy and splits residual probe-side skew).
       4. per-doc lag window + groupBy — partitioned by doc, state bounded
          by the longest document, never by the corpus.
+
+    The window stream is deliberately computed TWICE (once under the count
+    agg, once as the probe side — see the two scans in PLANS.md). The
+    minhash-style persist-and-release alternative would cache an
+    O(corpus-tokens) intermediate (~2-3x the text bytes cluster-wide);
+    re-running a scan-bound tokenize+hash projection is the cheaper side of
+    that trade at 100 TB, the same map-side-probe philosophy as the Bloom
+    gate. Only the duplicated-hash SET is ever materialized (AQE broadcasts
+    it when small, falls back to a shuffle join when a boilerplate-heavy
+    corpus grows it past broadcast size).
     """
     from piperider_spark.functions.text import tokens
 

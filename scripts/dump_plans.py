@@ -91,6 +91,13 @@ PLAN_QUERIES = [
         "broadcast-bitset ArrowEvalPython over the scan (the history "
         "compaction ran eagerly, once; this is the per-batch plan)",
     ),
+    (
+        "dup_substring_fast",
+        "exact-substring duplication: row-local window stream, ONE "
+        "partial-agg shuffle on the window hash, dup-hash set joined back "
+        "(one row per hash — no skew amplification), per-doc lag Window "
+        "PARTITIONED by doc_id",
+    ),
 ]
 
 
