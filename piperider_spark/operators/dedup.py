@@ -181,21 +181,36 @@ def build_fingerprint_bloom(
     filters with :func:`bloom_or`. ``layout`` forces ``(m_bits, k)`` —
     required when the result must union into an existing filter (epoch
     snapshots share the first epoch's layout)."""
-    import numpy as np
-
     if expected is None:
         expected = df.count()
+    m_bits, k = _bloom_layout(expected, fpp, layout)
+    pos = df.select(*_bloom_positions(text_col, m_bits, k))
+    return _or_reduce_bloom(pos, m_bits, k, fpp, expected)
+
+
+def _bloom_layout(
+    expected: int, fpp: float, layout: tuple[int, int] | None
+) -> tuple[int, int]:
     if layout is not None:
         m_bits, k = layout
         if m_bits % 8:
             raise ValueError(f"layout m_bits must be a byte multiple, got {m_bits}")
-    else:
-        m_bits, k = bloom_params(expected, fpp)
+        return m_bits, k
+    return bloom_params(expected, fpp)
+
+
+def _or_reduce_bloom(
+    pos: DataFrame, m_bits: int, k: int, fpp: float, expected: int
+) -> dict:
+    """Chunked OR-reduction of a position frame (any number of int64
+    bit-position columns) into one bitset dict — the shared engine behind
+    the fingerprint- and window-grain builders. The driver collects exactly
+    m/8 bytes (non-zero chunks only), never partitions x m/8."""
+    import numpy as np
+
     m_bytes = m_bits // 8
     chunk = min(_BLOOM_CHUNK_BYTES, m_bytes)
     n_chunks = (m_bytes + chunk - 1) // chunk
-
-    pos = df.select(*_bloom_positions(text_col, m_bits, k))
 
     def _partition_chunks(pdf_iter):
         import pandas as pd
@@ -287,6 +302,12 @@ def bloom_or(a: dict, b: dict) -> dict:
         raise ValueError(
             f"bloom_or needs identical layouts, got (m={a['m_bits']},k={a['k']}) "
             f"vs (m={b['m_bits']},k={b['k']}) — rebuild at a common sizing"
+        )
+    ga, gb = a.get("grain", "fingerprint"), b.get("grain", "fingerprint")
+    if ga != gb or a.get("k_tokens") != b.get("k_tokens"):
+        raise ValueError(
+            f"bloom_or across grains: {ga}/k_tokens={a.get('k_tokens')} vs "
+            f"{gb}/k_tokens={b.get('k_tokens')} — these filters index different keys"
         )
     bits = np.bitwise_or(
         np.frombuffer(a["bits"], dtype=np.uint8), np.frombuffer(b["bits"], dtype=np.uint8)
@@ -1137,6 +1158,45 @@ def _window_hash(win: Column, hash_fn: str = "md5") -> Column:
     return md5_60bit(low)
 
 
+def _window_hashes_from_tokens(toks: Column, k: int, hash_fn: str) -> Column:
+    """Window-hash array over an ALREADY-PROJECTED token array column.
+
+    The token array must be a bound column (projected via ``withColumn`` /
+    ``select``), not an inline ``tokens(text)`` expression: an inline
+    expression is re-evaluated inside the transform lambda for every
+    window, turning the O(n·k) window pass into O(n²) regex splits per doc
+    (measured 7× on the bench corpus). This helper is the single source of
+    window-hash semantics — batch explode, Bloom build and stream probe all
+    evaluate it, so they agree bit-for-bit."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: _window_hash(
+                F.array_join(F.slice(toks, i + F.lit(1), F.lit(k)), " "),
+                hash_fn,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def window_hash_array(
+    text_col: Column | str = "text", k: int = 8, hash_fn: str = "md5"
+) -> Column:
+    """ROW-LOCAL ``array<bigint>`` of k-token-window hashes, in window
+    order (element i hashes the lowercased window starting at token i).
+    Empty array for NULL/short texts.
+
+    Convenience form for one-off use — it inlines the tokenizer into the
+    window lambda, which re-splits the text per window. Hot paths must
+    project the token array first and use the internal helper (what every
+    operator in this module does)."""
+    from piperider_spark.functions.text import tokens
+
+    return _window_hashes_from_tokens(tokens(text_col), k, hash_fn)
+
+
 def substring_dup_windows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1155,21 +1215,15 @@ def substring_dup_windows(
     exchange."""
     from piperider_spark.functions.text import tokens
 
-    base = (
+    return (
         _ensure_parallel(df)
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .withColumn("_n", F.size("_toks"))
-        .where(F.col("_n") >= k)
-    )
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.col("_n") - k),
-        lambda i: _window_hash(
-            F.array_join(F.slice(F.col("_toks"), i + F.lit(1), F.lit(k)), " "),
-            hash_fn,
-        ),
-    )
-    return base.select(
-        F.col(id_col), F.posexplode(hashes).alias("pos", "h")
+        .select(
+            F.col(id_col),
+            _window_hashes_from_tokens(F.col("_toks"), k, hash_fn).alias("_wh"),
+        )
+        .where(F.size("_wh") > 0)
+        .select(F.col(id_col), F.posexplode("_wh").alias("pos", "h"))
     )
 
 
@@ -1327,4 +1381,179 @@ def remove_duplicate_substrings(
         .otherwise(F.size(toks) - F.size(kept))
         .cast("long")
         .alias("n_removed_tokens"),
+    )
+
+
+def build_window_bloom(
+    df: DataFrame,
+    text_col: str = "text",
+    k_tokens: int = 8,
+    dup_only: bool = False,
+    min_count: int = 2,
+    expected: int | None = None,
+    fpp: float = 0.01,
+    layout: tuple[int, int] | None = None,
+) -> dict:
+    """Compact a corpus' k-token-window hashes into a Bloom bitset — the
+    window-grain epoch snapshot for cross-run / streaming substring dedup
+    (the :func:`build_fingerprint_bloom` pattern one level finer).
+
+    ``dup_only=False`` (default): every window of the corpus goes in; a
+    probe hit means "this substring occurred in history" — the incremental
+    semantics of :func:`bloom_seen_flags`. ``dup_only=True``: only windows
+    occurring >= ``min_count`` times go in (one extra partial-agg shuffle
+    at build time); a probe hit means "this substring was already
+    *duplicated*", and the filter is 10-100x smaller — at 10^12 history
+    tokens the all-windows filter stops fitting in a broadcast (~1.2 TB at
+    1% fpp), while the duplicated-window set tracks the boilerplate mass,
+    which is exactly what a quality pipeline wants to flag. Beyond either
+    bound: shard by hash prefix, like the fingerprint filter documents.
+
+    EAGER (documented contract): runs a count when ``expected`` is not
+    given, then the build job. Window hashes are JVM xxhash64 end-to-end
+    (``window_hash_array(..., 'xxhash64')``) and bit positions are JVM
+    ``xxhash64(seed_j, h)`` — python never re-implements a hash, the same
+    rule the fingerprint filter pins. Returns the same dict shape, with
+    ``grain='window'`` and ``k_tokens`` added so :func:`window_seen_stats`
+    can reject a mismatched probe; :func:`bloom_or` merges epochs."""
+    from piperider_spark.functions.text import tokens
+
+    wins = (
+        _ensure_parallel(df)
+        .select(tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.explode(
+                _window_hashes_from_tokens(F.col("_toks"), k_tokens, "xxhash64")
+            ).alias("h")
+        )
+    )
+    if dup_only:
+        wins = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= min_count)
+            .select("h")
+        )
+    if expected is None:
+        expected = wins.count()
+    m_bits, k = _bloom_layout(expected, fpp, layout)
+    pos = wins.select(
+        *[
+            F.pmod(F.xxhash64(F.lit(_BLOOM_SEED + j), F.col("h")), F.lit(m_bits)).alias(
+                f"__bp{j}"
+            )
+            for j in range(k)
+        ]
+    )
+    bloom = _or_reduce_bloom(pos, m_bits, k, fpp, expected)
+    bloom["grain"] = "window"
+    bloom["k_tokens"] = int(k_tokens)
+    return bloom
+
+
+def window_seen_stats(
+    df: DataFrame,
+    bloom: dict,
+    text_col: str = "text",
+    k_tokens: int = 8,
+) -> DataFrame:
+    """Per-row substring-overlap profile against a window-grain Bloom:
+    ``seen_windows`` (windows whose hash probes positive), ``seen_token_cov``
+    (tokens covered by the union of those windows — same merged-span
+    arithmetic as :func:`duplicate_substring_stats`) and ``seen_frac``.
+
+    ZERO shuffle and stateless — a pure projection (JVM window hashes +
+    positions, one vectorized Arrow crossing for the bit lookups), so it
+    drops into a readStream unchanged and gates a new batch against 10^12
+    history tokens map-side, the window-grain twin of
+    :func:`bloom_seen_flags`. Bloom guarantee: no false negatives — every
+    substring genuinely in history is flagged; ~fpp of fresh windows probe
+    positive, slightly inflating coverage (never deflating)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # a filter without the key is a legacy fingerprint-grain snapshot —
+    # probing windows against document fingerprints is always a mistake
+    if bloom.get("grain", "fingerprint") != "window":
+        raise ValueError(f"not a window-grain filter: grain={bloom.get('grain')!r}")
+    if int(bloom.get("k_tokens", k_tokens)) != k_tokens:
+        raise ValueError(
+            f"filter was built at k_tokens={bloom.get('k_tokens')}, probe asked {k_tokens}"
+        )
+    m_bits, k = bloom["m_bits"], bloom["k"]
+    bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
+    kt = k_tokens
+
+    from piperider_spark.functions.text import tokens
+
+    # stage tokens and window hashes as bound columns (see
+    # _window_hashes_from_tokens: inlining re-splits the text per window)
+    staged = df.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+        "__wh", _window_hashes_from_tokens(F.col("__toks"), k_tokens, "xxhash64")
+    )
+    flat = F.flatten(
+        F.transform(
+            F.col("__wh"),
+            lambda h: F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(_BLOOM_SEED + j), h), F.lit(m_bits))
+                    for j in range(k)
+                ]
+            ),
+        )
+    )
+
+    out_type = StructType(
+        [
+            StructField("seen_windows", LongType()),
+            StructField("seen_token_cov", LongType()),
+        ]
+    )
+
+    # hint-free signature: dedup.py stringifies annotations (__future__
+    # annotations) and pandas is function-local, so the type-hint inference
+    # path can't resolve them — the legacy (returnType-only) path is the
+    # same one bloom_seen_flags uses
+    @pandas_udf(out_type)
+    def _probe(flat_pos):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        n_rows = len(flat_pos)
+        counts = np.fromiter((len(v) for v in flat_pos), dtype=np.int64, count=n_rows) // k
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(n_rows, dtype=np.int64)
+            return pd.DataFrame({"seen_windows": z, "seen_token_cov": z})
+        allp = np.concatenate([np.asarray(v, dtype=np.int64) for v in flat_pos if len(v)])
+        hit = (bits[allp >> 3] & (1 << (allp & 7)).astype(np.uint8)) != 0
+        win_seen = hit.reshape(-1, k).all(axis=1)
+        row_ids = np.repeat(np.arange(n_rows), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        win_idx = np.arange(total) - starts[row_ids]
+        r = row_ids[win_seen]
+        p = win_idx[win_seen]
+        seen_windows = np.bincount(r, minlength=n_rows).astype(np.int64)
+        if len(r):
+            first = np.ones(len(r), dtype=bool)
+            first[1:] = r[1:] != r[:-1]
+            gap = np.empty(len(p), dtype=np.int64)
+            gap[0] = kt
+            gap[1:] = p[1:] - p[:-1]
+            contrib = np.where(first, kt, np.minimum(kt, gap))
+            cov = np.bincount(r, weights=contrib, minlength=n_rows).astype(np.int64)
+        else:
+            cov = np.zeros(n_rows, dtype=np.int64)
+        return pd.DataFrame({"seen_windows": seen_windows, "seen_token_cov": cov})
+
+    n_tok = F.size(F.col("__toks"))
+    probed = staged.withColumn("__ws", _probe(flat))
+    return probed.select(
+        *[c for c in df.columns],
+        n_tok.cast("long").alias("n_tokens"),
+        F.col("__ws.seen_windows").alias("seen_windows"),
+        F.col("__ws.seen_token_cov").alias("seen_token_cov"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.col("__ws.seen_token_cov") / n_tok.cast("double"))
+        .alias("seen_frac"),
     )

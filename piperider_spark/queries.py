@@ -2458,3 +2458,20 @@ def dup_substring_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_substring_stats(
         load(spark, sf_dir, "documents"), k=8, min_count=2, hash_fn="xxhash64"
     )
+
+
+@register("window_seen_documents")
+def window_seen_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-grain Bloom probe (rows-only engine twin — like
+    bloom_incremental_documents, the bitset is an engine-side artifact; the
+    contract is pinned in pytest: no false negatives, FPR near nominal,
+    zero-Exchange probe plan, stream == batch, dup_only self-probe ⊇
+    duplicate_substring_stats). History = duplicated 8-token windows of the
+    corpus compacted into a Bloom (EAGER build at query construction); the
+    probe profiles every doc's substring overlap with that history
+    map-side."""
+    docs = load(spark, sf_dir, "documents")
+    bloom = dedup.build_window_bloom(docs, k_tokens=8, dup_only=True, fpp=0.001)
+    return dedup.window_seen_stats(docs, bloom, k_tokens=8).select(
+        "doc_id", "n_tokens", "seen_windows", "seen_token_cov", "seen_frac"
+    )

@@ -1779,3 +1779,89 @@ def test_dup_substring_plan_partitions_doc_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "doc_id" in line, f"unpartitioned Window in plan: {line}"
+
+
+def test_window_bloom_no_false_negatives_fpr_and_zero_exchange(spark):
+    """Window-grain Bloom: (a) probing the build corpus flags EVERY window
+    (no false negatives → seen_windows == total windows, seen_frac == 1.0
+    for every doc with ≥1 window); (b) FPR on fresh windows near nominal;
+    (c) the probe plan is shuffle-free (the window-grain twin of the
+    fingerprint gate); (d) dup_only self-probe covers at least what
+    duplicate_substring_stats found (Bloom adds FPs, never loses a dup)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    bloom = dedup.build_window_bloom(half_a, k_tokens=8, fpp=0.01)
+    assert bloom["grain"] == "window" and bloom["k_tokens"] == 8
+
+    # (a) no false negatives on the build corpus
+    self_probe = dedup.window_seen_stats(half_a, bloom, k_tokens=8)
+    bad = self_probe.where(
+        (F.col("n_tokens") >= 8) & (F.col("seen_windows") < F.col("n_tokens") - 7)
+    )
+    assert bad.count() == 0
+    assert self_probe.where(F.col("n_tokens") >= 8).count() > 0
+
+    # (b) FPR: window hits on the disjoint half, counted against windows
+    # that genuinely never occurred in half_a (drop cross-half dup windows
+    # via the exact dup-hash set)
+    wins_a = dedup.substring_dup_windows(half_a, k=8, hash_fn="xxhash64").select("h").distinct()
+    wins_b = dedup.substring_dup_windows(half_b, k=8, hash_fn="xxhash64")
+    fresh_b = wins_b.join(wins_a, "h", "left_anti").count()
+    seen_b = dedup.window_seen_stats(half_b, bloom, k_tokens=8)
+    hits_b = seen_b.agg(F.sum("seen_windows")).first()[0]
+    cross = wins_b.join(wins_a, "h").count()  # genuinely-shared windows
+    assert fresh_b > 500
+    fpr = (hits_b - cross) / fresh_b
+    assert fpr <= 0.04, f"window FPR {fpr} vs nominal 0.01"
+
+    # (c) zero Exchange in the probe plan
+    plan = seen_b._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # (d) dup_only build, probed against the SAME corpus: every doc's
+    # seen_windows >= its duplicate_substring_stats dup_windows
+    b_dup = dedup.build_window_bloom(docs, k_tokens=8, dup_only=True, fpp=0.001)
+    probe = dedup.window_seen_stats(docs, b_dup, k_tokens=8).select("doc_id", "seen_windows")
+    stats = dedup.duplicate_substring_stats(docs, k=8, hash_fn="xxhash64").select(
+        "doc_id", "dup_windows"
+    )
+    merged = {r["doc_id"]: (r["seen_windows"]) for r in probe.collect()}
+    missed = [
+        (r["doc_id"], r["dup_windows"], merged[r["doc_id"]])
+        for r in stats.collect()
+        if merged[r["doc_id"]] < r["dup_windows"]
+    ]
+    assert missed == []
+
+
+def test_window_bloom_guards_and_or(spark):
+    """Grain / k_tokens guards: a fingerprint filter (or one built at a
+    different window width) must be rejected at probe time, and bloom_or
+    refuses cross-grain unions even at identical layouts."""
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")], "doc_id long, text string"
+    )
+    wb = dedup.build_window_bloom(df, k_tokens=8, expected=64)
+    fb = dedup.build_fingerprint_bloom(df, expected=64)
+    with pytest.raises(ValueError, match="k_tokens=8"):
+        dedup.window_seen_stats(df, wb, k_tokens=5)
+    with pytest.raises(ValueError, match="grain"):
+        dedup.window_seen_stats(df, fb, k_tokens=8)
+    with pytest.raises(ValueError, match="grains"):
+        dedup.bloom_or(
+            wb, dedup.build_fingerprint_bloom(df, layout=(wb["m_bits"], wb["k"]))
+        )
+    # same-grain same-k union still unions
+    df2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    wb2 = dedup.build_window_bloom(
+        df2, k_tokens=8, expected=64, layout=(wb["m_bits"], wb["k"])
+    )
+    u = dedup.bloom_or(wb, wb2)
+    both = df.unionByName(df2)
+    out = dedup.window_seen_stats(both, u, k_tokens=8)
+    assert out.where(F.col("seen_frac") < 1.0).count() == 0

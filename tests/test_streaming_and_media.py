@@ -1731,3 +1731,69 @@ def test_bloom_gate_is_streaming_safe(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # the overlap makes the test meaningful: some rows gate seen, some not
     assert got["maybe_seen"].any() and not got["maybe_seen"].all()
+
+
+def test_window_bloom_probe_is_streaming_safe(spark, tmp_path):
+    """window_seen_stats is a stateless projection (row-local JVM window
+    hashes + broadcast-bitset probe), so it drops into a readStream
+    unchanged — live substring-overlap gating against 10^12 history tokens
+    with zero state. Stream output must equal the batch application row
+    for row."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.operators.dedup import build_window_bloom, window_seen_stats
+
+    hist = tmp_path / "hist.parquet"
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(hist), n_turns=600, seed=41)
+    # overlap: one batch re-delivers history text (same seed), one is fresh
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=300, seed=41)
+    write_transcripts_parquet(str(inp / "p1.parquet"), n_turns=300, seed=42)
+
+    bloom = build_window_bloom(spark.read.parquet(str(hist)), k_tokens=5, fpp=0.01)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    q = (
+        window_seen_stats(stream, bloom, k_tokens=5)
+        .select("conv_id", "turn_idx", "seen_windows", "seen_token_cov", "seen_frac")
+        .writeStream.format("memory")
+        .queryName("window_bloom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from window_bloom_stream")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        window_seen_stats(spark.read.parquet(str(inp)), bloom, k_tokens=5)
+        .select("conv_id", "turn_idx", "seen_windows", "seen_token_cov", "seen_frac")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the overlap makes the test meaningful: some turns carry history
+    # substrings, some don't
+    assert (got["seen_windows"] > 0).any() and (got["seen_windows"] == 0).any()
