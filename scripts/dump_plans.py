@@ -92,6 +92,13 @@ PLAN_QUERIES = [
         "compaction ran eagerly, once; this is the per-batch plan)",
     ),
     (
+        "window_seen_documents",
+        "window-grain Bloom probe: ZERO exchanges — row-local JVM window "
+        "hashes + positions, broadcast-bitset ArrowEvalPython (the "
+        "dup-only history compaction ran eagerly, once; this is the "
+        "per-batch / per-micro-batch plan)",
+    ),
+    (
         "dup_substring_fast",
         "exact-substring duplication: row-local window stream, ONE "
         "partial-agg shuffle on the window hash, dup-hash set joined back "
