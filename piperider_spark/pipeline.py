@@ -190,6 +190,10 @@ def run_pipeline(
     dsir_fit: str | None = None,
     dsir_ratio_path: str | None = None,
     dsir_buckets: int = 4096,
+    substr_bloom_history: str | None = None,
+    substr_bloom_out: str | None = None,
+    substr_bloom_expected: int | None = None,
+    substr_bloom_k: int = 8,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -248,7 +252,22 @@ def run_pipeline(
     row-local projection (the ≤``dsir_buckets``-row table rides the plan
     as one array literal), so the stage adds no per-wave exchanges.
     Lineage records the DSIR mode like the dedup mode: resuming with a
-    different fit/ratio reprocesses rather than mixing scores."""
+    different fit/ratio reprocesses rather than mixing scores.
+
+    ``substr_bloom_history`` extends the gate below conversation grain: a
+    WINDOW-grain Bloom snapshot (operators/dedup.build_window_bloom
+    artifact — history's k-token-window hashes) adds a
+    ``substr_seen_frac`` column to decisions/: the fraction of each turn's
+    tokens covered by substrings already present in the archive (merged
+    k-token windows, case-insensitive). Zero shuffle — row-local JVM
+    window hashes + one broadcast-bitset Arrow probe riding the wave plan,
+    never a join against history. Score, not drop: substring overlap is a
+    quality signal (boilerplate, quoted context, templated turns), and the
+    cut belongs downstream with the other signals. ``substr_bloom_out``
+    writes the next epoch's window snapshot (history ∪ this corpus' turn
+    windows, inherited layout; epoch 1 sizes via
+    ``substr_bloom_expected``/``substr_bloom_k``). Lineage records the
+    substring mode like the others: a history flip reprocesses."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -473,6 +492,22 @@ def run_pipeline(
             spark.read.parquet(ratio_src), n_buckets=dsir_buckets
         )
 
+    substr_mode = (
+        f"bloom:{_input_key(substr_bloom_history)}" if substr_bloom_history else "none"
+    )
+    substr_bloom: dict | None = None
+    if substr_bloom_history:
+        from piperider_spark.operators.dedup import load_bloom as _load_bloom
+
+        substr_bloom = _load_bloom(substr_bloom_history)
+        if substr_bloom.get("grain") != "window":
+            raise ValueError(
+                f"--substr-bloom-history needs a window-grain artifact "
+                f"(build_window_bloom), got grain="
+                f"{substr_bloom.get('grain', 'fingerprint')!r} from "
+                f"{substr_bloom_history}"
+            )
+
     done: set[int] = set()
     if resume and os.path.isdir(lineage_path):
         try:
@@ -512,12 +547,18 @@ def run_pipeline(
                 if "dsir_mode" in lin.columns
                 else F.lit("none")
             )
+            substr_col = (
+                F.coalesce(F.col("substr_mode"), F.lit("none"))
+                if "substr_mode" in lin.columns
+                else F.lit("none")
+            )
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
                         _flag("conv_rollup").alias("r"),
                         mode_col.alias("m"),
                         dsir_col.alias("d"),
+                        substr_col.alias("sb"),
                     ),
                     ts_col,
                 ).alias("s")
@@ -525,6 +566,7 @@ def run_pipeline(
             ok = (
                 (F.col("s.m") == F.lit(dedup_mode))
                 & (F.col("s.d") == F.lit(dsir_mode))
+                & (F.col("s.sb") == F.lit(substr_mode))
                 & (F.col("s.r") | F.lit(not conv_rollup))
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
@@ -560,6 +602,19 @@ def run_pipeline(
             from piperider_spark.operators.dsir import dsir_score_col
 
             part = part.withColumn("dsir_score", dsir_score_col("text", dsir_arr))
+        if substr_bloom is not None:
+            # zero-shuffle projection: row-local window hashes + broadcast
+            # bitset probe (operators/dedup.window_seen_stats), no join
+            # against the archive
+            from piperider_spark.operators.dedup import window_seen_stats
+
+            part = (
+                window_seen_stats(
+                    part, substr_bloom, k_tokens=int(substr_bloom["k_tokens"])
+                )
+                .withColumnRenamed("seen_frac", "substr_seen_frac")
+                .drop("n_tokens", "seen_windows", "seen_token_cov")
+            )
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -571,6 +626,8 @@ def run_pipeline(
         ]
         if dsir_arr is not None:
             out_cols.append("dsir_score")
+        if substr_bloom is not None:
+            out_cols.append("substr_seen_frac")
         (
             decided.select(*out_cols)
             .repartition("bucket")
@@ -621,11 +678,20 @@ def run_pipeline(
         elapsed = int((time.time() - t0) * 1000)
         lineage_rows = spark.createDataFrame(
             [
-                (run_id, b, elapsed, conv_rollup, dedup_mode, dsir_mode, time.time())
+                (
+                    run_id,
+                    b,
+                    elapsed,
+                    conv_rollup,
+                    dedup_mode,
+                    dsir_mode,
+                    substr_mode,
+                    time.time(),
+                )
                 for b in wave
             ],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
-            "dedup_mode string, dsir_mode string, ts double",
+            "dedup_mode string, dsir_mode string, substr_mode string, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -653,6 +719,26 @@ def run_pipeline(
             layout=(hist["m_bits"], hist["k"]) if hist else None,
         )
         save_bloom(bloom_or(hist, cur) if hist else cur, bloom_out)
+
+    if substr_bloom_out:
+        # window-grain epoch snapshot: history ∪ this corpus' turn windows
+        # (same idempotent derived-from-staged contract as bloom_out);
+        # epoch 1 sets k_tokens + layout, later epochs inherit both
+        from piperider_spark.operators.dedup import (
+            bloom_or as _wb_or,
+            build_window_bloom as _wb_build,
+            save_bloom as _wb_save,
+        )
+
+        wh = substr_bloom  # already loaded + grain-checked above
+        cur_w = _wb_build(
+            src,
+            k_tokens=int(wh["k_tokens"]) if wh else substr_bloom_k,
+            expected=None if wh else substr_bloom_expected,
+            fpp=wh["fpp"] if wh else 0.01,
+            layout=(wh["m_bits"], wh["k"]) if wh else None,
+        )
+        _wb_save(_wb_or(wh, cur_w) if wh else cur_w, substr_bloom_out)
 
     return PipelineResult(
         run_id=run_id,
@@ -739,6 +825,34 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         "it instead of fitting in-run",
     )
     p.add_argument("--dsir-buckets", type=int, default=4096)
+    p.add_argument(
+        "--substr-bloom-history",
+        default=None,
+        help="WINDOW-grain Bloom snapshot (build_window_bloom artifact) of "
+        "the archive's k-token windows: adds a substr_seen_frac column to "
+        "decisions/ — per-turn fraction of tokens covered by substrings "
+        "already in history, scored map-side with zero shuffle",
+    )
+    p.add_argument(
+        "--substr-bloom-out",
+        default=None,
+        help="write the next epoch's window snapshot (history ∪ this "
+        "corpus' turn windows) here after the waves complete",
+    )
+    p.add_argument(
+        "--substr-bloom-expected",
+        type=int,
+        default=None,
+        help="first-epoch window-bitset sizing: expected TOTAL windows "
+        "(~tokens) over the archive's growth horizon",
+    )
+    p.add_argument(
+        "--substr-bloom-k",
+        type=int,
+        default=8,
+        help="window width in tokens for the FIRST epoch (later epochs "
+        "inherit the artifact's k_tokens)",
+    )
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -758,6 +872,10 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         dsir_fit=args.dsir_fit,
         dsir_ratio_path=args.dsir_ratio_path,
         dsir_buckets=args.dsir_buckets,
+        substr_bloom_history=args.substr_bloom_history,
+        substr_bloom_out=args.substr_bloom_out,
+        substr_bloom_expected=args.substr_bloom_expected,
+        substr_bloom_k=args.substr_bloom_k,
     )
     print(json.dumps(res.__dict__))
 

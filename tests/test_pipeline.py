@@ -668,3 +668,110 @@ def test_bloom_history_cross_run_dedup(spark, transcripts_pdf, tmp_path):
     assert r4.buckets_processed == 4
     dec4 = spark.read.parquet(out2 + "/decisions")
     assert dec4.where(~F.col("conv_id").startswith("ep2-")).count() > 0
+
+
+def test_pipeline_substr_bloom_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
+    """--substr-bloom-history: decisions carry substr_seen_frac equal to an
+    independent batch window_seen_stats with the same artifact; re-delivered
+    history turns score 1.0; same config resumes clean; turning the stage
+    off reprocesses (lineage latest-row substr_mode) and removes the column;
+    --substr-bloom-out unions this corpus' windows into the next epoch;
+    a fingerprint-grain artifact is rejected with a clear error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from piperider_spark.datagen import write_transcripts_parquet
+    from piperider_spark.operators.dedup import (
+        build_fingerprint_bloom,
+        build_window_bloom,
+        load_bloom,
+        save_bloom,
+        window_seen_stats,
+    )
+
+    # epoch 1 = the archive the snapshot is built from
+    hist_inp = str(tmp_path / "hist.parquet")
+    write_transcripts_parquet(hist_inp, n_turns=400, seed=91)
+    hist_art = str(tmp_path / "hist_windows.json")
+    save_bloom(
+        build_window_bloom(spark.read.parquet(hist_inp), k_tokens=5), hist_art
+    )
+
+    # epoch 2 = re-delivered epoch-1 turns + fresh ones
+    inp = str(tmp_path / "t.parquet")
+    both = pd.concat(
+        [
+            pd.read_parquet(hist_inp).head(120),
+            transcripts_pdf,
+        ],
+        ignore_index=True,
+    )
+    pq.write_table(pa.Table.from_pandas(both, preserve_index=False), inp)
+    out = str(tmp_path / "out")
+    next_art = str(tmp_path / "next_windows.json")
+
+    r1 = run_pipeline(
+        spark,
+        inp,
+        out,
+        n_buckets=4,
+        wave_buckets=2,
+        substr_bloom_history=hist_art,
+        substr_bloom_out=next_art,
+    )
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    assert "substr_seen_frac" in dec.columns
+
+    # == independent batch probe with the same artifact
+    bloom = load_bloom(hist_art)
+    want = {
+        (r.conv_id, r.turn_idx): r.seen_frac
+        for r in window_seen_stats(spark.read.parquet(inp), bloom, k_tokens=5)
+        .select("conv_id", "turn_idx", "seen_frac")
+        .collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.substr_seen_frac
+        for r in dec.select("conv_id", "turn_idx", "substr_seen_frac").collect()
+    }
+    assert got == want
+    # re-delivered history turns are fully covered; fresh turns are not all
+    redelivered = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.createDataFrame(pd.read_parquet(hist_inp).head(120))
+        .where(F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert redelivered and all(got[key] == 1.0 for key in redelivered if key in got)
+    assert any(v < 1.0 for v in got.values())
+
+    # next epoch's snapshot covers epoch 2's own windows too
+    nxt = load_bloom(next_art)
+    assert nxt["grain"] == "window" and nxt["k_tokens"] == 5
+    full = window_seen_stats(spark.read.parquet(inp), nxt, k_tokens=5)
+    assert full.where(
+        (F.col("n_tokens") >= 5) & (F.col("seen_frac") < 1.0)
+    ).count() == 0
+
+    # same config resumes clean
+    r2 = run_pipeline(
+        spark, inp, out, n_buckets=4, wave_buckets=2, substr_bloom_history=hist_art
+    )
+    assert (r2.buckets_processed, r2.buckets_skipped) == (0, 4)
+
+    # stage off: latest lineage says it was on -> reprocess, column gone
+    r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
+    assert r3.buckets_processed == 4
+    assert "substr_seen_frac" not in spark.read.parquet(r1.decisions_path).columns
+
+    # fingerprint-grain artifact rejected up front
+    fp_art = str(tmp_path / "fp.json")
+    save_bloom(build_fingerprint_bloom(spark.read.parquet(hist_inp)), fp_art)
+    with pytest.raises(ValueError, match="window-grain"):
+        run_pipeline(
+            spark, inp, out, n_buckets=4, substr_bloom_history=fp_art
+        )
