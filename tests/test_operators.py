@@ -1865,3 +1865,48 @@ def test_window_bloom_guards_and_or(spark):
     both = df.unionByName(df2)
     out = dedup.window_seen_stats(both, u, k_tokens=8)
     assert out.where(F.col("seen_frac") < 1.0).count() == 0
+
+
+def test_duplicate_substring_stats_randomized_mirror_sweep(spark):
+    """Seeded randomized corpora — mixed whitespace runs, unicode words,
+    planted cross-doc and within-doc repeats, tiny vocab (hash-collision
+    pressure on the window STRINGS, which must match exactly) — engine ==
+    brute-force mirror on every doc, both hash paths."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = ["alpha", "béta", "γάμμα", "x1", "yy", "Zz", "ümlaut", "kA"]
+    ws = [" ", "  ", "\t", " \n ", "   "]
+
+    def doc(n):
+        return "".join(
+            rng.choice(vocab) + rng.choice(ws) for _ in range(n)
+        ).strip()
+
+    for trial in range(3):
+        rows = []
+        phrase = " ".join(rng.choice(vocab) for _ in range(9))
+        for i in range(40):
+            base = doc(rng.randint(0, 30))
+            if i % 5 == 0:  # plant the shared phrase mid-doc
+                base = f"{base} {phrase} {doc(rng.randint(0, 10))}".strip()
+            if i % 11 == 0:  # within-doc repeat
+                base = f"{base} {base}".strip()
+            rows.append((i, base if base else None))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = _substr_mirror(rows, k=8, min_count=2)
+        for hf in ("md5", "xxhash64"):
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"],
+                    r["dup_windows"],
+                    r["dup_spans"],
+                    r["dup_token_cov"],
+                    r["dup_frac"],
+                )
+                for r in dedup.duplicate_substring_stats(
+                    df, k=8, min_count=2, hash_fn=hf
+                ).collect()
+            }
+            assert got == pytest.approx(want), f"trial={trial} hash={hf}"
+        assert any(v[1] > 0 for v in want.values()), "sweep must exercise dups"
