@@ -36,8 +36,17 @@ from piperider_spark.operators.quality import (
 
 # reason labels in firing-stage order (frozen, like rules/spec reason_order);
 # "encoding" fires only with fix_encoding=True and precedes everything — a
-# double-encoded doc must be repaired before any text-shape rule reads it
-REASON_ORDER = ("encoding", "exact_dup", "c4", "gopher_repetition", "gopher_quality")
+# double-encoded doc must be repaired before any text-shape rule reads it;
+# "dup_substring" fires only with substr_max_frac set and reads the
+# line-deduped text (chrome must not inflate the duplication fraction)
+REASON_ORDER = (
+    "encoding",
+    "exact_dup",
+    "dup_substring",
+    "c4",
+    "gopher_repetition",
+    "gopher_quality",
+)
 
 
 def curate_corpus(
@@ -46,6 +55,8 @@ def curate_corpus(
     text_col: str = "text",
     min_line_docs: int = 2,
     fix_encoding: bool = False,
+    substr_max_frac: float | None = None,
+    substr_k: int = 8,
 ) -> DataFrame:
     """Run the staged curation chain; returns one row per input doc:
     (id, text_curated, n_boilerplate_removed, reasons, keep).
@@ -66,6 +77,18 @@ def curate_corpus(
     (U+FFFD damage, stray controls) drop with reason ``encoding``. Both
     additions are zero-shuffle projections — the chain's shuffle inventory
     is unchanged.
+
+    ``substr_max_frac`` (opt-in) adds the exact-substring duplication GATE
+    after line dedup: docs whose corpus-duplicated ``substr_k``-token-window
+    coverage (dedup.duplicate_substring_stats over the line-deduped text)
+    exceeds the threshold drop with reason ``dup_substring`` — Lee et
+    al.'s signal as a document gate. The gate form (not span removal) is
+    deliberate inside the chain: remove_duplicate_substrings rebuilds text
+    with single-space joins, which would destroy the line structure C4 and
+    the Gopher line-fraction rules read downstream; use the standalone
+    operator when span surgery is what you want. This stage adds the
+    substring plan's one partial-agg shuffle (SCALE.md) to the chain —
+    the only opt-in stage that is not a pure projection.
     """
     enc_keep = None
     if fix_encoding:
@@ -94,6 +117,16 @@ def curate_corpus(
     # truncates the lineage the four branches replay.
     lined = lined.localCheckpoint(eager=True)
 
+    sub_keep = None
+    if substr_max_frac is not None:
+        from piperider_spark.operators.dedup import duplicate_substring_stats
+
+        sub_keep = duplicate_substring_stats(
+            lined, id_col=id_col, text_col="_t1", k=substr_k, hash_fn="xxhash64"
+        ).select(
+            id_col, (F.col("dup_frac") <= F.lit(substr_max_frac)).alias("_sub_keep")
+        )
+
     c4 = c4_filter_stats(lined, text_col="_t1", id_col=id_col).select(
         id_col,
         F.col("text_clean").alias("text_curated"),
@@ -116,6 +149,8 @@ def curate_corpus(
     )
     if enc_keep is not None:
         joined = joined.join(enc_keep, id_col, "left")
+    if sub_keep is not None:
+        joined = joined.join(sub_keep, id_col, "left")
     fired = {
         "encoding": (
             ~F.coalesce(F.col("_enc_keep"), F.lit(True))
@@ -123,6 +158,11 @@ def curate_corpus(
             else F.lit(False)
         ),
         "exact_dup": ~F.col("is_canonical"),
+        "dup_substring": (
+            ~F.coalesce(F.col("_sub_keep"), F.lit(True))
+            if sub_keep is not None
+            else F.lit(False)
+        ),
         "c4": ~F.coalesce(F.col("_c4_keep"), F.lit(True)),
         "gopher_repetition": ~F.coalesce(F.col("_rep_keep"), F.lit(True)),
         "gopher_quality": ~F.coalesce(F.col("_q_keep"), F.lit(True)),

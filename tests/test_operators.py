@@ -1910,3 +1910,51 @@ def test_duplicate_substring_stats_randomized_mirror_sweep(spark):
             }
             assert got == pytest.approx(want), f"trial={trial} hash={hf}"
         assert any(v[1] > 0 for v in want.values()), "sweep must exercise dups"
+
+
+def test_curate_corpus_substr_gate_stage(spark):
+    """substr_max_frac: a doc that is mostly a corpus-repeated phrase drops
+    with reason 'dup_substring' (read on the LINE-DEDUPED text — chrome
+    must not inflate the fraction); the source doc below threshold keeps;
+    default-off output is byte-identical to the frozen chain; a permissive
+    threshold (1.0) never fires."""
+    from piperider_spark.operators.curation import curate_corpus
+
+    def body(tag: str, n: int = 6) -> str:
+        # every token carries the doc tag: no 8-token run can repeat
+        # across docs (a shared line TAIL would be corpus-duplicated too)
+        return "\n".join(
+            " ".join(f"{tag}w{i}x{j}" for j in range(12)) + " it is fine."
+            for i in range(n)
+        )
+
+    phrase = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [
+        ("src", f"{body('src', 8)}\n{phrase} and plenty of other original content follows here."),
+        # mostly the repeated phrase: dup coverage dominates its tokens
+        ("dup_heavy", f"{phrase} {phrase} {phrase} extra"),
+        ("clean", body("clean", 8)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    out = {
+        r.doc_id: r.asDict()
+        for r in curate_corpus(df, substr_max_frac=0.5, substr_k=8).collect()
+    }
+    assert "dup_substring" in out["dup_heavy"]["reasons"]
+    assert not out["dup_heavy"]["keep"]
+    assert "dup_substring" not in out["src"]["reasons"]
+    assert out["clean"]["reasons"] == [] and out["clean"]["keep"]
+
+    # default off == frozen chain, byte for byte
+    base = sorted(map(tuple, curate_corpus(df).collect()))
+    off = sorted(map(tuple, curate_corpus(df, substr_max_frac=None).collect()))
+    assert base == off
+    assert all("dup_substring" not in r[3] for r in base)
+
+    # permissive threshold never fires (dup_frac <= 1.0 by construction)
+    loose = {
+        r.doc_id: r.asDict()
+        for r in curate_corpus(df, substr_max_frac=1.0, substr_k=8).collect()
+    }
+    assert all("dup_substring" not in v["reasons"] for v in loose.values())
