@@ -83,6 +83,7 @@ HEADLINE = [
     "dsir_documents_fast",
     "semdedup_embeddings",
     "dup_substring_fast",
+    "bpe_train_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

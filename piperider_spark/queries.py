@@ -2475,3 +2475,24 @@ def window_seen_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.window_seen_stats(docs, bloom, k_tokens=8).select(
         "doc_id", "n_tokens", "seen_windows", "seen_token_cov", "seen_frac"
     )
+
+
+@register("bpe_train_documents")
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (rows-only: the merge loop is iterative and
+    driver-side by design — the documented non-SQL-expressible exception;
+    the trainer itself is pinned in pytest against an independent naive
+    recount reference plus a hand-computed worked example, and the encoder
+    against a driver mirror + streaming==batch). The corpus-sized stage is
+    ONE partial-agg shuffle (word counts under the single-sourced
+    BPE_TOKEN_RE pre-tokenizer); min_count + top_words bound driver
+    transfer, and the returned merge table (rank, left, right, merged) is
+    deterministic — count-desc, lexicographic tie-break — so the entry is
+    stable across partitionings and row order."""
+    from piperider_spark.operators import bpe
+
+    counts = bpe.bpe_word_counts(
+        load(spark, sf_dir, "documents"), min_count=2, top_words=20000
+    )
+    merges = bpe.train_bpe(counts, n_merges=256)
+    return bpe.merges_to_df(spark, merges)

@@ -105,7 +105,25 @@ PLAN_QUERIES = [
         "(one row per hash — no skew amplification), per-doc lag Window "
         "PARTITIONED by doc_id",
     ),
+    (
+        "bpe_word_counts",
+        "BPE word counts (the only corpus-sized stage of bpe_train_documents "
+        "— the merge loop runs driver-side on this collected Heaps'-bounded "
+        "table): explode over a pruned single-column scan + ONE partial "
+        "HashAggregate shuffle, TakeOrderedAndProject top-words cap",
+    ),
 ]
+
+# plans built directly (not a registry entry, or the registry entry
+# materializes eagerly and returns a driver-local table)
+def _bpe_word_counts_plan(spark):
+    from piperider_spark.operators.bpe import bpe_word_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return bpe_word_counts(docs, min_count=2, top_words=20000)
+
+
+DIRECT_PLANS = {"bpe_word_counts": _bpe_word_counts_plan}
 
 
 def pipeline_pruning_section(spark) -> list[str]:
@@ -171,7 +189,7 @@ def main() -> None:
     ]
     fns = qmod.queries()
     for name, note in PLAN_QUERIES:
-        df = fns[name](spark, SF_DIR)
+        df = DIRECT_PLANS[name](spark) if name in DIRECT_PLANS else fns[name](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain(mode="formatted")

@@ -1958,3 +1958,169 @@ def test_curate_corpus_substr_gate_stage(spark):
         for r in curate_corpus(df, substr_max_frac=1.0, substr_k=8).collect()
     }
     assert all("dup_substring" not in v["reasons"] for v in loose.values())
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _naive_train_bpe(rows, n_merges, min_pair_count=2):
+    """Independent recount-per-iteration reference (no inverted index, no
+    incremental updates) — order-free by construction: pair counts are
+    global sums and ties break on the pair itself."""
+    from piperider_spark.operators.bpe import _merge_word
+
+    syms = [list(w) for w, _ in rows]
+    freqs = [n for _, n in rows]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for s, f in zip(syms, freqs):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        syms = [_merge_word(s, best[0], best[1], best[0] + best[1]) for s in syms]
+    return merges
+
+
+def test_bpe_train_hand_example():
+    """The classic worked example (HF course corpus): every merge and its
+    order is hand-computable, including the count-5 tie at step 5 that the
+    lexicographic rule resolves to ('hug','s') over ('p','ug')."""
+    from piperider_spark.operators.bpe import encode_word, train_bpe
+
+    rows = [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)]
+    merges = train_bpe(rows, n_merges=10)
+    assert merges == [
+        ("u", "g"),
+        ("u", "n"),
+        ("h", "ug"),
+        ("p", "un"),
+        ("hug", "s"),
+        ("p", "ug"),
+        ("b", "un"),
+    ]
+    # min_pair_count stops before the count-4 ('b','un') merge
+    assert train_bpe(rows, n_merges=10, min_pair_count=5) == merges[:-1]
+    # greedy encode replays training: a training word re-segments whole
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("hugs", ranks) == ["hugs"]
+    assert encode_word("hun", ranks) == ["h", "un"]  # unseen word, partial merges
+    assert encode_word("x", ranks) == ["x"]
+    assert encode_word("", ranks) == []
+
+
+def test_bpe_train_matches_naive_reference_and_input_order():
+    """The indexed incremental trainer == the naive recount trainer on
+    seeded random corpora (the index update path is where bugs hide), and
+    the learned merges are invariant to input row order."""
+    import random
+
+    from piperider_spark.operators.bpe import train_bpe
+
+    rng = random.Random(4242)
+    for trial in range(6):
+        rows = [
+            (
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8))),
+                rng.randint(1, 20),
+            )
+            for _ in range(30)
+        ]
+        # dedupe words (a corpus word-count table has unique words)
+        seen = {}
+        for w, n in rows:
+            seen[w] = seen.get(w, 0) + n
+        rows = sorted(seen.items())
+        want = _naive_train_bpe(rows, n_merges=15)
+        assert train_bpe(rows, n_merges=15) == want, f"trial {trial}"
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        assert train_bpe(shuffled, n_merges=15) == want, f"trial {trial} (shuffled)"
+
+
+def test_bpe_word_counts_and_caps(spark):
+    """bpe_word_counts == a driver-side count over the SAME JVM pre-tokens
+    (regex single-sourced — the mirror never re-implements it); min_count
+    and top_words bound what reaches the driver."""
+    from piperider_spark.functions.text import BPE_TOKEN_RE
+    from piperider_spark.operators.bpe import bpe_word_counts
+
+    data = [
+        ("d1", "the cat sat on the mat, the cat!"),
+        ("d2", "a cat and a dog and a cat"),
+        ("d3", None),
+        ("d4", ""),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    pre = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_TOKEN_RE), 0
+            )
+        ).alias("w")
+    ).collect()
+    want = {}
+    for r in pre:
+        want[r.w] = want.get(r.w, 0) + 1
+    got = {r.word: r.n for r in bpe_word_counts(df).collect()}
+    assert got == want
+    got_min2 = {r.word: r.n for r in bpe_word_counts(df, min_count=2).collect()}
+    assert got_min2 == {w: n for w, n in want.items() if n >= 2}
+    top3 = [(r.word, r.n) for r in bpe_word_counts(df, top_words=3).collect()]
+    assert top3 == sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+
+def test_apply_bpe_matches_driver_encode_and_partition_invariant(spark):
+    """apply_bpe (JVM pre-tokenize → Arrow-batched encode) == encode_word
+    over the same JVM pre-tokens, unchanged under repartition (stateless
+    projection), NULL text → empty array / count 0."""
+    from piperider_spark.functions.text import BPE_TOKEN_RE
+    from piperider_spark.operators.bpe import apply_bpe, bpe_word_counts, encode_word, train_bpe
+
+    data = [
+        ("d1", "hug hug hug pug pun bun hugs hug pun pun"),
+        ("d2", "hug pug pun pun hugs hug hug hug bun pun"),
+        ("d3", None),
+        ("d4", "hug hug pun pun pun pun pun pun pun"),
+        ("d5", "Mixed CASE & digits 123 — pun!"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    merges = train_bpe(bpe_word_counts(df), n_merges=12, min_pair_count=2)
+    assert merges, "trainer learned nothing on a corpus with repeats"
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    pre = {
+        r.doc_id: list(r.ws)
+        for r in df.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_TOKEN_RE), 0
+            ).alias("ws"),
+        ).collect()
+    }
+    want = {
+        d: [t for w in ws for t in encode_word(w, ranks)] for d, ws in pre.items()
+    }
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_subwords)
+        for r in apply_bpe(df, merges).collect()
+    }
+    assert {d: v[0] for d, v in got.items()} == want
+    assert all(n == len(t) for t, n in got.values())
+    assert got["d3"] == ([], 0)
+    # lossless: concatenated subwords rebuild the pre-token stream exactly
+    for d, ws in pre.items():
+        assert "".join(got[d][0]) == "".join(ws)
+    got_rep = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in apply_bpe(df.repartition(7), merges).collect()
+    }
+    assert got_rep == {d: v[0] for d, v in got.items()}

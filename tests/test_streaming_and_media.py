@@ -1797,3 +1797,62 @@ def test_window_bloom_probe_is_streaming_safe(spark, tmp_path):
     # the overlap makes the test meaningful: some turns carry history
     # substrings, some don't
     assert (got["seen_windows"] > 0).any() and (got["seen_windows"] == 0).any()
+
+
+def test_stream_apply_bpe_matches_batch(spark, tmp_path):
+    """BPE encoding on a STREAM: apply_bpe is a stateless projection (JVM
+    pre-tokenize + Arrow-batched merge application — no state, no
+    watermark), so a learned tokenizer drops into a readStream unchanged
+    and streaming subword streams == batch, turn for turn. Fit happens
+    offline on the batch corpus — the deployment shape for tokenizing an
+    arriving feed with a frozen tokenizer."""
+    from piperider_spark.operators.bpe import apply_bpe, bpe_word_counts, train_bpe
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=600, seed=31)
+    batch = spark.read.parquet(str(inp))
+    merges = train_bpe(
+        bpe_word_counts(batch, "text", min_count=2, top_words=2000), n_merges=64
+    )
+    assert merges
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    q = (
+        apply_bpe(stream, merges)
+        .select("conv_id", "turn_idx", "bpe_tokens", "n_bpe_subwords")
+        .writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.turn_idx): (tuple(r.bpe_tokens), r.n_bpe_subwords)
+        for r in spark.sql("select * from bpe_stream").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): (tuple(r.bpe_tokens), r.n_bpe_subwords)
+        for r in apply_bpe(batch, merges)
+        .select("conv_id", "turn_idx", "bpe_tokens", "n_bpe_subwords")
+        .collect()
+    }
+    assert got == want and len(got) == batch.count()
