@@ -194,6 +194,8 @@ def run_pipeline(
     substr_bloom_out: str | None = None,
     substr_bloom_expected: int | None = None,
     substr_bloom_k: int = 8,
+    bpe_merges_path: str | None = None,
+    bpe_train: int | None = None,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -267,7 +269,21 @@ def run_pipeline(
     writes the next epoch's window snapshot (history ∪ this corpus' turn
     windows, inherited layout; epoch 1 sizes via
     ``substr_bloom_expected``/``substr_bloom_k``). Lineage records the
-    substring mode like the others: a history flip reprocesses."""
+    substring mode like the others: a history flip reprocesses.
+
+    ``bpe_train`` learns a BPE tokenizer of that many merges ONCE per
+    staging (operators/bpe.py — ONE word-count shuffle, then the driver
+    merge loop over the Heaps'-bounded frequency table; the merge table is
+    written to bpe_merges/ as the shippable artifact) and adds an
+    ``n_bpe_subwords`` column to decisions/ — each turn's model-token
+    count under the learned vocabulary, the number token-budget packing
+    and cost accounting run on. ``bpe_merges_path`` instead loads an
+    externally-trained artifact (the production shape: one frozen
+    tokenizer across epochs). Scoring is a zero-shuffle stateless
+    projection (JVM pre-tokenization + one Arrow crossing returning just
+    the count). Lineage records the BPE mode like the others: swapping or
+    dropping the tokenizer reprocesses rather than mixing counts from
+    different vocabularies."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -492,6 +508,48 @@ def run_pipeline(
             spark.read.parquet(ratio_src), n_buckets=dsir_buckets
         )
 
+    if bpe_merges_path:
+        bpe_mode = f"path:{_input_key(bpe_merges_path)}"
+    elif bpe_train:
+        bpe_mode = f"train:{int(bpe_train)}"
+    else:
+        bpe_mode = "none"
+    bpe_merges: list[tuple[str, str]] | None = None
+    if bpe_mode != "none":
+        from piperider_spark.operators import bpe as _bpe
+
+        if bpe_merges_path:
+            merges_src = bpe_merges_path
+        else:
+            # fit ONCE per staging (the same sidecar contract as dsir_ratio:
+            # meta manifest, reuse gated on the mode string); the artifact
+            # (rank, left, right, merged) is the shippable tokenizer
+            merges_src = os.path.join(output_dir, "bpe_merges")
+            merges_meta_path = os.path.join(merges_src, "_bpe_meta.json")
+            merges_reuse = os.path.exists(os.path.join(merges_src, "_SUCCESS"))
+            if merges_reuse:
+                try:
+                    with open(merges_meta_path) as fh:
+                        merges_reuse = json.load(fh) == {"mode": bpe_mode}
+                except (OSError, ValueError):
+                    merges_reuse = False
+            if not merges_reuse:
+                fitted = _bpe.train_bpe(
+                    _bpe.bpe_word_counts(
+                        src, "text", min_count=2, top_words=50_000
+                    ),
+                    n_merges=int(bpe_train),
+                )
+                (
+                    _bpe.merges_to_df(spark, fitted)
+                    .coalesce(1)  # ≤ n_merges rows — one tiny file
+                    .write.mode("overwrite")
+                    .parquet(merges_src)
+                )
+                with open(merges_meta_path, "w") as fh:
+                    json.dump({"mode": bpe_mode}, fh)
+        bpe_merges = _bpe.load_merges(spark, merges_src)
+
     substr_mode = (
         f"bloom:{_input_key(substr_bloom_history)}" if substr_bloom_history else "none"
     )
@@ -552,6 +610,11 @@ def run_pipeline(
                 if "substr_mode" in lin.columns
                 else F.lit("none")
             )
+            bpe_col = (
+                F.coalesce(F.col("bpe_mode"), F.lit("none"))
+                if "bpe_mode" in lin.columns
+                else F.lit("none")
+            )
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
@@ -559,6 +622,7 @@ def run_pipeline(
                         mode_col.alias("m"),
                         dsir_col.alias("d"),
                         substr_col.alias("sb"),
+                        bpe_col.alias("bp"),
                     ),
                     ts_col,
                 ).alias("s")
@@ -567,6 +631,7 @@ def run_pipeline(
                 (F.col("s.m") == F.lit(dedup_mode))
                 & (F.col("s.d") == F.lit(dsir_mode))
                 & (F.col("s.sb") == F.lit(substr_mode))
+                & (F.col("s.bp") == F.lit(bpe_mode))
                 & (F.col("s.r") | F.lit(not conv_rollup))
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
@@ -615,6 +680,15 @@ def run_pipeline(
                 .withColumnRenamed("seen_frac", "substr_seen_frac")
                 .drop("n_tokens", "seen_windows", "seen_token_cov")
             )
+        if bpe_merges is not None:
+            # zero-shuffle projection: JVM pre-tokenize + one Arrow crossing
+            # returning only the count (operators/bpe.bpe_subword_count_col)
+            # — the frozen tokenizer rides every wave's plan, no joins
+            from piperider_spark.operators.bpe import bpe_subword_count_col
+
+            part = part.withColumn(
+                "n_bpe_subwords", bpe_subword_count_col(bpe_merges, "text")
+            )
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -628,6 +702,8 @@ def run_pipeline(
             out_cols.append("dsir_score")
         if substr_bloom is not None:
             out_cols.append("substr_seen_frac")
+        if bpe_merges is not None:
+            out_cols.append("n_bpe_subwords")
         (
             decided.select(*out_cols)
             .repartition("bucket")
@@ -686,12 +762,14 @@ def run_pipeline(
                     dedup_mode,
                     dsir_mode,
                     substr_mode,
+                    bpe_mode,
                     time.time(),
                 )
                 for b in wave
             ],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
-            "dedup_mode string, dsir_mode string, substr_mode string, ts double",
+            "dedup_mode string, dsir_mode string, substr_mode string, "
+            "bpe_mode string, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -853,6 +931,23 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         help="window width in tokens for the FIRST epoch (later epochs "
         "inherit the artifact's k_tokens)",
     )
+    p.add_argument(
+        "--bpe-merges",
+        default=None,
+        help="path to a trained BPE merge-table artifact "
+        "(operators/bpe.merges_to_df parquet): adds an n_bpe_subwords "
+        "column to decisions/ — per-turn model-token count under the "
+        "frozen tokenizer, scored map-side with zero shuffle",
+    )
+    p.add_argument(
+        "--bpe-train",
+        type=int,
+        default=None,
+        help="train a BPE tokenizer of this many merges ONCE per staging "
+        "(word counts: one shuffle; merge loop: driver-side on the "
+        "bounded frequency table), write it to <output>/bpe_merges, and "
+        "score n_bpe_subwords with it",
+    )
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -876,6 +971,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         substr_bloom_out=args.substr_bloom_out,
         substr_bloom_expected=args.substr_bloom_expected,
         substr_bloom_k=args.substr_bloom_k,
+        bpe_merges_path=args.bpe_merges,
+        bpe_train=args.bpe_train,
     )
     print(json.dumps(res.__dict__))
 

@@ -775,3 +775,78 @@ def test_pipeline_substr_bloom_stage_and_mode_resume(spark, transcripts_pdf, tmp
         run_pipeline(
             spark, inp, out, n_buckets=4, substr_bloom_history=fp_art
         )
+
+
+def test_pipeline_bpe_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
+    """--bpe-train: decisions carry an n_bpe_subwords equal to an
+    independent batch fit+encode over the same corpus; the merge-table
+    sidecar is the shippable artifact and --bpe-merges over it scores
+    identically; same config resumes clean; dropping the stage reprocesses
+    and removes the column (lineage latest-row bpe_mode basis)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from piperider_spark.operators import bpe
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp
+    )
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, bpe_train=48)
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    assert "n_bpe_subwords" in dec.columns
+
+    batch = spark.read.parquet(inp)
+    merges = bpe.train_bpe(
+        bpe.bpe_word_counts(batch, "text", min_count=2, top_words=50_000),
+        n_merges=48,
+    )
+    assert merges
+    want = {
+        (r.conv_id, r.turn_idx): r.n_bpe_subwords
+        for r in bpe.apply_bpe(batch, merges)
+        .select("conv_id", "turn_idx", "n_bpe_subwords")
+        .collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.n_bpe_subwords
+        for r in dec.select("conv_id", "turn_idx", "n_bpe_subwords").collect()
+    }
+    assert got == {k: int(v) for k, v in want.items()}
+
+    # the sidecar artifact round-trips to the exact merge list
+    assert bpe.load_merges(spark, f"{out}/bpe_merges") == merges
+
+    # same config resumes clean (artifact reused via the mode manifest)
+    r2 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, bpe_train=48)
+    assert (r2.buckets_processed, r2.buckets_skipped) == (0, 4)
+
+    # switching to path mode over the SAME artifact: mode string changes ->
+    # reprocess (counts must not be assumed equal across modes), values
+    # identical because the tokenizer is identical
+    r3 = run_pipeline(
+        spark,
+        inp,
+        out,
+        n_buckets=4,
+        wave_buckets=2,
+        bpe_merges_path=f"{out}/bpe_merges",
+    )
+    assert r3.buckets_processed == 4
+    got3 = {
+        (r.conv_id, r.turn_idx): r.n_bpe_subwords
+        for r in spark.read.parquet(r1.decisions_path)
+        .select("conv_id", "turn_idx", "n_bpe_subwords")
+        .collect()
+    }
+    assert got3 == got
+
+    # stage off: latest lineage rows say BPE was on -> reprocess all,
+    # decisions drop the column
+    r4 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
+    assert r4.buckets_processed == 4
+    assert "n_bpe_subwords" not in spark.read.parquet(r1.decisions_path).columns
