@@ -850,3 +850,57 @@ def test_pipeline_bpe_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
     r4 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
     assert r4.buckets_processed == 4
     assert "n_bpe_subwords" not in spark.read.parquet(r1.decisions_path).columns
+
+
+def test_pack_kept_turns_on_bpe_token_budget(spark, transcripts_pdf, tmp_path):
+    """The training-data chain end-to-end: quality decisions -> model-token
+    counts under a learned tokenizer -> concat-then-chunk packing on that
+    budget. Kept turns packed on n_bpe_subwords tile [0, total) exactly,
+    and the assignment is deterministic across partitionings (the packing
+    order key is (bucket, id), both pure functions of the id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from piperider_spark.operators import bpe
+    from piperider_spark.operators.packing import concat_chunk_pack
+    from piperider_spark.pipeline import build_decisions
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp
+    )
+    batch = spark.read.parquet(inp)
+    merges = bpe.train_bpe(
+        bpe.bpe_word_counts(batch, "text", min_count=2, top_words=50_000),
+        n_merges=48,
+    )
+    kept = (
+        build_decisions(
+            batch.withColumn(
+                "n_bpe_subwords", bpe.bpe_subword_count_col(merges, "text")
+            )
+        )
+        .where(F.col("keep") & (F.col("n_bpe_subwords") > 0))
+        .select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+                "turn_id"
+            ),
+            "n_bpe_subwords",
+        )
+    )
+    out = concat_chunk_pack(kept, "turn_id", "n_bpe_subwords", max_len=256).collect()
+    assert out, "no kept turns with a positive token budget"
+    spans = sorted((r.start_offset, r.start_offset + r.len) for r in out)
+    assert spans[0][0] == 0
+    for (_, e0), (s1, _) in zip(spans, spans[1:]):
+        assert s1 == e0  # contiguous tiling, no gaps or overlaps
+    assert spans[-1][1] == sum(r.len for r in out)
+    got = {(r.id, r.start_offset, r.first_chunk, r.last_chunk) for r in out}
+    rep = {
+        (r.id, r.start_offset, r.first_chunk, r.last_chunk)
+        for r in concat_chunk_pack(
+            kept.repartition(7), "turn_id", "n_bpe_subwords", max_len=256
+        ).collect()
+    }
+    assert rep == got
