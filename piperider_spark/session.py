@@ -65,6 +65,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # InferFiltersFromGenerate adds size(e)>0 AND isnotnull(e) before
+        # every Generate, and predicate pushdown then inlines the
+        # generator input's WHOLE expression tree below the projections
+        # that staged it — for explodes over computed arrays (k-token
+        # window hashes, shingles, minhash bands) the pushed copies
+        # re-evaluate the array build 2-3× per row, and re-inline the
+        # tokenizer PER WINDOW in the substring family (measured 4.4× on
+        # duplicate_substring_stats: 9.8 s → 2.3 s at sf0.1). The rule
+        # only pays when generate inputs are often empty AND cheap —
+        # never this engine's shape; generators skip null/empty rows
+        # natively, so excluding it is semantics-free.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     # Shuffle/spill scratch on tmpfs when available: this box's single
     # shared disk is a non-scaling resource that a real cluster doesn't
