@@ -2124,3 +2124,24 @@ def test_apply_bpe_matches_driver_encode_and_partition_invariant(spark):
         for r in apply_bpe(df.repartition(7), merges).collect()
     }
     assert got_rep == {d: v[0] for d, v in got.items()}
+
+
+def test_session_excludes_infer_filters_from_generate(spark):
+    """The engine session must exclude InferFiltersFromGenerate (session.py
+    rationale: the inferred size/isnotnull filters push below staged
+    projections and re-evaluate the generator input's whole expression
+    tree per row — 4.4x on the substring family), and the substring window
+    plan must stay free of pushed per-window copies: exactly ONE transform
+    lambda (the staged projection) in the optimized plan."""
+    from piperider_spark.operators.dedup import substring_dup_windows
+
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in excluded
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, None)],
+        "doc_id long, text string",
+    )
+    w = substring_dup_windows(df, k=8, hash_fn="xxhash64")
+    plan = w._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("lambdafunction") == 1, plan
