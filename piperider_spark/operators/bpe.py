@@ -332,3 +332,114 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     list (rank order restored — the artifact's row order is not trusted)."""
     rows = spark.read.parquet(path).select("rank", "left", "right").collect()
     return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary + id encoding — the artifact training actually consumes
+# ---------------------------------------------------------------------------
+
+UNK_ID = 0
+
+
+def base_symbols(word_counts: DataFrame) -> list[str]:
+    """Sorted distinct characters of the training words — the base
+    alphabet. One extra tiny aggregation over the (already bounded)
+    word-count table: explode each word's characters, distinct, sort.
+    Driver transfer is the alphabet (hundreds of rows, not the corpus)."""
+    rows = (
+        word_counts.select(
+            F.explode(F.split(F.col("word"), "(?!^)(?=.)")).alias("c")
+        )
+        .where(F.length("c") > 0)
+        .distinct()
+        .collect()
+    )
+    return sorted(r.c for r in rows)
+
+
+def bpe_vocab(
+    merges: Sequence[tuple[str, str]], alphabet: Sequence[str]
+) -> dict[str, int]:
+    """token → id table: id 0 is reserved for <unk> (a character outside
+    the training alphabet), ids 1..|A| are the sorted base alphabet, and
+    merged tokens follow in merge-rank order — the id space is a pure
+    function of (alphabet, merges), so two jobs with the same artifact
+    agree without coordination. Merged tokens are multi-char and base
+    symbols single-char, so the ranges cannot collide; a merge whose
+    string already appeared (two merge paths producing one token) keeps
+    its FIRST id."""
+    vocab: dict[str, int] = {}
+    nid = 1
+    for c in sorted(set(alphabet)):
+        vocab[c] = nid
+        nid += 1
+    for a, b in merges:
+        t = a + b
+        if t not in vocab:
+            vocab[t] = nid
+            nid += 1
+    return vocab
+
+
+def encode_ids(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    alphabet: Sequence[str],
+    text_col: str = "text",
+    out_col: str = "bpe_ids",
+) -> DataFrame:
+    """Encode ``text_col`` to an ``array<int>`` of vocabulary ids.
+
+    Same shape as :func:`apply_bpe` (JVM pre-tokenize → Arrow crossing,
+    per-batch word cache), but the cached value is the id list. Every
+    multi-char subword the encoder emits corresponds to a replayed merge
+    and is therefore in the vocab; single known chars are in the base
+    alphabet; so the only out-of-vocab subwords are single
+    out-of-alphabet characters (they can never participate in a merge),
+    and each encodes as one ``UNK_ID`` (char-level BPE's unknown
+    contract — byte-fallback needs a byte pre-map, which this engine's
+    tokenizer deliberately does not do; documented rather than silently
+    dropped). Stateless projection — shuffle-free, streaming-safe,
+    partition-invariant."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges, alphabet)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _ids(words: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+        out = []
+        for arr in words:
+            row: list[int] = []
+            if arr is not None:
+                for w in arr:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = [
+                            vocab.get(t, UNK_ID) for t in encode_word(w, ranks)
+                        ]
+                        cache[w] = enc
+                    row.extend(enc)
+            out.append(row)
+        return pd.Series(out)
+
+    pre = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_TOKEN_RE), 0
+    )
+    return df.withColumn(out_col, _ids(pre))
+
+
+def vocab_to_df(spark, vocab: dict[str, int]) -> DataFrame:
+    """Materialize a vocab as (token, id) — the shippable twin of
+    :func:`merges_to_df` (write both next to each other; together they
+    freeze the tokenizer completely)."""
+    schema = StructType(
+        [
+            StructField("token", StringType(), False),
+            StructField("id", IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]), schema
+    )

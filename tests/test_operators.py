@@ -2145,3 +2145,64 @@ def test_session_excludes_infer_filters_from_generate(spark):
     w = substring_dup_windows(df, k=8, hash_fn="xxhash64")
     plan = w._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("lambdafunction") == 1, plan
+
+
+def test_bpe_vocab_and_encode_ids(spark):
+    """Vocab: id 0 reserved for unk, 1..|A| the sorted alphabet, merged
+    tokens in rank order. encode_ids: ids round-trip to the exact subword
+    stream through the inverse vocab, out-of-alphabet chars encode as
+    UNK_ID (one per char), partition-invariant."""
+    from piperider_spark.operators.bpe import (
+        UNK_ID,
+        apply_bpe,
+        base_symbols,
+        bpe_vocab,
+        bpe_word_counts,
+        encode_ids,
+        train_bpe,
+        vocab_to_df,
+    )
+
+    data = [
+        ("d1", "hug hug hug pug pun bun hugs hug pun pun"),
+        ("d2", "hug pug pun pun hugs hug hug hug bun pun"),
+        ("d3", None),
+        ("d4", "hug ☃ pun"),  # snowman is outside the training alphabet
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    train = df.where("doc_id != 'd4'")
+    wc = bpe_word_counts(train)
+    merges = train_bpe(wc, n_merges=10)
+    alpha = base_symbols(wc)
+    assert alpha == sorted(set("".join(w for w, _ in [(r.word, r.n) for r in wc.collect()])))
+    vocab = bpe_vocab(merges, alpha)
+    assert min(vocab.values()) == 1 and len(set(vocab.values())) == len(vocab)
+    assert [t for t, i in sorted(vocab.items(), key=lambda kv: kv[1])][: len(alpha)] == alpha
+
+    inv = {i: t for t, i in vocab.items()}
+    got = {
+        r.doc_id: list(r.bpe_ids)
+        for r in encode_ids(df, merges, alpha).collect()
+    }
+    subwords = {
+        r.doc_id: list(r.bpe_tokens) for r in apply_bpe(df, merges).collect()
+    }
+    for d, ids in got.items():
+        want_tokens = subwords[d]
+        assert len(ids) == len(want_tokens)
+        for i, t in zip(ids, want_tokens):
+            if i == UNK_ID:
+                assert any(c not in vocab for c in t) and len(t) == 1
+            else:
+                assert inv[i] == t
+    assert UNK_ID in got["d4"] and got["d3"] == []
+
+    rep = {
+        r.doc_id: list(r.bpe_ids)
+        for r in encode_ids(df.repartition(5), merges, alpha).collect()
+    }
+    assert rep == got
+
+    vdf = vocab_to_df(spark, vocab)
+    assert vdf.count() == len(vocab)
+    assert [r.id for r in vdf.collect()] == sorted(vocab.values())
