@@ -84,6 +84,7 @@ HEADLINE = [
     "semdedup_embeddings",
     "dup_substring_fast",
     "bpe_train_documents",
+    "bpe_encode_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

@@ -2496,3 +2496,40 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = bpe.train_bpe(counts, n_merges=256)
     return bpe.merges_to_df(spark, merges)
+
+
+_BPE_MERGES_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def _bpe_artifact(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Memoized per-sf (merges, alphabet) — fit once per process so the
+    bench's warm pass and timed pass share the tokenizer and the timed
+    plan is the encode projection alone."""
+    art = _BPE_MERGES_CACHE.get(sf_dir)
+    if art is None:
+        from piperider_spark.operators import bpe
+
+        wc = bpe.bpe_word_counts(
+            load(spark, sf_dir, "documents"), min_count=2, top_words=20000
+        ).cache()
+        art = (bpe.train_bpe(wc, n_merges=256), bpe.base_symbols(wc))
+        wc.unpersist()
+        _BPE_MERGES_CACHE[sf_dir] = art
+    return art
+
+
+@register("bpe_encode_documents")
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-the-corpus throughput entry (rows-only: DuckDB cannot
+    replay a merge loop; the encoder itself is pinned in pytest against a
+    driver mirror + ids round-trip). EAGER fit at query construction
+    (memoized per sf_dir); the returned plan is the stateless Arrow id
+    encoding — the number that says what tokenizing 100 TB costs. The ids
+    array crosses Arrow back on purpose: training tokenization ships ids,
+    so the honest figure includes that return leg."""
+    from piperider_spark.operators import bpe
+
+    merges, alpha = _bpe_artifact(spark, sf_dir)
+    return bpe.encode_ids(load(spark, sf_dir, "documents"), merges, alpha).select(
+        "doc_id", "bpe_ids"
+    )
