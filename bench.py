@@ -85,6 +85,7 @@ HEADLINE = [
     "dup_substring_fast",
     "bpe_train_documents",
     "bpe_encode_documents",
+    "quality_classifier_documents",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

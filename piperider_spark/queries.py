@@ -2533,3 +2533,22 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_ids(load(spark, sf_dir, "documents"), merges, alpha).select(
         "doc_id", "bpe_ids"
     )
+
+
+@register("quality_classifier_documents")
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the frozen rule layer into the learned classifier
+    (rows-only: iterative training is the documented non-SQL exception;
+    the trainer is pinned in pytest — python mirror parity, byte-identical
+    partition invariance via exact decimal gradient sums, separable-data
+    accuracy). Labels come from the gated ``quality_filter_documents``
+    keep column; the returned (bucket, weight) artifact is deterministic,
+    so the entry is hash-stable across partitionings. EAGER: the fit runs
+    its epochs at query construction (the bench-timed cost — what training
+    the CCNet-style classifier on the corpus costs)."""
+    from piperider_spark.operators import classifier as _clf
+
+    labels = quality_filter_documents(spark, sf_dir).select("doc_id", "keep")
+    docs = load(spark, sf_dir, "documents").join(labels, "doc_id")
+    model = _clf.fit_quality_classifier(docs, epochs=3, n_buckets=1024)
+    return _clf.model_to_df(spark, model)

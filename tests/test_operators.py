@@ -2206,3 +2206,101 @@ def test_bpe_vocab_and_encode_ids(spark):
     vdf = vocab_to_df(spark, vocab)
     assert vdf.count() == len(vocab)
     assert [r.id for r in vdf.collect()] == sorted(vocab.values())
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def _clf_fixture(spark, n=300, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        words = (
+            ["great", "helpful", "clear", "answer", "thanks"]
+            if good
+            else ["spam", "junk", "click", "buy", "now"]
+        )
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(5, 15)))
+        rows.append((i, text, good))
+    rows.append((n, None, False))  # NULL text trains on bias only
+    return spark.createDataFrame(rows, "id long, text string, keep boolean")
+
+
+def test_quality_classifier_learns_and_is_partition_invariant(spark):
+    """Separable corpus -> perfect training accuracy; two fits on different
+    partitionings return BYTE-IDENTICAL weights (quantized-decimal gradient
+    sums are order-free); the artifact round-trips; empty input raises."""
+    import pytest as _pytest
+
+    from piperider_spark.operators import classifier as C
+
+    df = _clf_fixture(spark)
+    m = C.fit_quality_classifier(df, epochs=6, n_buckets=512)
+    scored = df.where("text is not null").select(
+        "keep", C.classifier_score_col("text", m).alias("s")
+    )
+    acc = scored.select(
+        F.avg(((F.col("s") > 0.5) == F.col("keep")).cast("double")).alias("a")
+    ).first().a
+    assert acc == 1.0
+    m2 = C.fit_quality_classifier(df.repartition(13), epochs=6, n_buckets=512)
+    assert m == m2
+    m3 = C.model_from_df(C.model_to_df(spark, m))
+    assert m3["weights"] == m["weights"] and m3["bias"] == m["bias"]
+    with _pytest.raises(ValueError):
+        C.fit_quality_classifier(df.where("id < 0"))
+
+
+def test_quality_classifier_matches_python_mirror(spark):
+    """The distributed fit == an independent driver-side mirror running the
+    same algorithm over the SAME JVM-featurized bucket arrays (featurizer
+    single-sourced; the mirror re-implements only the math): left-fold
+    float64 margins, HALF_UP 12dp residual quantize, exact Decimal sums,
+    float64 updates. Tolerance 1e-9 absorbs JVM-vs-python exp ulps."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math as _math
+
+    from piperider_spark.operators import classifier as C
+    from piperider_spark.operators.dsir import ngram_buckets
+
+    df = _clf_fixture(spark, n=120, seed=11)
+    n_buckets, epochs, lr, l2 = 256, 4, 0.5, 1e-6
+    feats = [
+        (float(r.y), list(r.b))
+        for r in df.select(
+            F.col("keep").cast("double").alias("y"),
+            ngram_buckets("text", n_buckets, "xxhash64").alias("b"),
+        ).collect()
+    ]
+    w = [0.0] * n_buckets
+    bias = 0.0
+    q = Decimal(1).scaleb(-12)
+    for _ in range(epochs):
+        grads = {}
+        for y, bks in feats:
+            margin = 0.0  # fold order matches the JVM aggregate: grams, then bias
+            for b in bks:
+                margin = margin + w[int(b)]
+            margin = margin + bias
+            resid = Decimal(1.0 / (1.0 + _math.exp(-margin)) - y).quantize(
+                q, rounding=ROUND_HALF_UP
+            )
+            for b in list(bks) + [C._BIAS_BUCKET]:
+                grads[int(b)] = grads.get(int(b), Decimal(0)) + resid
+        for b, g in grads.items():
+            gf = float(g) / len(feats)
+            if b == C._BIAS_BUCKET:
+                bias -= lr * gf
+            else:
+                w[b] -= lr * (gf + l2 * w[b])
+    m = C.fit_quality_classifier(
+        df, epochs=epochs, n_buckets=n_buckets, lr=lr, l2=l2
+    )
+    assert abs(m["bias"] - bias) < 1e-9
+    assert max(abs(a - b) for a, b in zip(m["weights"], w)) < 1e-9
