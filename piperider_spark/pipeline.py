@@ -196,6 +196,8 @@ def run_pipeline(
     substr_bloom_k: int = 8,
     bpe_merges_path: str | None = None,
     bpe_train: int | None = None,
+    clf_model_path: str | None = None,
+    clf_train: int | None = None,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -270,6 +272,18 @@ def run_pipeline(
     windows, inherited layout; epoch 1 sizes via
     ``substr_bloom_expected``/``substr_bloom_k``). Lineage records the
     substring mode like the others: a history flip reprocesses.
+
+    ``clf_train`` distills the rule layer into a learned quality
+    classifier ONCE per staging: the frozen spec's keep labels (one
+    build_decisions pass over the staged input) train a hashed-n-gram
+    logistic regression for that many epochs (operators/classifier.py —
+    one B-bounded shuffle per epoch, exact decimal gradients), the
+    (bucket, weight) artifact is written to clf_model/, and decisions
+    gain a ``clf_score`` column — the keep-probability under the learned
+    model, scored as a zero-shuffle sigmoid projection. ``clf_model_path``
+    instead loads an externally-trained artifact (one frozen classifier
+    across epochs — the production shape). Lineage records the classifier
+    mode like the others: swapping or dropping it reprocesses.
 
     ``bpe_train`` learns a BPE tokenizer of that many merges ONCE per
     staging (operators/bpe.py — ONE word-count shuffle, then the driver
@@ -550,6 +564,46 @@ def run_pipeline(
                     json.dump({"mode": bpe_mode}, fh)
         bpe_merges = _bpe.load_merges(spark, merges_src)
 
+    if clf_model_path:
+        clf_mode = f"path:{_input_key(clf_model_path)}"
+    elif clf_train:
+        clf_mode = f"train:{int(clf_train)}"
+    else:
+        clf_mode = "none"
+    clf_model: dict | None = None
+    if clf_mode != "none":
+        from piperider_spark.operators import classifier as _clf
+
+        if clf_model_path:
+            model_src = clf_model_path
+        else:
+            # self-distillation, fit ONCE per staging: the frozen spec's
+            # keep labels (one build_decisions pass) train the classifier;
+            # sidecar contract identical to dsir_ratio/bpe_merges
+            model_src = os.path.join(output_dir, "clf_model")
+            clf_meta_path = os.path.join(model_src, "_clf_meta.json")
+            clf_reuse = os.path.exists(os.path.join(model_src, "_SUCCESS"))
+            if clf_reuse:
+                try:
+                    with open(clf_meta_path) as fh:
+                        clf_reuse = json.load(fh) == {"mode": clf_mode}
+                except (OSError, ValueError):
+                    clf_reuse = False
+            if not clf_reuse:
+                labeled = build_decisions(src, spec).select("text", "keep")
+                fitted = _clf.fit_quality_classifier(
+                    labeled, epochs=int(clf_train)
+                )
+                (
+                    _clf.model_to_df(spark, fitted)
+                    .coalesce(1)  # ≤ n_buckets+1 rows — one tiny file
+                    .write.mode("overwrite")
+                    .parquet(model_src)
+                )
+                with open(clf_meta_path, "w") as fh:
+                    json.dump({"mode": clf_mode}, fh)
+        clf_model = _clf.model_from_df(spark.read.parquet(model_src))
+
     substr_mode = (
         f"bloom:{_input_key(substr_bloom_history)}" if substr_bloom_history else "none"
     )
@@ -615,6 +669,11 @@ def run_pipeline(
                 if "bpe_mode" in lin.columns
                 else F.lit("none")
             )
+            clf_col = (
+                F.coalesce(F.col("clf_mode"), F.lit("none"))
+                if "clf_mode" in lin.columns
+                else F.lit("none")
+            )
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
@@ -623,6 +682,7 @@ def run_pipeline(
                         dsir_col.alias("d"),
                         substr_col.alias("sb"),
                         bpe_col.alias("bp"),
+                        clf_col.alias("cl"),
                     ),
                     ts_col,
                 ).alias("s")
@@ -632,6 +692,7 @@ def run_pipeline(
                 & (F.col("s.d") == F.lit(dsir_mode))
                 & (F.col("s.sb") == F.lit(substr_mode))
                 & (F.col("s.bp") == F.lit(bpe_mode))
+                & (F.col("s.cl") == F.lit(clf_mode))
                 & (F.col("s.r") | F.lit(not conv_rollup))
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
@@ -689,6 +750,14 @@ def run_pipeline(
             part = part.withColumn(
                 "n_bpe_subwords", bpe_subword_count_col(bpe_merges, "text")
             )
+        if clf_model is not None:
+            # zero-shuffle projection: weight-array-literal sigmoid fold
+            # (operators/classifier.classifier_score_col), no joins
+            from piperider_spark.operators.classifier import classifier_score_col
+
+            part = part.withColumn(
+                "clf_score", classifier_score_col("text", clf_model)
+            )
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -704,6 +773,8 @@ def run_pipeline(
             out_cols.append("substr_seen_frac")
         if bpe_merges is not None:
             out_cols.append("n_bpe_subwords")
+        if clf_model is not None:
+            out_cols.append("clf_score")
         (
             decided.select(*out_cols)
             .repartition("bucket")
@@ -763,13 +834,14 @@ def run_pipeline(
                     dsir_mode,
                     substr_mode,
                     bpe_mode,
+                    clf_mode,
                     time.time(),
                 )
                 for b in wave
             ],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
             "dedup_mode string, dsir_mode string, substr_mode string, "
-            "bpe_mode string, ts double",
+            "bpe_mode string, clf_mode string, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -948,6 +1020,23 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         "bounded frequency table), write it to <output>/bpe_merges, and "
         "score n_bpe_subwords with it",
     )
+    p.add_argument(
+        "--clf-model",
+        default=None,
+        help="path to a trained quality-classifier artifact "
+        "(operators/classifier.model_to_df parquet): adds a clf_score "
+        "column to decisions/ — keep-probability under the learned "
+        "model, scored map-side with zero shuffle",
+    )
+    p.add_argument(
+        "--clf-train",
+        type=int,
+        default=None,
+        help="distill the rule layer ONCE per staging: the frozen spec's "
+        "keep labels train a hashed-n-gram logistic regression for this "
+        "many epochs (one B-bounded shuffle each), written to "
+        "<output>/clf_model and scored as clf_score",
+    )
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -973,6 +1062,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         substr_bloom_k=args.substr_bloom_k,
         bpe_merges_path=args.bpe_merges,
         bpe_train=args.bpe_train,
+        clf_model_path=args.clf_model,
+        clf_train=args.clf_train,
     )
     print(json.dumps(res.__dict__))
 

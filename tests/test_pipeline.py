@@ -904,3 +904,69 @@ def test_pack_kept_turns_on_bpe_token_budget(spark, transcripts_pdf, tmp_path):
         ).collect()
     }
     assert rep == got
+
+
+def test_pipeline_clf_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
+    """--clf-train: decisions carry a clf_score equal to an independent
+    batch distillation (same labels, same trainer — exact equality, the
+    decimal-gradient determinism contract); the model sidecar loads back;
+    same config resumes clean; dropping the stage reprocesses and removes
+    the column (lineage latest-row clf_mode basis)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from piperider_spark.operators import classifier as C
+    from piperider_spark.pipeline import build_decisions
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp
+    )
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, clf_train=2)
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    assert "clf_score" in dec.columns
+
+    batch = spark.read.parquet(inp)
+    model = C.fit_quality_classifier(
+        build_decisions(batch).select("text", "keep"), epochs=2
+    )
+    want = {
+        (r.conv_id, r.turn_idx): r.s
+        for r in batch.select(
+            "conv_id", "turn_idx", C.classifier_score_col("text", model).alias("s")
+        ).collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.clf_score
+        for r in dec.select("conv_id", "turn_idx", "clf_score").collect()
+    }
+    assert got == want
+
+    # the sidecar artifact round-trips to the same model
+    m2 = C.model_from_df(spark.read.parquet(f"{out}/clf_model"))
+    assert m2["weights"] == model["weights"] and m2["bias"] == model["bias"]
+
+    # learned scores track the rule labels they distilled (sanity: mean
+    # score of kept turns exceeds dropped)
+    kept_mean, drop_mean = (
+        dec.groupBy()
+        .agg(
+            F.avg(F.when(F.col("keep"), F.col("clf_score"))).alias("k"),
+            F.avg(F.when(~F.col("keep"), F.col("clf_score"))).alias("d"),
+        )
+        .first()
+    )
+    assert kept_mean > drop_mean
+
+    # same config resumes clean
+    r2 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, clf_train=2)
+    assert (r2.buckets_processed, r2.buckets_skipped) == (0, 4)
+
+    # stage off: reprocess, column gone
+    r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
+    assert r3.buckets_processed == 4
+    assert "clf_score" not in spark.read.parquet(r1.decisions_path).columns
