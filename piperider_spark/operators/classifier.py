@@ -40,7 +40,6 @@ learned generalization of that rule layer for text quality.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -201,7 +200,3 @@ def model_from_df(df: DataFrame, hash_fn: str = "xxhash64") -> dict:
     for b, x in rows.items():
         w[b] = x
     return {"weights": w, "bias": bias, "n_buckets": n, "hash_fn": hash_fn}
-
-
-def _sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))
