@@ -1856,3 +1856,62 @@ def test_stream_apply_bpe_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == batch.count()
+
+
+def test_stream_classifier_scoring_matches_batch(spark, tmp_path):
+    """Learned-classifier scoring on a STREAM: classifier_score_col is a
+    stateless weight-literal fold (no state, no watermark), so a frozen
+    model scores an arriving feed with streaming == batch equality turn
+    for turn — the same deployment shape as the DSIR scorer."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.operators import classifier as C
+    from piperider_spark.pipeline import build_decisions
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=800, seed=33)
+    batch = spark.read.parquet(str(inp))
+    model = C.fit_quality_classifier(
+        build_decisions(batch).select("text", "keep"), epochs=2, n_buckets=512
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    q = (
+        stream.select(
+            "conv_id", "turn_idx", C.classifier_score_col("text", model).alias("s")
+        )
+        .writeStream.format("memory")
+        .queryName("clf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.turn_idx): r.s
+        for r in spark.sql("select * from clf_stream").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.s
+        for r in batch.select(
+            "conv_id", "turn_idx", C.classifier_score_col("text", model).alias("s")
+        ).collect()
+    }
+    assert got == want and len(got) == batch.count()
