@@ -112,6 +112,14 @@ PLAN_QUERIES = [
         "table): explode over a pruned single-column scan + ONE partial "
         "HashAggregate shuffle, TakeOrderedAndProject top-words cap",
     ),
+    (
+        "classifier_gradient_epoch",
+        "one training epoch of the learned quality classifier: margin = "
+        "weight-array-literal fold (row-local, no join), residual times "
+        "exploded bucket occurrences, ONE partial HashAggregate shuffle "
+        "whose output is <= n_buckets+1 rows (bias gradient rides as "
+        "sentinel bucket -1); decimal sums keep it order-free",
+    ),
 ]
 
 # plans built directly (not a registry entry, or the registry entry
@@ -123,7 +131,41 @@ def _bpe_word_counts_plan(spark):
     return bpe_word_counts(docs, min_count=2, top_words=20000)
 
 
-DIRECT_PLANS = {"bpe_word_counts": _bpe_word_counts_plan}
+def _classifier_epoch_plan(spark):
+    from pyspark.sql import functions as F
+
+    from piperider_spark.operators.dsir import ngram_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = docs.select(
+        F.lit(1.0).alias("_y"),
+        ngram_buckets("text", 1024, "xxhash64").alias("_bks"),
+    )
+    w = [0.01] * 1024
+    lit_arr = F.lit(w)
+    margin = F.aggregate(
+        F.col("_bks"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lit_arr, b.cast("int") + 1),
+    )
+    resid = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("_y"), 12
+    ).cast("decimal(38,15)")
+    return (
+        feats.select(
+            resid.alias("_r"),
+            F.concat(F.col("_bks"), F.array(F.lit(-1).cast("long"))).alias("_b"),
+        )
+        .select("_r", F.explode("_b").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("_r").alias("g"))
+    )
+
+
+DIRECT_PLANS = {
+    "bpe_word_counts": _bpe_word_counts_plan,
+    "classifier_gradient_epoch": _classifier_epoch_plan,
+}
 
 
 def pipeline_pruning_section(spark) -> list[str]:
