@@ -2304,3 +2304,169 @@ def test_quality_classifier_matches_python_mirror(spark):
     )
     assert abs(m["bias"] - bias) < 1e-9
     assert max(abs(a - b) for a, b in zip(m["weights"], w)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# fastText-style learned language ID (operators/langid_model.py)
+# ---------------------------------------------------------------------------
+
+
+def _langid_fixture(spark, n=300, seed=3, langs=("en", "fr", "de", "es")):
+    """Multilingual corpus labeled by the FROZEN heuristic teacher
+    (signals.core.detect_lang_batch) — the distillation source the module
+    docstring names. Texts are stopword-dominated so the teacher labels
+    them with full confidence and a linear model can in principle reach
+    100% agreement (the fastText langid signal IS function words)."""
+    import random
+
+    from piperider_spark.signals.core import _STOPWORDS, detect_lang_batch
+
+    rng = random.Random(seed)
+    fill = ["data", "table", "query"]
+    rows = []
+    for i in range(n):
+        vocab = list(_STOPWORDS[langs[i % len(langs)]]) + fill
+        toks = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        rows.append((i, " ".join(toks)))
+    teacher = detect_lang_batch(pd.Series([t for _, t in rows])).tolist()
+    return spark.createDataFrame(
+        [(i, t, lab) for (i, t), lab in zip(rows, teacher)],
+        "id long, text string, lang string",
+    )
+
+
+def test_langid_model_distills_teacher(spark):
+    """Fit on 4/5 of the teacher-labeled corpus, score the held-out 1/5:
+    the learned model must agree with the frozen heuristic on every
+    held-out row (the corpus is linearly separable in the word-unigram
+    features — fastText langid's decisive feature set, arXiv:1612.03651).
+    Also pins the artifact round-trip and the empty/NULL-label guards."""
+    from piperider_spark.operators import langid_model as L
+
+    df = _langid_fixture(spark)
+    train, test = df.where("id % 5 != 0"), df.where("id % 5 = 0")
+    m = L.fit_langid_model(train, epochs=4, n_buckets=512, ns=(2,))
+    assert m["classes"] == ["de", "en", "es", "fr"]
+    agree = (
+        L.langid_scored(test, m)
+        .select(F.avg((F.col("ft_lang") == F.col("lang")).cast("double")).alias("a"))
+        .first()
+        .a
+    )
+    assert agree == 1.0
+    # probability column: a proper softmax max-prob in (0, 1]
+    pr = L.langid_scored(test, m).agg(
+        F.min("ft_lang_prob").alias("lo"), F.max("ft_lang_prob").alias("hi")
+    ).first()
+    assert 0.25 <= pr.lo and pr.hi <= 1.0
+    m3 = L.langid_model_from_df(
+        L.langid_model_to_df(spark, m), ns=m["ns"], max_chars=m["max_chars"]
+    )
+    assert m3["classes"] == m["classes"]
+    assert m3["weights"] == m["weights"] and m3["bias"] == m["bias"]
+    with pytest.raises(ValueError):
+        L.fit_langid_model(df.where("id < 0"))
+    with pytest.raises(ValueError):
+        L.fit_langid_model(
+            df.withColumn("lang", F.when(F.col("id") > 2, F.col("lang"))),
+            epochs=1,
+            n_buckets=64,
+        )
+
+
+def test_langid_model_is_partition_invariant(spark):
+    """Two fits of the same rows under different partitionings return
+    BYTE-IDENTICAL models — the repo's training-determinism contract
+    (quantized-decimal gradient sums are order-free; driver updates are
+    plain float64), same as fit_quality_classifier."""
+    from piperider_spark.operators import langid_model as L
+
+    df = _langid_fixture(spark, n=80, seed=9)
+    kw = dict(epochs=2, n_buckets=128, ns=(2,))
+    m1 = L.fit_langid_model(df, **kw)
+    m2 = L.fit_langid_model(df.repartition(13), **kw)
+    assert m1 == m2
+
+
+def test_langid_model_matches_python_mirror(spark):
+    """The distributed fit == an independent driver-side mirror running the
+    same algorithm over the SAME JVM-featurized bucket arrays (featurizer
+    single-sourced — the mirror re-implements only the math): in-order
+    float64 margin folds, mean normalization, max-shifted softmax, HALF_UP
+    12dp residual quantize, exact Decimal sums, float64 heavy-ball updates.
+    Tolerance 1e-9 absorbs JVM-vs-python exp ulps."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from piperider_spark.operators import langid_model as L
+
+    df = _langid_fixture(spark, n=60, seed=17, langs=("en", "fr", "es"))
+    n_buckets, epochs, lr, mu, l2 = 96, 3, 1.0, 0.9, 1e-6
+    classes = sorted(r[0] for r in df.select("lang").distinct().collect())
+    k = len(classes)
+    feats = [
+        (classes.index(r.lang), list(r.b))
+        for r in df.select(
+            "lang",
+            L.char_ngram_buckets(
+                L.langid_prefix("text"), n_buckets, "xxhash64", (2,), True
+            ).alias("b"),
+        ).collect()
+    ]
+    n_rows = len(feats)
+    q = Decimal(1).scaleb(-12)
+    W = [[0.0] * n_buckets for _ in range(k)]
+    bias = [0.0] * k
+    vW = [[0.0] * n_buckets for _ in range(k)]
+    vb = [0.0] * k
+    for ep in range(epochs):
+        grads: dict[int, list[Decimal]] = {}
+        for y, bks in feats:
+            inv_n = 1.0 / max(float(len(bks)), 1.0)
+            if ep == 0:
+                m = list(bias)
+            else:
+                acc = [0.0] * k
+                for b in bks:  # fold order matches the JVM zip_with
+                    for j in range(k):
+                        acc[j] = acc[j] + W[j][int(b)]
+                m = [acc[j] * inv_n + bias[j] for j in range(k)]
+            mx = max(m)
+            z = 0.0
+            for mj in m:  # in-order float sum, matching F.aggregate
+                z = z + _math.exp(mj - mx)
+            for b in list(bks) + [L._BIAS_BUCKET]:
+                bb = int(b)
+                slot = grads.setdefault(bb, [Decimal(0)] * k)
+                for j in range(k):
+                    raw = _math.exp(m[j] - mx) / z - (1.0 if y == j else 0.0)
+                    r = raw * inv_n if bb != L._BIAS_BUCKET else raw
+                    slot[j] += Decimal(r).quantize(q, rounding=ROUND_HALF_UP)
+        for bb, slot in grads.items():
+            for j in range(k):
+                g = float(slot[j]) / n_rows
+                if bb == L._BIAS_BUCKET:
+                    vb[j] = mu * vb[j] + g
+                    bias[j] -= lr * vb[j]
+                else:
+                    vW[j][bb] = mu * vW[j][bb] + g + l2 * W[j][bb]
+                    W[j][bb] -= lr * vW[j][bb]
+    got = L.fit_langid_model(
+        df,
+        epochs=epochs,
+        n_buckets=n_buckets,
+        lr=lr,
+        momentum=mu,
+        l2=l2,
+        ns=(2,),
+    )
+    assert got["classes"] == classes
+    assert max(abs(a - b) for a, b in zip(got["bias"], bias)) < 1e-9
+    assert (
+        max(
+            abs(a - b)
+            for gw, mw in zip(got["weights"], W)
+            for a, b in zip(gw, mw)
+        )
+        < 1e-9
+    )

@@ -1915,3 +1915,80 @@ def test_stream_classifier_scoring_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == batch.count()
+
+
+def test_langid_scored_is_streaming_safe(spark, tmp_path):
+    """The learned langid scorer (operators/langid_model.langid_scored) is
+    three chained row-local projections — staged prefix, gram buckets, one
+    margins fold — so it must drop into a readStream unchanged (no state,
+    no watermark): the live-ingest shape of classifying turns as they
+    arrive. Stream rows must equal the batch application row for row."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.operators import langid_model as L
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_transcripts_parquet(str(inp / "p0.parquet"), n_turns=300, seed=41)
+    write_transcripts_parquet(str(inp / "p1.parquet"), n_turns=300, seed=42)
+
+    # hand-built 2-class model: nonzero weights on a few buckets + distinct
+    # biases — the scorer contract (argmax + softmax max-prob) is what's
+    # pinned, not the trainer (pinned in test_operators)
+    # bucket-parity weights beat the bias gap after mean normalization, so
+    # both classes fire on real text
+    rng_w = [3.0 if b % 2 == 0 else -3.0 for b in range(64)]
+    model = {
+        "classes": ["alpha", "beta"],
+        "weights": [rng_w, [-x for x in rng_w]],
+        "bias": [0.01, -0.01],
+        "n_buckets": 64,
+        "hash_fn": "xxhash64",
+        "ns": (2, 3),
+        "max_chars": 256,
+        "include_words": True,
+    }
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp))
+    q = (
+        L.langid_scored(stream, model)
+        .select("conv_id", "turn_idx", "ft_lang", "ft_lang_prob")
+        .writeStream.format("memory")
+        .queryName("langid_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from langid_stream")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        L.langid_scored(spark.read.parquet(str(inp)), model)
+        .select("conv_id", "turn_idx", "ft_lang", "ft_lang_prob")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["ft_lang"].unique()) <= {"alpha", "beta"}
+    assert got["ft_lang"].nunique() == 2  # both classes actually fire
