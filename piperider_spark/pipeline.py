@@ -198,6 +198,8 @@ def run_pipeline(
     bpe_train: int | None = None,
     clf_model_path: str | None = None,
     clf_train: int | None = None,
+    langid_model_path: str | None = None,
+    langid_train: int | None = None,
 ) -> PipelineResult:
     """Execute (or resume) the filter job over a transcripts parquet/dir.
 
@@ -284,6 +286,23 @@ def run_pipeline(
     instead loads an externally-trained artifact (one frozen classifier
     across epochs — the production shape). Lineage records the classifier
     mode like the others: swapping or dropping it reprocesses.
+
+    ``langid_train`` distills the frozen langid heuristic into the
+    fastText-style learned model ONCE per staging: the heuristic's
+    ``lang`` labels (the same build_decisions pass the classifier uses)
+    train the hashed char+word n-gram softmax for that many epochs
+    (operators/langid_model.py — one bounded shuffle per epoch, exact
+    decimal gradients), the (bucket, class, weight) artifact is written
+    to langid_model/, and decisions gain ``ft_lang`` / ``ft_lang_prob``
+    columns — the learned model's prediction scored as a zero-shuffle
+    projection NEXT TO the frozen ``lang`` column (the frozen column
+    stays byte-identical: the learned model occupies the documented
+    swap seam without touching the keep/drop contract).
+    ``langid_model_path`` instead loads an externally-trained artifact
+    (the production shape — e.g. fitted on a genuinely multilingual
+    corpus, where the linear model separates; the synthetic teacher
+    labels here exercise the plumbing). Lineage records the langid mode
+    like the others: swapping or dropping it reprocesses.
 
     ``bpe_train`` learns a BPE tokenizer of that many merges ONCE per
     staging (operators/bpe.py — ONE word-count shuffle, then the driver
@@ -604,6 +623,45 @@ def run_pipeline(
                     json.dump({"mode": clf_mode}, fh)
         clf_model = _clf.model_from_df(spark.read.parquet(model_src))
 
+    if langid_model_path:
+        langid_mode = f"path:{_input_key(langid_model_path)}"
+    elif langid_train:
+        langid_mode = f"train:{int(langid_train)}"
+    else:
+        langid_mode = "none"
+    langid_model: dict | None = None
+    if langid_mode != "none":
+        from piperider_spark.operators import langid_model as _lm
+
+        if langid_model_path:
+            lm_src = langid_model_path
+        else:
+            # distill the frozen heuristic's lang labels, fit ONCE per
+            # staging — sidecar contract identical to clf_model
+            lm_src = os.path.join(output_dir, "langid_model")
+            lm_meta_path = os.path.join(lm_src, "_langid_meta.json")
+            lm_reuse = os.path.exists(os.path.join(lm_src, "_SUCCESS"))
+            if lm_reuse:
+                try:
+                    with open(lm_meta_path) as fh:
+                        lm_reuse = json.load(fh) == {"mode": langid_mode}
+                except (OSError, ValueError):
+                    lm_reuse = False
+            if not lm_reuse:
+                labeled = build_decisions(src, spec).select("text", "lang")
+                fitted = _lm.fit_langid_model(
+                    labeled, label_col="lang", epochs=int(langid_train)
+                )
+                (
+                    _lm.langid_model_to_df(spark, fitted)
+                    .coalesce(1)  # K×(n_buckets+1) rows — one tiny file
+                    .write.mode("overwrite")
+                    .parquet(lm_src)
+                )
+                with open(lm_meta_path, "w") as fh:
+                    json.dump({"mode": langid_mode}, fh)
+        langid_model = _lm.langid_model_from_df(spark.read.parquet(lm_src))
+
     substr_mode = (
         f"bloom:{_input_key(substr_bloom_history)}" if substr_bloom_history else "none"
     )
@@ -674,6 +732,11 @@ def run_pipeline(
                 if "clf_mode" in lin.columns
                 else F.lit("none")
             )
+            langid_col = (
+                F.coalesce(F.col("langid_mode"), F.lit("none"))
+                if "langid_mode" in lin.columns
+                else F.lit("none")
+            )
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
@@ -683,6 +746,7 @@ def run_pipeline(
                         substr_col.alias("sb"),
                         bpe_col.alias("bp"),
                         clf_col.alias("cl"),
+                        langid_col.alias("li"),
                     ),
                     ts_col,
                 ).alias("s")
@@ -693,6 +757,7 @@ def run_pipeline(
                 & (F.col("s.sb") == F.lit(substr_mode))
                 & (F.col("s.bp") == F.lit(bpe_mode))
                 & (F.col("s.cl") == F.lit(clf_mode))
+                & (F.col("s.li") == F.lit(langid_mode))
                 & (F.col("s.r") | F.lit(not conv_rollup))
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
@@ -758,6 +823,14 @@ def run_pipeline(
             part = part.withColumn(
                 "clf_score", classifier_score_col("text", clf_model)
             )
+        if langid_model is not None:
+            # zero-shuffle projection: staged prefix → gram buckets →
+            # one margins fold (operators/langid_model.langid_scored);
+            # the frozen `lang` column is untouched — ft_lang rides NEXT
+            # to it (the documented swap seam, observed before cut over)
+            from piperider_spark.operators.langid_model import langid_scored
+
+            part = langid_scored(part, langid_model, "text")
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -775,6 +848,8 @@ def run_pipeline(
             out_cols.append("n_bpe_subwords")
         if clf_model is not None:
             out_cols.append("clf_score")
+        if langid_model is not None:
+            out_cols.extend(["ft_lang", "ft_lang_prob"])
         (
             decided.select(*out_cols)
             .repartition("bucket")
@@ -835,13 +910,14 @@ def run_pipeline(
                     substr_mode,
                     bpe_mode,
                     clf_mode,
+                    langid_mode,
                     time.time(),
                 )
                 for b in wave
             ],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
             "dedup_mode string, dsir_mode string, substr_mode string, "
-            "bpe_mode string, clf_mode string, ts double",
+            "bpe_mode string, clf_mode string, langid_mode string, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -1037,6 +1113,24 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         "many epochs (one B-bounded shuffle each), written to "
         "<output>/clf_model and scored as clf_score",
     )
+    p.add_argument(
+        "--langid-model",
+        default=None,
+        help="path to a trained learned-langid artifact "
+        "(operators/langid_model.langid_model_to_df parquet): adds "
+        "ft_lang / ft_lang_prob columns to decisions/ — the fastText-"
+        "style model's prediction next to the frozen lang column, "
+        "scored map-side with zero shuffle",
+    )
+    p.add_argument(
+        "--langid-train",
+        type=int,
+        default=None,
+        help="distill the frozen langid heuristic ONCE per staging: its "
+        "lang labels train the hashed char+word n-gram softmax for this "
+        "many epochs (one bounded shuffle each), written to "
+        "<output>/langid_model and scored as ft_lang / ft_lang_prob",
+    )
     args = p.parse_args()
 
     spark = get_spark("piperider_spark.pipeline")
@@ -1064,6 +1158,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         bpe_train=args.bpe_train,
         clf_model_path=args.clf_model,
         clf_train=args.clf_train,
+        langid_model_path=args.langid_model,
+        langid_train=args.langid_train,
     )
     print(json.dumps(res.__dict__))
 

@@ -120,6 +120,13 @@ PLAN_QUERIES = [
         "whose output is <= n_buckets+1 rows (bias gradient rides as "
         "sentinel bucket -1); decimal sums keep it order-free",
     ),
+    (
+        "langid_scorer",
+        "learned-langid scoring (the pipeline --langid-model projection): "
+        "staged prefix -> staged gram buckets -> ONE margins fold yielding "
+        "all K class scores (element_at(lit(W), b+1) is the bucket's "
+        "K-vector) -> argmax — ZERO exchanges, stateless, streaming-safe",
+    ),
 ]
 
 # plans built directly (not a registry entry, or the registry entry
@@ -162,9 +169,27 @@ def _classifier_epoch_plan(spark):
     )
 
 
+def _langid_scorer_plan(spark):
+    from piperider_spark.operators.langid_model import langid_scored
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = {
+        "classes": ["de", "en", "fr"],
+        "weights": [[0.01] * 512 for _ in range(3)],
+        "bias": [0.0, 0.1, 0.0],
+        "n_buckets": 512,
+        "hash_fn": "xxhash64",
+        "ns": (2, 3),
+        "max_chars": 256,
+        "include_words": True,
+    }
+    return langid_scored(docs.select("doc_id", "text"), model, "text")
+
+
 DIRECT_PLANS = {
     "bpe_word_counts": _bpe_word_counts_plan,
     "classifier_gradient_epoch": _classifier_epoch_plan,
+    "langid_scorer": _langid_scorer_plan,
 }
 
 

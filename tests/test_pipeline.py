@@ -970,3 +970,71 @@ def test_pipeline_clf_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
     r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
     assert r3.buckets_processed == 4
     assert "clf_score" not in spark.read.parquet(r1.decisions_path).columns
+
+
+def test_pipeline_langid_stage_and_mode_resume(spark, transcripts_pdf, tmp_path):
+    """--langid-train: decisions carry ft_lang / ft_lang_prob equal to an
+    independent batch distillation (same teacher labels, same trainer —
+    exact equality, the decimal-gradient determinism contract); the frozen
+    `lang` column is untouched; the model sidecar loads back; same config
+    resumes clean; dropping the stage reprocesses and removes the columns
+    (lineage latest-row langid_mode basis)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from piperider_spark.operators import langid_model as L
+    from piperider_spark.pipeline import build_decisions
+
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(transcripts_pdf, preserve_index=False), inp
+    )
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, langid_train=2)
+    assert r1.buckets_processed == 4
+    dec = spark.read.parquet(r1.decisions_path)
+    assert {"ft_lang", "ft_lang_prob", "lang"} <= set(dec.columns)
+
+    batch = spark.read.parquet(inp)
+    model = L.fit_langid_model(
+        build_decisions(batch).select("text", "lang"), label_col="lang", epochs=2
+    )
+    want = {
+        (r.conv_id, r.turn_idx): (r.ft_lang, r.ft_lang_prob)
+        for r in L.langid_scored(batch, model, "text")
+        .select("conv_id", "turn_idx", "ft_lang", "ft_lang_prob")
+        .collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): (r.ft_lang, r.ft_lang_prob)
+        for r in dec.select("conv_id", "turn_idx", "ft_lang", "ft_lang_prob").collect()
+    }
+    assert got == want
+
+    # the frozen lang column is byte-identical to a stage-less run: the
+    # learned model rides NEXT to the contract, never inside it
+    frozen = {
+        (r.conv_id, r.turn_idx): r.lang
+        for r in build_decisions(batch).select("conv_id", "turn_idx", "lang").collect()
+    }
+    inline = {
+        (r.conv_id, r.turn_idx): r.lang
+        for r in dec.select("conv_id", "turn_idx", "lang").collect()
+    }
+    assert inline == frozen
+
+    # the sidecar artifact round-trips to the same model
+    m2 = L.langid_model_from_df(spark.read.parquet(f"{out}/langid_model"))
+    assert m2["classes"] == model["classes"]
+    assert m2["weights"] == model["weights"] and m2["bias"] == model["bias"]
+
+    # same config resumes clean
+    r2 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2, langid_train=2)
+    assert (r2.buckets_processed, r2.buckets_skipped) == (0, 4)
+
+    # stage off: reprocess, columns gone
+    r3 = run_pipeline(spark, inp, out, n_buckets=4, wave_buckets=2)
+    assert r3.buckets_processed == 4
+    cols = set(spark.read.parquet(r1.decisions_path).columns)
+    assert "ft_lang" not in cols and "ft_lang_prob" not in cols
