@@ -1,0 +1,203 @@
+"""Distributed spherical k-means over an embedding column — the
+full-corpus upgrade of the sample-only IVF coarse-quantizer trainer
+(:func:`piperider_spark.operators.similarity.train_ivf_centroids`).
+
+FAISS-style IVF trains on a bounded driver-side sample, which is the right
+default — but at 10^12 vectors a sample prefix can miss whole modes of the
+distribution, and production curation pipelines (SemDeDup / data-mixing
+cluster balancing, Abbas et al. 2023; Tirumala et al. 2023 D4) refine the
+quantizer over the FULL corpus. This module runs Lloyd iterations as plain
+DataFrame aggregations so the per-iteration cost is one corpus scan and one
+tiny shuffle, never a driver-sized collect:
+
+  * **assign** — row-local argmax dot against the centroid matrix riding
+    the plan as ONE broadcast array literal (the exact
+    ``similarity.ivf_cell`` column: shared transform lambda, struct-max
+    tie-break to the larger cell id). Zero shuffle.
+  * **update** — ``posexplode`` the vector, ``groupBy(cell, dim)`` and sum.
+    Map-side partial aggregation collapses every task to ≤ k×dim rows, so
+    the shuffle moves ≤ tasks×k×dim tiny rows and the driver collects
+    exactly k×dim — bounded by the model, not the data, at any corpus size.
+  * **exact, order-free sums** — per-row coordinates are quantized to
+    ``quant_dp`` dp and summed as DECIMAL(38,15) (associative-exact), the
+    repo's training-determinism contract (see operators/classifier.py):
+    the refined centroids are BYTE-IDENTICAL across partitionings, input
+    orders, and cluster widths.
+  * empty cells keep their previous centroid (deterministic, matches the
+    driver-side trainer's rule).
+
+``kmeans_fit`` composes the production recipe: k-means++ init on a bounded
+sample (cheap, driver-side) → a few full-corpus Lloyd rounds (each one
+scan). ``kmeans_assign`` / ``kmeans_stats`` are the zero-shuffle /
+one-shuffle consumers for cluster-balanced sampling and corpus maps.
+
+Reference anchor: the reference profiles distributions per column
+(piperider_cli/profiler/profiler.py topk/histogram); a centroid table with
+per-cell counts is the analogous "distribution profile" for an embedding
+column, and feeds the gated IVF/SemDeDup operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from piperider_spark.operators.similarity import ivf_cell, train_ivf_centroids
+
+__all__ = [
+    "kmeans_update_agg",
+    "kmeans_refine",
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_stats",
+    "centroids_to_df",
+]
+
+# decimal type shared with the classifier/dsir exact-sum contract
+_DEC = "decimal(38,15)"
+
+
+def kmeans_update_agg(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    quant_dp: int = 9,
+) -> DataFrame:
+    """One Lloyd-round update as a lazy plan: broadcast-literal assignment
+    (zero shuffle) → ``posexplode`` → ``groupBy(cell, dim)`` with map-side
+    partial aggregation, so the shuffle moves ≤ tasks×k×dim rows and the
+    output is ≤ k×dim rows regardless of corpus size. Split out of
+    :func:`kmeans_refine` so plan dumps can inspect the per-iteration
+    shuffle shape without running the eager loop."""
+    C = np.asarray(centroids, dtype=np.float64)
+    base = (
+        df.select(F.col(vec_col).alias("_v"))
+        .where(F.col("_v").isNotNull() & (F.size("_v") == C.shape[1]))
+    )
+    # NOTE: the cell must be assigned in its own projection — putting the
+    # transform-lambda struct in the same select as a generator makes
+    # ExtractGenerator strip the lambda's field aliases (col1/col2) and
+    # the `["j"]` extraction fails to resolve.
+    assigned = base.select(ivf_cell(F.col("_v"), C).alias("_c"), "_v")
+    return (
+        assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
+        .groupBy("_c", "_d")
+        .agg(
+            F.sum(F.round(F.col("_x").cast("double"), quant_dp).cast(_DEC)).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iters: int = 2,
+    quant_dp: int = 9,
+    spherical: bool = True,
+) -> np.ndarray:
+    """Run ``iters`` full-corpus Lloyd rounds from ``centroids``.
+
+    EAGER: each round executes one Spark job (scan + one k×dim-bounded
+    partial-agg shuffle + a k×dim-row collect). The update is the exact
+    mean of ``quant_dp``-quantized coordinates summed as DECIMAL(38,15),
+    so the result is byte-identical across partitionings; with
+    ``spherical=True`` (the IVF query-path geometry) means are
+    L2-normalized after every round.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("kmeans_refine: centroids must be a non-empty 2-D array")
+    for _ in range(iters):
+        rows = kmeans_update_agg(df, C, vec_col=vec_col, quant_dp=quant_dp).collect()
+        nxt = C.copy()
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        sums = np.zeros_like(C)
+        for r in rows:
+            sums[r["_c"], r["_d"]] = float(r["_s"])
+            counts[r["_c"]] = r["_n"]
+        nonempty = counts > 0
+        nxt[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if spherical:
+            nxt = nxt / np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+        C = nxt
+    return C
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 11,
+    sample_rows: int = 100_000,
+    sample_iters: int = 12,
+    full_iters: int = 2,
+    quant_dp: int = 9,
+) -> np.ndarray:
+    """Production recipe: deterministic k-means++ init on a bounded sample
+    (``limit`` collect — driver transfer capped by ``sample_rows``), then
+    ``full_iters`` distributed Lloyd rounds over the whole corpus. Returns
+    the L2-normalized centroid matrix (k × dim)."""
+    sample = [
+        r[0]
+        for r in df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .limit(sample_rows)
+        .collect()
+    ]
+    if not sample:
+        raise ValueError(f"kmeans_fit: no non-null vectors in column {vec_col!r}")
+    init = train_ivf_centroids(np.asarray(sample, dtype=np.float64), k, seed=seed,
+                               iters=sample_iters)
+    return kmeans_refine(
+        df, init, vec_col=vec_col, iters=full_iters, quant_dp=quant_dp
+    )
+
+
+def kmeans_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Row-local cluster assignment (broadcast centroid literal, zero
+    shuffle, streaming-safe) — the consumer shape for cluster-balanced
+    sampling / SemDeDup cell routing."""
+    return df.withColumn(out_col, ivf_cell(F.col(vec_col), np.asarray(centroids)))
+
+
+def kmeans_stats(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell corpus map: size and mean cosine to the assigned centroid
+    (ONE partial-agg shuffle, ≤ k output rows). ``mean_sim`` is the
+    spherical-k-means inertia analogue — higher is tighter."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cents = F.array(*[F.lit([float(v) for v in C[j]]) for j in range(C.shape[0])])
+    from piperider_spark.operators.similarity import cosine
+
+    assigned = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == C.shape[1]))
+        .withColumn("cell", ivf_cell(F.col(vec_col), C))
+        .withColumn("_sim", cosine(F.col(vec_col), F.element_at(cents, F.col("cell") + 1)))
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_sim"), 6).alias("mean_sim"),
+        )
+        .orderBy("cell")
+    )
+
+
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """Artifact twin (cell, centroid) — same persistence shape as the
+    classifier/DSIR model sidecars."""
+    C = np.asarray(centroids, dtype=np.float64)
+    return spark.createDataFrame(
+        [(j, [float(v) for v in C[j]]) for j in range(C.shape[0])],
+        "cell int, centroid array<double>",
+    )

@@ -2552,3 +2552,23 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").join(labels, "doc_id")
     model = _clf.fit_quality_classifier(docs, epochs=3, n_buckets=1024)
     return _clf.model_to_df(spark, model)
+
+
+@register("kmeans_cells_embeddings")
+def kmeans_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed spherical k-means corpus map (rows-only:
+    iterative training is the documented non-SQL exception; the Lloyd
+    round is pinned in pytest — numpy-mirror parity, byte-identical
+    partition/order invariance via exact decimal coordinate sums, the
+    empty-cell rule, and zero-Exchange assignment). The per-cell
+    (n, mean_sim) profile is the embedding-column analogue of the
+    reference's topk/histogram distribution profiles and feeds
+    cluster-balanced sampling / SemDeDup cell routing. EAGER: the fit runs
+    k-means++ on a bounded sample plus ``full_iters`` one-scan Lloyd
+    rounds at query construction (the bench-timed cost of training the
+    quantizer on the corpus instead of a sample)."""
+    from piperider_spark.operators import kmeans as _km
+
+    df = load(spark, sf_dir, "embeddings")
+    cents = _km.kmeans_fit(df, k=8, full_iters=2)
+    return _km.kmeans_stats(df, cents)

@@ -121,6 +121,19 @@ PLAN_QUERIES = [
         "sentinel bucket -1); decimal sums keep it order-free",
     ),
     (
+        "kmeans_assign",
+        "full-corpus k-means assignment: centroid matrix rides as ONE "
+        "broadcast array literal, ZERO exchanges — a pure projection, "
+        "stateless, streaming-safe",
+    ),
+    (
+        "kmeans_update_round",
+        "one Lloyd-round update: zero-shuffle assignment -> posexplode -> "
+        "ONE partial HashAggregate shuffle on (cell, dim) whose output is "
+        "<= k*dim rows at any corpus size; decimal coordinate sums keep "
+        "the refined centroids byte-identical across partitionings",
+    ),
+    (
         "langid_scorer",
         "learned-langid scoring (the pipeline --langid-model projection): "
         "staged prefix -> staged gram buckets -> ONE margins fold yielding "
@@ -186,7 +199,25 @@ def _langid_scorer_plan(spark):
     return langid_scored(docs.select("doc_id", "text"), model, "text")
 
 
+def _kmeans_assign_plan(spark):
+    from piperider_spark.operators.kmeans import kmeans_assign
+    from piperider_spark.operators.similarity import _ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return kmeans_assign(emb, _ivf_centroids(64, 16))
+
+
+def _kmeans_update_plan(spark):
+    from piperider_spark.operators.kmeans import kmeans_update_agg
+    from piperider_spark.operators.similarity import _ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return kmeans_update_agg(emb, _ivf_centroids(64, 16))
+
+
 DIRECT_PLANS = {
+    "kmeans_assign": _kmeans_assign_plan,
+    "kmeans_update_round": _kmeans_update_plan,
     "bpe_word_counts": _bpe_word_counts_plan,
     "classifier_gradient_epoch": _classifier_epoch_plan,
     "langid_scorer": _langid_scorer_plan,

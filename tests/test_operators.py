@@ -2470,3 +2470,118 @@ def test_langid_model_matches_python_mirror(spark):
         )
         < 1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+
+def _km_np_refine(X, C, iters=2, spherical=True):
+    """Independent numpy mirror of kmeans_refine's semantics: argmax-dot
+    assignment with ties to the LARGER cell id (ivf_cell's struct-max),
+    exact means, empty cells keep their previous centroid, normalize."""
+    C = np.asarray(C, dtype=np.float64).copy()
+    for _ in range(iters):
+        scores = X @ C.T
+        assign = C.shape[0] - 1 - np.argmax(scores[:, ::-1], axis=1)
+        nxt = C.copy()
+        for j in range(C.shape[0]):
+            m = assign == j
+            if m.any():
+                nxt[j] = X[m].mean(axis=0)
+        if spherical:
+            nxt = nxt / np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+        C = nxt
+    return C
+
+
+def test_kmeans_refine_matches_numpy_mirror_exactly(spark):
+    """Coordinates are exact binary fractions (multiples of 0.25), so the
+    engine's round(9-dp)->DECIMAL(38,15) sums are exact and the refined
+    centroids must be BYTE-IDENTICAL to the independent numpy mirror."""
+    from piperider_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(-8, 9, size=(60, 6)).astype(np.float64) / 4.0
+    X = X[np.linalg.norm(X, axis=1) > 0]
+    C0 = rng.integers(-4, 5, size=(4, 6)).astype(np.float64) / 4.0
+    C0 = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    got = km.kmeans_refine(df, C0, iters=2)
+    want = _km_np_refine(X, C0, iters=2)
+    assert np.array_equal(got, want)
+
+
+def test_kmeans_refine_partition_and_order_invariant(spark):
+    """The decimal-exact update contract: byte-identical centroids across
+    partitionings and input orders (same contract as the classifier/DSIR
+    trainers)."""
+    from piperider_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(23)
+    X = rng.standard_normal((200, 8))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C0 = similarity._ivf_centroids(8, 5, seed=3)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    schema = "vec_id int, embedding array<double>"
+    a = km.kmeans_refine(spark.createDataFrame(rows, schema).repartition(13), C0)
+    b = km.kmeans_refine(spark.createDataFrame(rows[::-1], schema).coalesce(1), C0)
+    assert np.array_equal(a, b)
+
+
+def test_kmeans_fit_improves_cluster_tightness(spark):
+    """On a corpus with 3 planted directions, full-corpus Lloyd rounds must
+    tighten the cells vs the seeded random-quantizer fallback: the
+    size-weighted mean cosine-to-assigned-centroid strictly improves, and
+    stats covers every row."""
+    from piperider_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(8)[:3]
+    X = np.vstack(
+        [c + 0.15 * rng.standard_normal((50, 8)) for c in centers]
+    )
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+
+    def weighted_sim(C):
+        pdf = km.kmeans_stats(df, C).toPandas()
+        assert int(pdf.n.sum()) == len(X)
+        return float((pdf.n * pdf.mean_sim).sum() / pdf.n.sum())
+
+    rand = similarity._ivf_centroids(8, 3, seed=11)
+    trained = km.kmeans_fit(df, k=3, full_iters=2)
+    assert trained.shape == (3, 8)
+    assert weighted_sim(trained) > weighted_sim(rand) + 0.02
+
+
+def test_kmeans_assign_zero_exchange_and_empty_cell_rule(spark):
+    """(a) Assignment is a row-local broadcast-literal projection: ZERO
+    Exchange in the plan (streaming-safe). (b) A cell no row maps to keeps
+    its previous (unit-norm) centroid byte-for-byte. (c) Guards raise
+    descriptive errors on degenerate input."""
+    from piperider_spark.operators import kmeans as km
+
+    X = np.array([[1.0, 0.0, 0.0], [0.875, 0.25, 0.0], [0.0, 1.0, 0.0]])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    C0 = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    plan = km.kmeans_assign(df, C0)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+
+    refined = km.kmeans_refine(df, C0, iters=1)
+    assert np.array_equal(refined[2], C0[2])  # empty cell kept verbatim
+
+    with pytest.raises(ValueError, match="centroids"):
+        km.kmeans_refine(df, np.zeros((0, 3)))
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        km.kmeans_fit(df.where(F.lit(False)), k=2)
