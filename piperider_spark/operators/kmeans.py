@@ -10,10 +10,13 @@ quantizer over the FULL corpus. This module runs Lloyd iterations as plain
 DataFrame aggregations so the per-iteration cost is one corpus scan and one
 tiny shuffle, never a driver-sized collect:
 
-  * **assign** — row-local argmax dot against the centroid matrix riding
-    the plan as ONE broadcast array literal (the exact
-    ``similarity.ivf_cell`` column: shared transform lambda, struct-max
-    tie-break to the larger cell id). Zero shuffle.
+  * **assign** — row-local argmax dot against the centroid matrix (the
+    exact ``similarity.ivf_cell`` walk: shared transform lambda,
+    struct-max tie-break to the larger cell id). Inside the Lloyd loop
+    the matrix rides a BROADCAST one-row table (plan source identical
+    across rounds → codegen compiles once; nothing scales with k×dim in
+    the serialized plan); the one-time consumers (``kmeans_assign``)
+    keep the literal form, which is zero-shuffle and streaming-safe.
   * **update** — ``posexplode`` the vector, ``groupBy(cell, dim)`` and sum.
     Map-side partial aggregation collapses every task to ≤ k×dim rows, so
     the shuffle moves ≤ tasks×k×dim tiny rows and the driver collects
@@ -43,7 +46,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from piperider_spark.operators.similarity import ivf_cell, train_ivf_centroids
+from piperider_spark.operators.similarity import (
+    ivf_cell,
+    ivf_cell_expr,
+    train_ivf_centroids,
+)
 
 __all__ = [
     "kmeans_update_agg",
@@ -64,8 +71,8 @@ def kmeans_update_agg(
     vec_col: str = "embedding",
     quant_dp: int = 9,
 ) -> DataFrame:
-    """One Lloyd-round update as a lazy plan: broadcast-literal assignment
-    (zero shuffle) → ``posexplode`` → ``groupBy(cell, dim)`` with map-side
+    """One Lloyd-round update as a lazy plan: broadcast-table assignment
+    (round-invariant plan source) → ``posexplode`` → ``groupBy(cell, dim)`` with map-side
     partial aggregation, so the shuffle moves ≤ tasks×k×dim rows and the
     output is ≤ k×dim rows regardless of corpus size. Split out of
     :func:`kmeans_refine` so plan dumps can inspect the per-iteration
@@ -75,11 +82,24 @@ def kmeans_update_agg(
         df.select(F.col(vec_col).alias("_v"))
         .where(F.col("_v").isNotNull() & (F.size("_v") == C.shape[1]))
     )
+    # Centroids ride a BROADCAST one-row table, not a literal: the plan
+    # source is then identical across Lloyd rounds (codegen compiles once,
+    # not per round), and nothing scales with k×dim inside the serialized
+    # plan — at a production 65536×768 quantizer a literal would embed
+    # ~400 MB into every task's plan per round. ivf_cell_expr walks the
+    # column exactly as ivf_cell walks the literal — byte-identical
+    # assignments (pinned by the numpy-mirror + invariance tests).
+    cdf = df.sparkSession.createDataFrame(
+        [([[float(v) for v in C[j]] for j in range(C.shape[0])],)],
+        "_cents array<array<double>>",
+    )
     # NOTE: the cell must be assigned in its own projection — putting the
     # transform-lambda struct in the same select as a generator makes
     # ExtractGenerator strip the lambda's field aliases (col1/col2) and
     # the `["j"]` extraction fails to resolve.
-    assigned = base.select(ivf_cell(F.col("_v"), C).alias("_c"), "_v")
+    assigned = base.crossJoin(F.broadcast(cdf)).select(
+        ivf_cell_expr(F.col("_v"), F.col("_cents")).alias("_c"), "_v"
+    )
     return (
         assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
         .groupBy("_c", "_d")

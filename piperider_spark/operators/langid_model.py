@@ -31,9 +31,14 @@ Distributed shape — the 10^12-turn story:
     see operators/dedup.py `_window_hashes_from_tokens`).
   * Training (`fit_langid_model`) is full-batch gradient descent with ONE
     bounded-output shuffle per epoch: margins for all K classes come from
-    a SINGLE fold over the gram array (``element_at(lit(W), b+1)`` yields
+    a SINGLE fold over the gram array (``element_at(W, b+1)`` yields
     the bucket's K-vector; ``zip_with`` accumulates — one pass regardless
-    of K), softmax residuals are computed row-local, quantized to 12 dp
+    of K). The epoch's weights ride the plan as a BROADCAST one-row
+    table, not a (B×K) literal — the plan source is epoch-invariant so
+    codegen compiles once, and nothing scales with B inside the
+    serialized plan (see fit_quality_classifier; arithmetic identical to
+    the literal fold, pinned byte-identical). Softmax residuals are
+    computed row-local, quantized to 12 dp
     and summed as DECIMAL(38,15) — exact, order-free, so fitted weights
     are BYTE-IDENTICAL across partitionings (the repo's training
     determinism contract, same as fit_quality_classifier). Shuffle output
@@ -153,30 +158,38 @@ def char_ngram_buckets(
     return F.transform(grams, lambda g: F.pmod(md5_60bit(g), F.lit(n_buckets)))
 
 
-def _margins_fold(bks: Column, W: list[list[float]], bias: list[float]) -> Column:
+def _margins_fold_expr(bks: Column, warr: Column, barr: Column, k: int) -> Column:
     """K-class margins from ONE pass over the gram-bucket array:
-    ``element_at(lit(W), b+1)`` is the bucket's K-vector, ``zip_with``
+    ``element_at(warr, b+1)`` is the bucket's K-vector, ``zip_with``
     accumulates; the sum is MEAN-normalized by the gram count (fastText
     averages the bag vectors — margins are text-length invariant and the
     full-batch gradient is well conditioned) and the bias vector is added
-    once at the end. Evaluate over a STAGED bucket-array column and stage
+    once at the end. ``warr``/``barr`` may be literals (the scorer) or
+    broadcast one-row-table columns (the trainer) — same arithmetic
+    either way. Evaluate over a STAGED bucket-array column and stage
     the result before fanning out (softmax reads it K+2 times)."""
-    # the literal is indexed by BUCKET: entry b is that bucket's K-vector
-    # (W itself is class-major: K lists of n_buckets)
-    n_b = len(W[0])
-    lit_w = F.lit([[float(W[j][b]) for j in range(len(W))] for b in range(n_b)])
     folded = F.aggregate(
         bks,
-        F.array_repeat(F.lit(0.0), len(bias)),
+        F.array_repeat(F.lit(0.0), k),
         lambda acc, b: F.zip_with(
             acc,
-            F.element_at(lit_w, b.cast("int") + 1),
+            F.element_at(warr, b.cast("int") + 1),
             lambda a, w: a + w,
         ),
     )
     inv_n = F.lit(1.0) / F.greatest(F.size(bks).cast("double"), F.lit(1.0))
-    return F.zip_with(
-        folded, F.lit([float(b) for b in bias]), lambda m, b: m * inv_n + b
+    return F.zip_with(folded, barr, lambda m, b: m * inv_n + b)
+
+
+def _margins_fold(bks: Column, W: list[list[float]], bias: list[float]) -> Column:
+    """Literal-weights form of :func:`_margins_fold_expr` — the SCORER
+    path (one-time plan, stateless, streaming-safe)."""
+    # the literal is indexed by BUCKET: entry b is that bucket's K-vector
+    # (W itself is class-major: K lists of n_buckets)
+    n_b = len(W[0])
+    lit_w = F.lit([[float(W[j][b]) for j in range(len(W))] for b in range(n_b)])
+    return _margins_fold_expr(
+        bks, lit_w, F.lit([float(b) for b in bias]), len(bias)
     )
 
 
@@ -242,14 +255,35 @@ def fit_langid_model(
         # updates; we make epochs)
         vW = [[0.0] * n_buckets for _ in range(k)]
         vb = [0.0] * k
+        spark = df.sparkSession
         for ep in range(epochs):
             if ep == 0:
                 # zero init: the fold over W≡0 is identically the bias
-                # vector — skip building the (B×K)-literal expression
+                # vector — skip the fold (and the weights broadcast)
+                base = feats
                 margins = F.lit([float(b) for b in bias])
             else:
-                margins = _margins_fold(F.col("_bks"), W, bias)
-            staged = feats.select("_y", "_bks", margins.alias("_m"))
+                # weights as DATA (broadcast one-row table, bucket-major
+                # K-vectors), not a (B×K) literal: the plan source is
+                # epoch-invariant so codegen compiles once, and nothing
+                # scales with B inside the serialized plan — same
+                # rationale as fit_quality_classifier, same arithmetic
+                # as the literal fold (byte-identical weights, pinned)
+                n_b = len(W[0])
+                wdf = spark.createDataFrame(
+                    [
+                        (
+                            [[float(W[j][b]) for j in range(k)] for b in range(n_b)],
+                            [float(b) for b in bias],
+                        )
+                    ],
+                    "_warr array<array<double>>, _barr array<double>",
+                )
+                base = feats.crossJoin(F.broadcast(wdf))
+                margins = _margins_fold_expr(
+                    F.col("_bks"), F.col("_warr"), F.col("_barr"), k
+                )
+            staged = base.select("_y", "_bks", margins.alias("_m"))
             mx = F.array_max("_m")
             z = F.aggregate(
                 F.transform("_m", lambda m: F.exp(m - mx)),

@@ -240,6 +240,18 @@ def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
     cents = F.array(
         *[F.lit([float(v) for v in centroids[j]]) for j in range(centroids.shape[0])]
     )
+    return ivf_cell_expr(vec, cents)
+
+
+def ivf_cell_expr(vec: Column, cents: Column) -> Column:
+    """:func:`ivf_cell` over a centroid-matrix COLUMN (array<array<double>>,
+    cell-major) instead of a literal — same transform-lambda walk, same
+    struct-max tie-break, byte-identical assignments. This is the shape
+    iterative trainers use (kmeans_update_agg): the matrix rides a
+    broadcast one-row table so the plan source is iteration-invariant
+    (codegen compiles once) and nothing scales with k×dim inside the
+    serialized plan. One-time plans (the IVF query path, kmeans_assign)
+    keep the literal form, which stays stateless/streaming-safe."""
     structs = F.transform(
         cents,
         lambda c, j: F.struct(dot(vec, c).alias("s"), j.cast("int").alias("j")),

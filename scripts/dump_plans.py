@@ -114,8 +114,11 @@ PLAN_QUERIES = [
     ),
     (
         "classifier_gradient_epoch",
-        "one training epoch of the learned quality classifier: margin = "
-        "weight-array-literal fold (row-local, no join), residual times "
+        "one training epoch of the learned quality classifier: weights ride "
+        "a BROADCAST one-row table (BroadcastNestedLoopJoin against the "
+        "corpus — plan source identical every epoch, codegen compiles once, "
+        "nothing scales with B inside the serialized plan), margin = fold "
+        "over the broadcast weight column (row-local), residual times "
         "exploded bucket occurrences, ONE partial HashAggregate shuffle "
         "whose output is <= n_buckets+1 rows (bias gradient rides as "
         "sentinel bucket -1); decimal sums keep it order-free",
@@ -128,7 +131,9 @@ PLAN_QUERIES = [
     ),
     (
         "kmeans_update_round",
-        "one Lloyd-round update: zero-shuffle assignment -> posexplode -> "
+        "one Lloyd-round update: centroids ride a BROADCAST one-row table "
+        "(round-invariant plan source — codegen once, plan size independent "
+        "of k*dim), row-local assignment -> posexplode -> "
         "ONE partial HashAggregate shuffle on (cell, dim) whose output is "
         "<= k*dim rows at any corpus size; decimal coordinate sums keep "
         "the refined centroids byte-identical across partitionings",
@@ -162,17 +167,23 @@ def _classifier_epoch_plan(spark):
         ngram_buckets("text", 1024, "xxhash64").alias("_bks"),
     )
     w = [0.01] * 1024
-    lit_arr = F.lit(w)
-    margin = F.aggregate(
-        F.col("_bks"),
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(lit_arr, b.cast("int") + 1),
+    wdf = spark.createDataFrame(
+        [(w, 0.0)], "_warr array<double>, _wb double"
+    )
+    base = feats.crossJoin(F.broadcast(wdf))
+    margin = (
+        F.aggregate(
+            F.col("_bks"),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(F.col("_warr"), b.cast("int") + 1),
+        )
+        + F.col("_wb")
     )
     resid = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("_y"), 12
     ).cast("decimal(38,15)")
     return (
-        feats.select(
+        base.select(
             resid.alias("_r"),
             F.concat(F.col("_bks"), F.array(F.lit(-1).cast("long"))).alias("_b"),
         )

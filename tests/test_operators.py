@@ -2306,6 +2306,94 @@ def test_quality_classifier_matches_python_mirror(spark):
     assert max(abs(a - b) for a, b in zip(m["weights"], w)) < 1e-9
 
 
+def test_classifier_broadcast_weights_fold_equals_literal_fold(spark):
+    """The trainer ships epoch weights as a broadcast one-row table (plan
+    source epoch-invariant -> codegen compiles once; nothing scales with B
+    inside the serialized plan) while the scorer keeps the literal form.
+    Pin: both formulations produce EXACTLY the same margins over the same
+    featurized rows — element_at visits the same values in the same fold
+    order, so fitted weights stay byte-identical to the literal path."""
+    import random
+
+    from piperider_spark.operators import classifier as C
+    from piperider_spark.operators.dsir import ngram_buckets
+
+    df = _clf_fixture(spark, n=60, seed=7)
+    n_buckets = 128
+    rng = random.Random(0)
+    w = [rng.uniform(-1, 1) for _ in range(n_buckets)]
+    bias = 0.3125
+    feats = df.select(
+        "id", ngram_buckets("text", n_buckets, "xxhash64").alias("_bks")
+    )
+    lit = feats.select(
+        "id",
+        (
+            F.aggregate(
+                F.col("_bks"),
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(F.lit(w), b.cast("int") + 1),
+            )
+            + F.lit(bias)
+        ).alias("m"),
+    )
+    wdf = spark.createDataFrame([(w, bias)], "_warr array<double>, _wb double")
+    bc = feats.crossJoin(F.broadcast(wdf)).select(
+        "id",
+        (
+            F.aggregate(
+                F.col("_bks"),
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(F.col("_warr"), b.cast("int") + 1),
+            )
+            + F.col("_wb")
+        ).alias("m"),
+    )
+    a = {r.id: r.m for r in lit.collect()}
+    b = {r.id: r.m for r in bc.collect()}
+    assert a == b  # exact float equality, incl. NULL-text rows (empty fold)
+
+
+def test_langid_broadcast_weights_fold_equals_literal_fold(spark):
+    """Langid twin of the classifier pin: _margins_fold_expr over broadcast
+    one-row-table columns == _margins_fold over (B x K) literals, exactly,
+    for nonzero weights on real featurized rows."""
+    import random
+
+    from piperider_spark.operators import langid_model as L
+
+    df = _langid_fixture(spark, n=40, seed=9)
+    n_buckets, k = 96, 3
+    rng = random.Random(1)
+    W = [[rng.uniform(-1, 1) for _ in range(n_buckets)] for _ in range(k)]
+    bias = [rng.uniform(-1, 1) for _ in range(k)]
+    feats = df.select(
+        "id", L.langid_prefix("text").alias("_pfx")
+    ).select(
+        "id", L.char_ngram_buckets("_pfx", n_buckets, "xxhash64").alias("_bks")
+    )
+    lit = feats.select("id", L._margins_fold(F.col("_bks"), W, bias).alias("m"))
+    n_b = len(W[0])
+    wdf = spark.createDataFrame(
+        [
+            (
+                [[float(W[j][b]) for j in range(k)] for b in range(n_b)],
+                [float(x) for x in bias],
+            )
+        ],
+        "_warr array<array<double>>, _barr array<double>",
+    )
+    bc = feats.crossJoin(F.broadcast(wdf)).select(
+        "id",
+        L._margins_fold_expr(
+            F.col("_bks"), F.col("_warr"), F.col("_barr"), k
+        ).alias("m"),
+    )
+    a = {r.id: list(r.m) for r in lit.collect()}
+    b = {r.id: list(r.m) for r in bc.collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # fastText-style learned language ID (operators/langid_model.py)
 # ---------------------------------------------------------------------------
