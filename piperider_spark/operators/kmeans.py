@@ -58,6 +58,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_stats",
+    "cluster_balanced_sample",
     "centroids_to_df",
 ]
 
@@ -211,6 +212,40 @@ def kmeans_stats(
         )
         .orderBy("cell")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: np.ndarray,
+    quota: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """At most ``quota`` rows per k-means cell — the D4 / SemDeDup
+    "diversify" recipe (Tirumala et al. 2023 §3: cluster the corpus,
+    then cap each cluster so dense modes can't dominate the training
+    mix). Composition of two existing scale-audited shapes: the
+    zero-shuffle literal-centroid assignment (:func:`kmeans_assign`)
+    feeding the skew-safe two-phase hash-quota sampler
+    (:func:`piperider_spark.operators.sampling.quota_sample` — a
+    dominant cell prefilters at the scan, it never ships a mega-cell to
+    one rank task). Deterministic and engine-independent: the kept set
+    is the ``quota`` smallest md5 hashes per assigned cell, stable
+    across runs and partitionings. Rows whose ``vec_col`` is NULL get a
+    NULL cell and are sampled as their own stratum (quota_sample's NULL
+    convention) — masked EXPLICITLY here, because the raw argmax walk
+    scores every centroid NULL on a NULL vector and the struct-max then
+    falls through to the largest cell id (a NULL embedding would
+    otherwise silently land in cell k−1). The ``cell_col`` column rides
+    along in the output for downstream per-cell accounting."""
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col, out_col=cell_col)
+    assigned = assigned.withColumn(
+        cell_col, F.when(F.col(vec_col).isNotNull(), F.col(cell_col))
+    )
+    from piperider_spark.operators.sampling import quota_sample
+
+    return quota_sample(assigned, cell_col, id_col, quota)
 
 
 def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:

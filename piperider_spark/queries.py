@@ -2572,3 +2572,25 @@ def kmeans_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "embeddings")
     cents = _km.kmeans_fit(df, k=8, full_iters=2)
     return _km.kmeans_stats(df, cents)
+
+
+@register("cluster_sample_embeddings")
+def cluster_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the D4/SemDeDup "diversify" recipe
+    (rows-only: the cell assignment reuses the trained-at-construction
+    k-means quantizer, the iterative non-SQL exception; the operator is
+    pinned in pytest — per-cell quota cap, driver-mirror exact-set
+    equality, partition invariance, NULL-embedding stratum). Composition
+    of two scale-audited shapes: zero-shuffle centroid-literal assignment
+    feeding the skew-safe two-phase hash-quota sampler (a dominant cell
+    prefilters at the scan — no mega-cell rank task). EAGER: trains the
+    quantizer at query construction, like kmeans_cells_embeddings."""
+    from piperider_spark.operators import kmeans as _km
+
+    df = load(spark, sf_dir, "embeddings")
+    cents = _km.kmeans_fit(df, k=8, full_iters=1)
+    return (
+        _km.cluster_balanced_sample(df, cents, quota=40)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )

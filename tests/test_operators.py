@@ -2673,3 +2673,59 @@ def test_kmeans_assign_zero_exchange_and_empty_cell_rule(spark):
         km.kmeans_refine(df, np.zeros((0, 3)))
     with pytest.raises(ValueError, match="no non-null vectors"):
         km.kmeans_fit(df.where(F.lit(False)), k=2)
+
+
+def test_cluster_balanced_sample_caps_cells_and_matches_mirror(spark):
+    """The D4 'diversify' recipe: (a) every cell keeps at most `quota`
+    rows; (b) the kept set == a driver-side mirror (quota smallest md5
+    hashes per assigned cell) — deterministic and partition-invariant;
+    (c) NULL embeddings sample as their own NULL-cell stratum instead of
+    silently landing in the last cell (the raw argmax's NULL-score
+    fallthrough)."""
+    import hashlib
+
+    from piperider_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(5)
+    C = np.eye(3)
+    rows = []
+    # planted clusters of very different sizes: 40 near e0, 12 near e1,
+    # 4 near e2 — the dominant cell must be capped, the tiny one kept
+    for i, (cell, n) in enumerate([(0, 40), (1, 12), (2, 4)]):
+        base = C[cell]
+        for j in range(n):
+            v = base + rng.normal(0, 0.05, 3)
+            rows.append((len(rows), [float(x) for x in v]))
+    rows.append((len(rows), None))  # NULL embedding
+    rows.append((len(rows), None))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    quota = 8
+    got = km.cluster_balanced_sample(df, C, quota).select("vec_id", "cell")
+    pdf = got.toPandas()
+    counts = pdf.groupby("cell", dropna=False).size()
+    assert counts.max() <= quota
+    assert counts[2.0] == 4  # under-quota cell kept whole
+    assert pdf["cell"].isna().sum() == 2  # NULL stratum intact
+
+    # driver mirror: assign by argmax dot (ties -> larger id, matching
+    # ivf_cell's struct-max), keep the quota smallest md5-hash ids per cell
+    def h(vid):
+        d = hashlib.md5(str(vid).encode()).digest()
+        return int.from_bytes(d[:8], "big") >> 4
+
+    by_cell = {}
+    for vid, v in rows:
+        cell = None
+        if v is not None:
+            sims = np.asarray(v) @ C.T
+            cell = int(max(range(3), key=lambda j: (sims[j], j)))
+        by_cell.setdefault(cell, []).append(vid)
+    want = set()
+    for cell, ids in by_cell.items():
+        want |= set(sorted(ids, key=lambda i: (h(i), i))[:quota])
+    assert set(pdf["vec_id"]) == want
+
+    # partition invariance
+    got2 = km.cluster_balanced_sample(df.repartition(13), C, quota)
+    assert set(r.vec_id for r in got2.select("vec_id").collect()) == want
