@@ -86,6 +86,7 @@ HEADLINE = [
     "bpe_train_documents",
     "bpe_encode_documents",
     "quality_classifier_documents",
+    "pq_topk_embeddings",
 ]
 
 # scaling protocol (BASELINE.md): same input, same job, N vs 4N local cores.

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from piperider_spark.operators.dsir import ngram_buckets
+from piperider_spark.operators.similarity import arr_lit
 
 __all__ = [
     "fit_quality_classifier",
@@ -78,7 +79,10 @@ _DEC = "decimal(38,15)"
 def _margin_col(text: Column | str, w: Sequence[float], bias: float, hash_fn: str) -> Column:
     """Row-local margin w·x + b via one array-literal fold (the
     dsir_score_col shape — no explode, no join)."""
-    lit_arr = F.lit(list(w))
+    # arr_lit, not F.lit: py4j element-wise literal construction costs
+    # ~0.5 s at B=1024 PER SCORER BUILD; the SQL-text parse is ~5 ms with
+    # identical double values (similarity.arr_lit, pinned in tests)
+    lit_arr = arr_lit(list(w))
     bks = ngram_buckets(text, n_buckets=len(w), hash_fn=hash_fn)
     return (
         F.aggregate(

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from piperider_spark.operators.similarity import (
+    arr_lit,
     ivf_cell,
     ivf_cell_expr,
     train_ivf_centroids,
@@ -196,7 +197,7 @@ def kmeans_stats(
     (ONE partial-agg shuffle, ≤ k output rows). ``mean_sim`` is the
     spherical-k-means inertia analogue — higher is tighter."""
     C = np.asarray(centroids, dtype=np.float64)
-    cents = F.array(*[F.lit([float(v) for v in C[j]]) for j in range(C.shape[0])])
+    cents = arr_lit(C)
     from piperider_spark.operators.similarity import cosine
 
     assigned = (

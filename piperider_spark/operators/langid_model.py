@@ -84,6 +84,7 @@ from pyspark.sql.types import (
 )
 
 from piperider_spark.functions.text import md5_60bit
+from piperider_spark.operators.similarity import arr_lit
 
 __all__ = [
     "langid_prefix",
@@ -187,10 +188,11 @@ def _margins_fold(bks: Column, W: list[list[float]], bias: list[float]) -> Colum
     # the literal is indexed by BUCKET: entry b is that bucket's K-vector
     # (W itself is class-major: K lists of n_buckets)
     n_b = len(W[0])
-    lit_w = F.lit([[float(W[j][b]) for j in range(len(W))] for b in range(n_b)])
-    return _margins_fold_expr(
-        bks, lit_w, F.lit([float(b) for b in bias]), len(bias)
-    )
+    # arr_lit, not F.lit: the bucket-major weight literal is n_b×K doubles
+    # (8192 at B=2048, K=4) — py4j element-wise construction costs seconds
+    # per scorer build; the SQL-text parse is ~10 ms, identical values
+    lit_w = arr_lit([[float(W[j][b]) for j in range(len(W))] for b in range(n_b)])
+    return _margins_fold_expr(bks, lit_w, arr_lit(list(bias)), len(bias))
 
 
 def fit_langid_model(

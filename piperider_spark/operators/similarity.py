@@ -23,6 +23,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def arr_lit(a) -> Column:
+    """(Nested) ``array<double>`` literal built from ONE SQL-text parse.
+
+    ``F.lit`` / ``F.array`` construct literals element-by-element over
+    py4j: a 16×64 centroid matrix costs ~0.6 s and an 8×16×8 PQ codebook
+    ~0.7–1.0 s of pure driver time PER QUERY — the literal build, not
+    planning or execution, was the bottleneck of every trained-quantizer
+    query. The text form parses in ~5 ms and constant-folds to the same
+    Literal values: ``repr`` emits the shortest round-trip decimal and the
+    JVM's ``parseDouble`` returns the exact same double (pinned in
+    tests); the ``D`` suffix forces DOUBLE (bare ``1.5`` would parse as
+    DECIMAL). Rejects non-finite values (no SQL literal form) — trained
+    centroids/LUTs are finite by construction."""
+
+    def fmt(x) -> str:
+        if isinstance(x, (list, tuple, np.ndarray)):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        v = float(x)
+        if not np.isfinite(v):
+            raise ValueError(f"arr_lit: non-finite value {v!r} has no SQL literal form")
+        return repr(v) + "D"
+
+    return F.expr(fmt(a))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -58,7 +83,7 @@ def cosine_topk(
     plan — the broadcast-variable of a single row). Ties broken by id for
     determinism.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = arr_lit(query_vec)
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
@@ -237,9 +262,7 @@ def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
     copies. The inlined form JIT-compiled n_cells×dim literals into one
     giant codegen unit (measured: ~9 s first-execution compile at 16×64
     vs ~1 s for this shape, identical results/oracle)."""
-    cents = F.array(
-        *[F.lit([float(v) for v in centroids[j]]) for j in range(centroids.shape[0])]
-    )
+    cents = arr_lit(centroids)
     return ivf_cell_expr(vec, cents)
 
 
@@ -310,7 +333,7 @@ def ivf_topk_partitioned(
     qv = np.asarray(query_vec, dtype=np.float64)
     scores = cents @ qv
     probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = arr_lit(query_vec)
     return (
         spark.read.parquet(path)
         .where(F.col("cell").isin(probe))
@@ -348,7 +371,7 @@ def ivf_topk(
     scores = cents @ qv
     probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
     cell = ivf_cell(F.col(vec_col), cents)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = arr_lit(query_vec)
     return (
         df.where(cell.isin(probe))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"))
@@ -396,9 +419,7 @@ def semdedup(
     Returns one row per input row:
     ``(id, cell, centroid_sim, keep, witness_id, witness_sim)``.
     """
-    cents = F.array(
-        *[F.lit([float(v) for v in centroids[j]]) for j in range(centroids.shape[0])]
-    )
+    cents = arr_lit(centroids)
     # one pass over the literal matrix: argmax-dot cell AND its dot value;
     # centroids are L2-normalized so centroid cosine = max_dot / ||v||
     best = F.array_max(
@@ -566,9 +587,7 @@ def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
     same codegen-size fix as :func:`ivf_cell` (inlining n_planes dot
     expression copies JIT-compiled n_planes×dim literals into one giant
     unit; this shape compiles once)."""
-    parr = F.array(
-        *[F.lit([float(v) for v in planes[j]]) for j in range(planes.shape[0])]
-    )
+    parr = arr_lit(planes)
     bits = F.transform(
         parr,
         lambda p: F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
@@ -632,7 +651,7 @@ def ann_topk_partitioned(
     qv = np.array(query_vec, dtype=np.float64)
     qsig = sum((1 << j) for j in range(n_planes) if float(planes[j] @ qv) >= 0)
     ring = [qsig] + [qsig ^ (1 << j) for j in range(n_planes)]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = arr_lit(query_vec)
     return (
         spark.read.parquet(path)
         .where(F.col("sig").isin(ring))
@@ -664,7 +683,7 @@ def ann_bucketed(
         (1 << j) for j in range(n_planes) if float(planes[j] @ qv) >= 0
     )
     sig = hyperplane_signature(F.col(vec_col), planes)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = arr_lit(query_vec)
     cand = df.withColumn("sig", sig).where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 1
     )

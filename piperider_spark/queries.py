@@ -2594,3 +2594,30 @@ def cluster_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell")
         .orderBy("vec_id")
     )
+
+
+@register("pq_topk_embeddings")
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ compressed-domain ANN (operators/pq.py — Jégou et al. 2011;
+    rows-only: the codebooks are trained at query construction, the
+    iterative non-SQL exception; the operator family is pinned in pytest —
+    exact numpy mirrors for encode / ADC ranking / full-corpus refine,
+    planted-cluster recall, partition-pruned layout parity, NULL masks).
+    The scale story this entry times: encode is a zero-shuffle projection
+    (m struct-max walks over codebook literals), search reads CODES only
+    (m byte-lookups per row — at 10^12 vectors the at-rest layout is
+    (id, cell, pq_code), 16 B/row instead of 3 KB raw), probing nprobe=4
+    of 16 IVF cells. Shares the trained coarse quantizer with the gated
+    ivf_topk_embeddings entry."""
+    from piperider_spark.operators import pq as _pq
+
+    df = load(spark, sf_dir, "embeddings")
+    qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = _pq.train_pq_from_df(df, m=8, ksub=16, iters=8)
+    cents = _ivf_cents()
+    import numpy as _np
+
+    scores = cents @ _np.asarray(qvec, dtype=float)
+    probe = sorted(range(16), key=lambda j: (-scores[j], -j))[:4]
+    cell = similarity.ivf_cell(F.col("embedding"), cents)
+    return _pq.pq_topk(df.where(cell.isin(probe)), books, list(qvec), topk=10)

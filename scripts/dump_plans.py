@@ -145,6 +145,24 @@ PLAN_QUERIES = [
         "all K class scores (element_at(lit(W), b+1) is the bucket's "
         "K-vector) -> argmax — ZERO exchanges, stateless, streaming-safe",
     ),
+    (
+        "pq_adc_search",
+        "IVF-PQ compressed-domain search: IVF cell filter (partition "
+        "filter on the at-rest layout) + ONE constant-size encode walk "
+        "(transform over sequence(0,m-1) — tree independent of m) feeding "
+        "the zip_with+aggregate ADC LUT fold, TakeOrderedAndProject — "
+        "ZERO exchanges besides the top-k; no raw vector read when codes "
+        "are stored",
+    ),
+    (
+        "pq_refine_round",
+        "one PQ Lloyd round over ALL m subspaces: codebooks+biases ride a "
+        "BROADCAST one-row table (round-invariant plan source), row-local "
+        "codes -> posexplode -> ONE partial HashAggregate shuffle on "
+        "(subspace, cell, sub-dim) whose output is <= m*ksub*dsub rows at "
+        "any corpus size; decimal coordinate sums keep refined codebooks "
+        "byte-identical across partitionings",
+    ),
 ]
 
 # plans built directly (not a registry entry, or the registry entry
@@ -226,9 +244,36 @@ def _kmeans_update_plan(spark):
     return kmeans_update_agg(emb, _ivf_centroids(64, 16))
 
 
+def _pq_adc_search_plan(spark):
+    from piperider_spark.operators import pq
+    from piperider_spark.operators.similarity import _ivf_centroids, ivf_cell
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.where("vec_id = 0").select("embedding").first()[0]
+    books = pq.train_pq_from_df(emb, m=8, ksub=16, iters=4)
+    cents = _ivf_centroids(64, 16)
+    import numpy as np
+
+    scores = cents @ np.asarray(qvec, dtype=float)
+    probe = sorted(range(16), key=lambda j: (-scores[j], -j))[:4]
+    cell = ivf_cell(F.col("embedding"), cents)
+    return pq.pq_topk(emb.where(cell.isin(probe)), books, list(qvec), topk=10)
+
+
+def _pq_refine_round_plan(spark):
+    from piperider_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq.train_pq_from_df(emb, m=8, ksub=16, iters=2)
+    return pq.pq_update_agg(emb, books)
+
+
 DIRECT_PLANS = {
     "kmeans_assign": _kmeans_assign_plan,
     "kmeans_update_round": _kmeans_update_plan,
+    "pq_adc_search": _pq_adc_search_plan,
+    "pq_refine_round": _pq_refine_round_plan,
     "bpe_word_counts": _bpe_word_counts_plan,
     "classifier_gradient_epoch": _classifier_epoch_plan,
     "langid_scorer": _langid_scorer_plan,

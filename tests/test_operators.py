@@ -2729,3 +2729,231 @@ def test_cluster_balanced_sample_caps_cells_and_matches_mirror(spark):
     # partition invariance
     got2 = km.cluster_balanced_sample(df.repartition(13), C, quota)
     assert set(r.vec_id for r in got2.select("vec_id").collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq_np_code(X, B):
+    """Independent numpy mirror of pq_encode: per-subspace argmin L2 as
+    argmax(x·c − ‖c‖²/2) with ties to the LARGER id (the engine's
+    struct-max rule)."""
+    m, ksub, dsub = B.shape
+    out = np.empty((len(X), m), dtype=int)
+    for i in range(m):
+        S = X[:, i * dsub : (i + 1) * dsub] @ B[i].T - 0.5 * (B[i] ** 2).sum(axis=1)
+        out[:, i] = ksub - 1 - np.argmax(S[:, ::-1], axis=1)
+    return out
+
+
+def _pq_np_refine(X, B, iters=1):
+    """Mirror of pq_refine: Lloyd with the engine's assignment rule, exact
+    means, empty cells keep their previous centroid."""
+    B = np.asarray(B, dtype=np.float64).copy()
+    m, ksub, dsub = B.shape
+    for _ in range(iters):
+        a = _pq_np_code(X, B)
+        for i in range(m):
+            for j in range(ksub):
+                msk = a[:, i] == j
+                if msk.any():
+                    B[i, j] = X[msk, i * dsub : (i + 1) * dsub].mean(axis=0)
+    return B
+
+
+def _pq_corpus(spark, seed=7, n=80, dim=16):
+    """Binary-fraction corpus: every product/sum below is exact in double,
+    so the engine's left-to-right fold and numpy's pairwise sum agree
+    bit-for-bit and mirrors can assert EXACT equality."""
+    rng = np.random.default_rng(seed)
+    X = rng.integers(-8, 9, size=(n, dim)).astype(np.float64) / 8.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    return X, df
+
+
+def test_pq_encode_matches_numpy_mirror_exactly(spark):
+    from piperider_spark.operators import pq
+
+    X, df = _pq_corpus(spark)
+    B = pq.train_pq_codebooks(X, m=4, ksub=4, iters=4)
+    got = np.array(
+        [r[0] for r in pq.pq_encode(df, B).orderBy("vec_id").select("pq_code").collect()]
+    )
+    assert np.array_equal(got, _pq_np_code(X, B))
+    # zero-shuffle projection: no Exchange in the encode plan
+    plan = pq.pq_encode(df, B)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_encode_null_and_wrong_dim_rows_get_null_code(spark):
+    """NULL / wrong-dim vectors must code to NULL explicitly — the raw
+    argmax walk would fall through to the largest id (the
+    cluster_balanced_sample NULL-mask lesson)."""
+    from piperider_spark.operators import pq
+
+    X, _ = _pq_corpus(spark, n=20, dim=8)
+    B = pq.train_pq_codebooks(X, m=2, ksub=4, iters=2)
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, [0.5] * 5)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r.vec_id: r.pq_code for r in pq.pq_encode(df, B).collect()}
+    assert rows[1] is not None and rows[2] is None and rows[3] is None
+
+
+def test_pq_adc_topk_matches_numpy_mirror_exactly(spark):
+    """ADC = exact inner-product decomposition over the reconstruction:
+    the engine's LUT-lookup top-k must equal the driver mirror's ranking
+    (round-6dp scores, ties to the smaller id)."""
+    from piperider_spark.operators import pq
+
+    X, df = _pq_corpus(spark)
+    B = pq.train_pq_codebooks(X, m=4, ksub=4, iters=4)
+    codes = _pq_np_code(X, B)
+    q = X[3]
+    lut = pq.adc_lut(q, B)
+    scores = np.array(
+        [lut[np.arange(B.shape[0]), codes[r]].sum() for r in range(len(X))]
+    )
+    want = sorted(range(len(X)), key=lambda i: (-round(scores[i], 6), i))[:10]
+    got = [r.vec_id for r in pq.pq_topk(df, B, list(q), topk=10).collect()]
+    assert got == want
+
+
+def test_pq_recall_on_planted_clusters(spark):
+    """On a 4-cluster planted corpus, ADC recall@10 must be far above the
+    random baseline (10/240 ≈ 0.04; measured ≈ 0.59 with m=4, ksub=16)."""
+    from piperider_spark.operators import pq
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(16)[:4]
+    X = np.vstack([c + 0.12 * rng.standard_normal((60, 16)) for c in centers])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    B = pq.train_pq_codebooks(X, m=4, ksub=16, iters=12)
+    hits = 0
+    nq, topk = 10, 10
+    for qi in range(nq):
+        qv = X[qi]
+        cos = X @ qv / np.linalg.norm(X, axis=1)
+        true_top = set(np.argsort(-cos)[:topk])
+        got = set(r.vec_id for r in pq.pq_topk(df, B, list(qv), topk=topk).collect())
+        hits += len(true_top & got)
+    assert hits / (nq * topk) >= 0.4
+
+
+def test_pq_refine_matches_numpy_mirror_and_reduces_error(spark):
+    """Full-corpus Lloyd refinement: byte-identical to the numpy mirror on
+    binary-fraction coordinates, partition/order invariant (the decimal
+    exact-sum contract), and monotone — refining an init-only codebook
+    must not increase total squared reconstruction error."""
+    from piperider_spark.operators import pq
+
+    X, df = _pq_corpus(spark, seed=23, n=120, dim=12)
+    B0 = pq.train_pq_codebooks(X, m=3, ksub=4, iters=0)  # k-means++ init only
+    got = pq.pq_refine(df, B0, iters=2)
+    assert np.array_equal(got, _pq_np_refine(X, B0, iters=2))
+
+    a = pq.pq_refine(df.repartition(13), B0, iters=1)
+    b = pq.pq_refine(
+        spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(len(X) - 1, -1, -1)],
+            "vec_id int, embedding array<double>",
+        ).coalesce(1),
+        B0,
+        iters=1,
+    )
+    assert np.array_equal(a, b)
+
+    def sqerr(B):
+        c = _pq_np_code(X, B)
+        m, ksub, dsub = B.shape
+        Xh = np.concatenate([B[i][c[:, i]] for i in range(m)], axis=1)
+        return ((X - Xh) ** 2).sum()
+
+    assert sqerr(got) <= sqerr(B0) + 1e-9
+
+    with pytest.raises(ValueError, match="non-empty"):
+        pq.pq_refine(df, np.zeros((0, 4, 4)))
+
+
+def test_pq_partitioned_probe_prunes_and_matches_onfly(spark, tmp_path):
+    """The compressed at-rest layout: the probe is a PartitionFilter over
+    cell (reads nprobe/n_cells of the files, no raw vectors stored), and
+    returns exactly the on-the-fly ADC ranking restricted to the probed
+    cells."""
+    from piperider_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    E = np.array([r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    cents = similarity.train_ivf_centroids(E[:200], 8)
+    B = pq.train_pq_from_df(emb, m=8, ksub=16, iters=4)
+    path = str(tmp_path / "pq")
+    pq.pq_write_partitioned(emb, path, cents, B)
+    qvec = list(E[0])
+    probed = pq.ivf_pq_topk_partitioned(spark, path, qvec, cents, B, nprobe=3, topk=10)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:500]
+
+    # on-the-fly twin: restrict to the same probed cells, then ADC top-k
+    scores = cents @ np.asarray(qvec)
+    probe = sorted(range(8), key=lambda j: (-scores[j], -j))[:3]
+    cell = similarity.ivf_cell(F.col("embedding"), cents)
+    onfly = pq.pq_topk(emb.where(cell.isin(probe)), B, qvec, topk=10)
+    assert [(r.vec_id, r.adc_score) for r in probed.collect()] == [
+        (r.vec_id, r.adc_score) for r in onfly.collect()
+    ]
+
+    # stored layout holds codes only — no embedding column at rest
+    assert "embedding" not in spark.read.parquet(path).columns
+
+    # writer guards match the ann/ivf twins
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="cannot infer vector dim"):
+        pq.pq_write_partitioned(empty, str(tmp_path / "e"), cents, B)
+    bad = spark.createDataFrame([(1, [0.5] * 7)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="!= codebook dim"):
+        pq.pq_write_partitioned(bad, str(tmp_path / "b"), cents, B)
+
+
+def test_pq_codebooks_artifact_roundtrip(spark):
+    from piperider_spark.operators import pq
+
+    X, _ = _pq_corpus(spark, n=30, dim=8)
+    B = pq.train_pq_codebooks(X, m=2, ksub=4, iters=3)
+    back = pq.codebooks_from_df(pq.codebooks_to_df(spark, B))
+    assert np.array_equal(B, back)
+    with pytest.raises(ValueError, match="empty artifact"):
+        pq.codebooks_from_df(spark.createDataFrame([], "m int, cell int, centroid array<double>"))
+
+
+def test_arr_lit_exact_roundtrip_and_guards(spark):
+    """similarity.arr_lit (SQL-text array literal): identical double values
+    to the py4j F.lit form — repr emits shortest round-trip decimals and
+    parseDouble returns the exact same bits — including subnormals,
+    extremes, and negative zero; non-finite values are rejected."""
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(40).tolist() + [
+        2**-1074, -(2**52) + 0.5, 1e-300, 1.7976931348623157e308, -0.0, 0.25,
+    ]
+    got = spark.range(1).select(similarity.arr_lit(vals).alias("a")).collect()[0].a
+    import struct as _struct
+
+    assert [
+        _struct.pack("d", g) for g in got
+    ] == [_struct.pack("d", v) for v in vals]
+
+    M = rng.standard_normal((3, 4, 2))
+    got2 = spark.range(1).select(similarity.arr_lit(M).alias("a")).collect()[0].a
+    assert np.array_equal(np.asarray(got2, dtype=np.float64), M)
+
+    with pytest.raises(ValueError, match="non-finite"):
+        similarity.arr_lit([1.0, float("nan")])

@@ -1992,3 +1992,57 @@ def test_langid_scored_is_streaming_safe(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert set(got["ft_lang"].unique()) <= {"alpha", "beta"}
     assert got["ft_lang"].nunique() == 2  # both classes actually fire
+
+
+def test_stream_pq_encode_matches_batch(spark, tmp_path):
+    """PQ encoding on a STREAM: the codebooks ride the plan as literals
+    (pq.pq_encode is a stateless projection — no stateful op, no
+    watermark), so streaming codes == batch codes row for row. Train
+    happens offline on the batch corpus — the ingest-time encode shape
+    for the compressed (id, cell, pq_code) at-rest layout."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from piperider_spark.operators import pq
+
+    rng = np.random.default_rng(31)
+    X = rng.integers(-8, 9, size=(120, 8)).astype(np.float64) / 8.0
+    inp = tmp_path / "in"
+    inp.mkdir()
+    spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    ).write.parquet(str(inp / "p0.parquet"))
+    batch = spark.read.parquet(str(inp / "p0.parquet"))
+    books = pq.train_pq_codebooks(X, m=2, ksub=4, iters=3)
+
+    schema = StructType(
+        [
+            StructField("vec_id", IntegerType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp / "p0.parquet"))
+    q = (
+        pq.pq_encode(stream, books)
+        .writeStream.format("memory")
+        .queryName("pq_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.vec_id: tuple(r.pq_code)
+        for r in spark.sql("select * from pq_stream").collect()
+    }
+    want = {
+        r.vec_id: tuple(r.pq_code) for r in pq.pq_encode(batch, books).collect()
+    }
+    assert got == want and len(got) == len(X)
