@@ -58,6 +58,7 @@ __all__ = [
     "adc_lut",
     "pq_adc_score_expr",
     "pq_topk",
+    "pq_topk_rerank",
     "pq_write_partitioned",
     "ivf_pq_topk_partitioned",
     "codebooks_to_df",
@@ -479,3 +480,35 @@ def codebooks_from_df(df: DataFrame) -> np.ndarray:
     for r in rows:
         B[r["m"], r["cell"]] = r["centroid"]
     return B
+
+
+def pq_topk_rerank(
+    candidates: DataFrame,
+    raw_df: DataFrame,
+    query_vec,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+) -> DataFrame:
+    """The FAISS "refine" stage: exact cosine re-rank of an ADC candidate
+    list against the raw vectors. Feed it an over-fetched ADC result
+    (``topk * 4`` is the usual R) from :func:`pq_topk` /
+    :func:`ivf_pq_topk_partitioned`; the candidate ids are a tiny frame,
+    so the raw-vector fetch is a BROADCAST semi-join into the corpus scan
+    (never a corpus shuffle), then exact cosine + TakeOrderedAndProject.
+    At rest the raw vectors live in a separate (cold) table from the hot
+    ``(id, cell, pq_code)`` search layout — this is the only stage that
+    touches them, for |candidates| rows per query."""
+    from piperider_spark.operators.similarity import cosine
+
+    ids = candidates.select(F.col(id_col))
+    fetched = raw_df.join(F.broadcast(ids), id_col, "left_semi")
+    q = arr_lit(query_vec)
+    return (
+        fetched.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -2957,3 +2957,47 @@ def test_arr_lit_exact_roundtrip_and_guards(spark):
 
     with pytest.raises(ValueError, match="non-finite"):
         similarity.arr_lit([1.0, float("nan")])
+
+
+def test_pq_rerank_recovers_exact_ranking(spark):
+    """The FAISS refine stage: over-fetch ADC candidates (R=4k), exact
+    cosine re-rank against raw vectors. The re-ranked top-k must equal
+    brute-force cosine_topk restricted to the candidate set, the fetch
+    must be a broadcast semi-join (no corpus shuffle), and on a clustered
+    corpus the re-rank must not lose recall vs raw ADC."""
+    from piperider_spark.operators import pq
+
+    rng = np.random.default_rng(17)
+    centers = np.eye(16)[:4]
+    X = np.vstack([c + 0.12 * rng.standard_normal((50, 16)) for c in centers])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    B = pq.train_pq_codebooks(X, m=4, ksub=16, iters=8)
+    hits_adc, hits_rr, nq, topk = 0, 0, 8, 10
+    for qi in range(nq):
+        qv = list(X[qi])
+        cand = pq.pq_topk(df, B, qv, topk=4 * topk)
+        rr = pq.pq_topk_rerank(cand, df, qv, topk=topk)
+        got = [r.vec_id for r in rr.collect()]
+        # mirror: exact cosine over the candidate ids, same tie rule
+        cand_ids = [r.vec_id for r in cand.collect()]
+        cos = X[cand_ids] @ X[qi]
+        want = [
+            cand_ids[i]
+            for i in sorted(
+                range(len(cand_ids)), key=lambda i: (-round(cos[i], 6), cand_ids[i])
+            )[:topk]
+        ]
+        assert got == want
+        true_top = set(np.argsort(-(X @ X[qi]))[:topk])
+        hits_adc += len(true_top & set(r.vec_id for r in pq.pq_topk(df, B, qv, topk=topk).collect()))
+        hits_rr += len(true_top & set(got))
+    assert hits_rr >= hits_adc  # refine never loses recall here
+    plan = (
+        pq.pq_topk_rerank(pq.pq_topk(df, B, list(X[0]), topk=40), df, list(X[0]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
