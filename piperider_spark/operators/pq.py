@@ -59,6 +59,7 @@ __all__ = [
     "pq_adc_score_expr",
     "pq_topk",
     "pq_topk_rerank",
+    "pq_knn_join",
     "pq_write_partitioned",
     "ivf_pq_topk_partitioned",
     "codebooks_to_df",
@@ -512,3 +513,69 @@ def pq_topk_rerank(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def pq_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+    topk: int = 5,
+) -> DataFrame:
+    """Batched compressed-domain k-NN join — the ADC twin of
+    :func:`similarity.knn_join_topk` and the production shape for "find
+    the near-neighbours of this query batch in the corpus" (near-dup
+    checks, decontamination against a reference set, retrieval eval).
+
+    The per-query LUT is not built driver-side (that would serialize
+    Q×m×ksub doubles through the plan): ``lut[i][j] = q_i · c_{i,j}`` is
+    itself an inner product against the codebook literal, so each query
+    row computes its own LUT ROW-LOCALLY on the broadcast side via one
+    nested transform. The corpus side contributes only
+    its code column (encoded on the fly when ``code_col`` is None, or a
+    stored code from the at-rest layout); the join is
+    ``broadcast(queries) × corpus`` scored by ``m`` LUT lookups per pair
+    — the corpus is scanned ONCE for the whole batch and never shuffled;
+    per-query top-k is a window rank partitioned by query id (bounded by
+    the broadcast batch, no mega-partition risk)."""
+    from pyspark.sql import Window
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    books, _ = _book_literals(B)
+    # row-local per-query LUT: lut[i][j] = dot(q_sub_i, c_ij)
+    qlut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.transform(
+            F.element_at(books, i + 1),
+            lambda c: dot(F.slice(F.col("q_vec"), i * dsub + 1, F.lit(dsub)), c),
+        ),
+    )
+    qside = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn("q_lut", qlut)
+    )
+    if code_col is None:
+        cside = pq_encode(corpus, B, vec_col=vec_col, out_col="_code").where(
+            F.col("_code").isNotNull()
+        )
+        cside = cside.select(F.col(id_col).alias("c_id"), F.col("_code").alias("_code"))
+    else:
+        cside = corpus.select(
+            F.col(id_col).alias("c_id"), F.col(code_col).alias("_code")
+        ).where(F.col("_code").isNotNull())
+    score = F.aggregate(
+        F.zip_with(F.col("_code"), F.col("q_lut"), lambda c, lrow: F.element_at(lrow, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        qside.crossJoin(cside)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(score, 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("c_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)

@@ -3001,3 +3001,44 @@ def test_pq_rerank_recovers_exact_ranking(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pq_knn_join_matches_per_query_mirror(spark):
+    """Batched ADC k-NN join: per-(query, corpus) scores must equal the
+    numpy ADC mirror exactly (binary-fraction corpus), per-query top-k
+    with the knn_join tie rule (desc score, asc corpus id), self pairs
+    excluded, query side broadcast (corpus never shuffled before the
+    bounded per-query rank), and a stored-code corpus (code_col) must
+    give identical results to encode-on-the-fly."""
+    from piperider_spark.operators import pq
+
+    X, df = _pq_corpus(spark, seed=41, n=60, dim=8)
+    B = pq.train_pq_codebooks(X, m=2, ksub=4, iters=4)
+    qdf = df.where(F.col("vec_id") < 5)
+    got = {
+        (r.q_id, r.rank): (r.c_id, r.adc_score)
+        for r in pq.pq_knn_join(qdf, df, B, topk=3).collect()
+    }
+
+    codes = _pq_np_code(X, B)
+    m, ksub, dsub = B.shape
+    for qi in range(5):
+        lut = pq.adc_lut(X[qi], B)
+        scores = np.array([lut[np.arange(m), codes[c]].sum() for c in range(len(X))])
+        order = [
+            c
+            for c in sorted(range(len(X)), key=lambda c: (-round(scores[c], 6), c))
+            if c != qi
+        ][:3]
+        for rank, c in enumerate(order, start=1):
+            assert got[(qi, rank)] == (c, round(scores[c], 6))
+
+    plan = pq.pq_knn_join(qdf, df, B, topk=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+    stored = pq.pq_encode(df, B, out_col="pq_code")
+    got2 = {
+        (r.q_id, r.rank): (r.c_id, r.adc_score)
+        for r in pq.pq_knn_join(qdf, stored, B, code_col="pq_code", topk=3).collect()
+    }
+    assert got2 == got
