@@ -32,6 +32,13 @@ Shapes (all scale-bounded):
   L2-normalized corpora ranks by approximate cosine. Top-k is
   TakeOrderedAndProject.
 
+Also here: **SQ8 scalar quantization** (FAISS ``ScalarQuantizer``
+QT_8bit) — the 4× rung of the compression ladder under PQ's ~50×: one code
+per DIMENSION on a uniform 8-bit grid between per-dim train bounds, so
+reconstruction error is per-coordinate bounded (span/510) and no codebook
+training is needed; and the batched/refine consumers ``pq_knn_join`` /
+``pq_topk_rerank``.
+
 Reference anchor: the reference profiles per-column distributions
 (piperider_cli/profiler/profiler.py topk/histogram); the PQ code column is
 the compressed distribution sketch of an embedding column, and the
@@ -64,6 +71,9 @@ __all__ = [
     "ivf_pq_topk_partitioned",
     "codebooks_to_df",
     "codebooks_from_df",
+    "sq8_bounds",
+    "sq8_encode",
+    "sq8_topk",
 ]
 
 # decimal type shared with the classifier/DSIR/kmeans exact-sum contract
@@ -579,3 +589,113 @@ def pq_knn_join(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("c_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit) — the 4× rung of
+# the compression ladder (raw float32 → SQ8 → PQ). Unlike PQ, SQ8 keeps one
+# code PER DIMENSION (uniform 8-bit grid between per-dim train bounds), so
+# reconstruction error is per-coordinate-bounded and no codebook training
+# loop is needed — just per-dim min/max.
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) train bounds — ONE ``posexplode`` +
+    ``groupBy(dim)`` partial-agg shuffle whose output is ``dim`` rows at
+    any corpus size (exact, order-free: min/max are associative). EAGER
+    (collects ``dim`` rows)."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.min(F.col("_x").cast("double")).alias("_lo"),
+             F.max(F.col("_x").cast("double")).alias("_hi"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"sq8_bounds: no vectors in column {vec_col!r}")
+    dim = max(r["_d"] for r in rows) + 1
+    lo, hi = np.zeros(dim), np.zeros(dim)
+    for r in rows:
+        lo[r["_d"]], hi[r["_d"]] = r["_lo"], r["_hi"]
+    return lo, hi
+
+
+def sq8_encode(
+    df: DataFrame,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "sq8_code",
+) -> DataFrame:
+    """Zero-shuffle, streaming-safe encode: per dimension,
+    ``code_d = round(255 · clip((x_d − lo_d)/(hi_d − lo_d), 0, 1))`` as a
+    small int (bit-packed by parquet at rest — ~1 B/dim vs 4 B raw).
+    Degenerate dims (lo == hi) code to 0 and decode back to lo exactly.
+    NULL / wrong-dim vectors code to NULL explicitly."""
+    L = np.asarray(lo, dtype=np.float64)
+    H = np.asarray(hi, dtype=np.float64)
+    dim = L.shape[0]
+    lo_lit, span_lit = arr_lit(L), arr_lit(np.maximum(H - L, 0.0))
+    code = F.zip_with(
+        F.col(vec_col),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda x, d: F.round(
+            255.0
+            * F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.when(F.element_at(span_lit, d + 1) > 0,
+                           (x.cast("double") - F.element_at(lo_lit, d + 1))
+                           / F.element_at(span_lit, d + 1)).otherwise(F.lit(0.0)),
+                ),
+            )
+        ).cast("smallint"),
+    )
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    return df.withColumn(out_col, F.when(ok, code))
+
+
+def sq8_topk(
+    df: DataFrame,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    query_vec,
+    id_col: str = "vec_id",
+    vec_col: str | None = "embedding",
+    code_col: str | None = None,
+    topk: int = 10,
+) -> DataFrame:
+    """Approximate inner-product top-k over SQ8 codes:
+    ``q·x̂ = Σ q_d·lo_d + Σ (q_d·span_d/255)·code_d`` — the constant and
+    the per-dim weights fold driver-side, so scoring a stored code is one
+    ``zip_with`` multiply-add per row, zero-shuffle, never touching raw
+    vectors. Pass ``code_col`` to score the at-rest code column, or leave
+    it None to encode ``vec_col`` on the fly (the checkable form)."""
+    L = np.asarray(lo, dtype=np.float64)
+    H = np.asarray(hi, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != L.shape[0]:
+        raise ValueError(f"sq8_topk: query dim {q.shape[0]} != bounds dim {L.shape[0]}")
+    span = np.maximum(H - L, 0.0)
+    const = float(q @ L)
+    w = q * span / 255.0
+    w_lit = arr_lit(w)
+    if code_col is None:
+        coded = sq8_encode(df, L, H, vec_col=vec_col, out_col="_sq") \
+            .where(F.col("_sq").isNotNull())
+        code = F.col("_sq")
+    else:
+        coded = df.where(F.col(code_col).isNotNull())
+        code = F.col(code_col)
+    score = F.lit(const) + F.aggregate(
+        F.zip_with(code, w_lit, lambda c, wv: c.cast("double") * wv),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        coded.select(F.col(id_col), F.round(score, 6).alias("sq8_score"))
+        .orderBy(F.desc("sq8_score"), F.asc(id_col))
+        .limit(topk)
+    )

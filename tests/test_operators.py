@@ -3042,3 +3042,74 @@ def test_pq_knn_join_matches_per_query_mirror(spark):
         for r in pq.pq_knn_join(qdf, stored, B, code_col="pq_code", topk=3).collect()
     }
     assert got2 == got
+
+
+def test_sq8_encode_and_topk_match_mirror(spark):
+    """SQ8 scalar quantization: bounds are exact per-dim min/max, the
+    encode matches a numpy mirror replicating Spark's HALF_UP rounding,
+    scoring matches the const + w·code fold exactly, a constant dimension
+    codes to 0, and NULL / wrong-dim rows code to NULL."""
+    from piperider_spark.operators import pq
+
+    rng = np.random.default_rng(47)
+    X = rng.integers(-8, 9, size=(70, 6)).astype(np.float64) / 8.0
+    X[:, 3] = 0.25  # degenerate (constant) dimension
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    lo, hi = pq.sq8_bounds(df)
+    assert np.array_equal(lo, X.min(axis=0)) and np.array_equal(hi, X.max(axis=0))
+
+    span = np.maximum(hi - lo, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.where(span > 0, (X - lo) / span, 0.0)
+    want_codes = np.floor(255.0 * np.clip(frac, 0.0, 1.0) + 0.5).astype(int)
+    got_codes = np.array(
+        [r[0] for r in pq.sq8_encode(df, lo, hi).orderBy("vec_id").select("sq8_code").collect()]
+    )
+    assert np.array_equal(got_codes, want_codes)
+    assert (got_codes[:, 3] == 0).all()
+
+    q = X[2]
+    const = float(q @ lo)
+    w = q * span / 255.0
+    scores = const + got_codes @ w
+    want = sorted(range(len(X)), key=lambda i: (-round(scores[i], 6), i))[:10]
+    got = [r.vec_id for r in pq.sq8_topk(df, lo, hi, list(q), topk=10).collect()]
+    assert got == want
+
+    # stored-code scoring == on-the-fly
+    stored = pq.sq8_encode(df, lo, hi)
+    got2 = [
+        r.vec_id
+        for r in pq.sq8_topk(stored, lo, hi, list(q), code_col="sq8_code", topk=10).collect()
+    ]
+    assert got2 == got
+
+    # reconstruction error bound for in-range values: half a grid step
+    recon = lo + got_codes * span / 255.0
+    assert np.abs(recon - X).max() <= (span.max() / 510.0) + 1e-12
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [0.1] * 5)], "vec_id int, embedding array<double>"
+    )
+    rows = {r.vec_id: r.sq8_code for r in pq.sq8_encode(nulls, lo, hi).collect()}
+    assert rows[1] is None and rows[2] is None
+
+    # SQ8 at 256 levels/dim resolves planted clusters near-exactly
+    centers = np.eye(8)[:3]
+    Y = np.vstack([c + 0.1 * rng.standard_normal((40, 8)) for c in centers])
+    Y = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    ydf = spark.createDataFrame(
+        [(i, [float(v) for v in Y[i]]) for i in range(len(Y))],
+        "vec_id int, embedding array<double>",
+    )
+    ylo, yhi = pq.sq8_bounds(ydf)
+    hits, nq, k = 0, 8, 10
+    for qi in range(nq):
+        cos = Y @ Y[qi] / np.linalg.norm(Y, axis=1)
+        true_top = set(np.argsort(-cos)[:k])
+        got = set(r.vec_id for r in pq.sq8_topk(ydf, ylo, yhi, list(Y[qi]), topk=k).collect())
+        hits += len(true_top & got)
+    assert hits / (nq * k) >= 0.85
