@@ -53,7 +53,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from piperider_spark.operators.similarity import arr_lit, dot, ivf_cell, _ivf_centroids
+from piperider_spark.operators.similarity import (
+    arr_lit,
+    dot,
+    ivf_cell,
+    probe_cells,
+    _ivf_centroids,
+)
 
 __all__ = [
     "train_pq_codebooks",
@@ -342,19 +348,24 @@ def adc_lut(query_vec, codebooks: np.ndarray) -> np.ndarray:
     return np.stack([B[i] @ q[i * dsub : (i + 1) * dsub] for i in range(m)])
 
 
-def pq_adc_score_expr(code: Column, lut: np.ndarray) -> Column:
-    """ADC score of a code column against a query LUT: ``m`` array lookups
-    summed left-to-right in subspace order (deterministic) — no raw
-    vector ever read. One ``zip_with``+``aggregate`` pair so the code
-    column is referenced ONCE and the tree is constant in ``m``.
-    Zero-shuffle projection."""
-    L = np.asarray(lut, dtype=np.float64)
-    lut_lit = arr_lit(L)
+def pq_adc_score_expr_cols(code: Column, lut: Column) -> Column:
+    """ADC fold over COLUMN operands: ``m`` array lookups summed
+    left-to-right in subspace order (deterministic) — no raw vector ever
+    read. One ``zip_with``+``aggregate`` pair so the code column is
+    referenced ONCE and the tree is constant in ``m``. Single source of
+    the fold — the literal form (:func:`pq_adc_score_expr`) and the
+    per-query-LUT join (:func:`pq_knn_join`) both delegate here."""
     return F.aggregate(
-        F.zip_with(code, lut_lit, lambda c, lrow: F.element_at(lrow, c + 1)),
+        F.zip_with(code, lut, lambda c, lrow: F.element_at(lrow, c + 1)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def pq_adc_score_expr(code: Column, lut: np.ndarray) -> Column:
+    """:func:`pq_adc_score_expr_cols` against a driver-built LUT literal —
+    the single-query scorer. Zero-shuffle projection."""
+    return pq_adc_score_expr_cols(code, arr_lit(np.asarray(lut, dtype=np.float64)))
 
 
 def pq_topk(
@@ -446,11 +457,7 @@ def ivf_pq_topk_partitioned(
     vectors. Non-residual IVF-PQ (FAISS ``by_residual=False``): one LUT
     serves every probed cell. Pass the SAME ``centroids``/``codebooks``
     the layout was written with."""
-    C = np.asarray(centroids, dtype=np.float64)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    scores = C @ qv
-    n_cells = C.shape[0]
-    probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
+    probe = probe_cells(centroids, query_vec, nprobe)
     lut = adc_lut(query_vec, codebooks)
     return (
         spark.read.parquet(path)
@@ -547,14 +554,19 @@ def pq_knn_join(
     its code column (encoded on the fly when ``code_col`` is None, or a
     stored code from the at-rest layout); the join is
     ``broadcast(queries) × corpus`` scored by ``m`` LUT lookups per pair
-    — the corpus is scanned ONCE for the whole batch and never shuffled;
-    per-query top-k is a window rank partitioned by query id (bounded by
-    the broadcast batch, no mega-partition risk)."""
+    — the corpus is scanned ONCE for the whole batch. The per-query
+    top-k is TWO-PHASE: a first rank partitioned by (q_id,
+    input-partition id) keeps ≤ topk rows per query per scan partition
+    (each group ≈ |corpus|/partitions rows — a query's pairs never land
+    on one task), then the global per-query rank runs over ≤
+    Q×partitions×topk survivors. The score-row shuffle volume is the
+    unavoidable Q×|corpus| pairs once, but no partition is ever
+    corpus-sized."""
     from pyspark.sql import Window
 
     B = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = B.shape
-    books, _ = _book_literals(B)
+    books = arr_lit(B)
     # row-local per-query LUT: lut[i][j] = dot(q_sub_i, c_ij)
     qlut = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -577,18 +589,29 @@ def pq_knn_join(
         cside = corpus.select(
             F.col(id_col).alias("c_id"), F.col(code_col).alias("_code")
         ).where(F.col("_code").isNotNull())
-    score = F.aggregate(
-        F.zip_with(F.col("_code"), F.col("q_lut"), lambda c, lrow: F.element_at(lrow, c + 1)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    score = pq_adc_score_expr_cols(F.col("_code"), F.col("q_lut"))
     pairs = (
         qside.crossJoin(cside)
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(score, 6).alias("adc_score"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(score, 6).alias("adc_score"),
+            F.spark_partition_id().alias("_p"),
+        )
+    )
+    w_local = Window.partitionBy("q_id", "_p").orderBy(
+        F.desc("adc_score"), F.asc("c_id")
+    )
+    survivors = (
+        pairs.withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= topk)
+        .drop("_r", "_p")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc_score"), F.asc("c_id"))
-    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
+    return survivors.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= topk
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -600,21 +623,32 @@ def pq_knn_join(
 # ---------------------------------------------------------------------------
 
 
-def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+def sq8_bounds(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension (min, max) train bounds — ONE ``posexplode`` +
     ``groupBy(dim)`` partial-agg shuffle whose output is ``dim`` rows at
     any corpus size (exact, order-free: min/max are associative). EAGER
-    (collects ``dim`` rows)."""
+    (collects ``dim`` rows). Rows whose vector is NULL or not ``dim``-long
+    are EXCLUDED from the bounds (review finding: inferring dim from the
+    max observed position let one stray longer vector inflate the bounds
+    and NULL-out every normal row downstream); ``dim`` defaults to the
+    first non-null vector's length."""
+    if dim is None:
+        first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if first is None or first[0] is None:
+            raise ValueError(f"sq8_bounds: no non-null vectors in column {vec_col!r}")
+        dim = len(first[0])
     rows = (
-        df.select(F.posexplode(vec_col).alias("_d", "_x"))
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.posexplode(vec_col).alias("_d", "_x"))
         .groupBy("_d")
         .agg(F.min(F.col("_x").cast("double")).alias("_lo"),
              F.max(F.col("_x").cast("double")).alias("_hi"))
         .collect()
     )
     if not rows:
-        raise ValueError(f"sq8_bounds: no vectors in column {vec_col!r}")
-    dim = max(r["_d"] for r in rows) + 1
+        raise ValueError(f"sq8_bounds: no vectors of dim {dim} in column {vec_col!r}")
     lo, hi = np.zeros(dim), np.zeros(dim)
     for r in rows:
         lo[r["_d"]], hi[r["_d"]] = r["_lo"], r["_hi"]

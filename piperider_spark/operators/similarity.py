@@ -178,6 +178,18 @@ def ann_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def probe_cells(cents: np.ndarray, query_vec, nprobe: int) -> list[int]:
+    """The query's ``nprobe`` best coarse cells by centroid dot product,
+    ties to the LARGER cell id — matching ``ivf_cell``'s struct-max
+    assignment rule so probe order and cell assignment can never disagree.
+    Single source of this determinism-critical tie rule for every IVF
+    consumer (write/probe/on-the-fly/IVF-PQ/bench/plan-dump paths);
+    bounded by ``cents.shape[0]``, never a hardcoded cell count."""
+    C = np.asarray(cents, dtype=np.float64)
+    scores = C @ np.asarray(query_vec, dtype=np.float64)
+    return sorted(range(C.shape[0]), key=lambda j: (-scores[j], -j))[:nprobe]
+
+
 def _ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> np.ndarray:
     """Deterministic coarse-quantizer centroids: md5-seeded standard
     normals, L2-normalized — the data-free fallback when no sample is
@@ -330,9 +342,7 @@ def ivf_topk_partitioned(
     (asserted in tests) — no per-row cell computation at query time. Pass
     the SAME ``centroids`` the layout was written with."""
     cents = centroids if centroids is not None else _ivf_centroids(len(query_vec), n_cells, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    scores = cents @ qv
-    probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
+    probe = probe_cells(cents, query_vec, nprobe)
     q = arr_lit(query_vec)
     return (
         spark.read.parquet(path)
@@ -367,9 +377,7 @@ def ivf_topk(
     recall at the same nprobe); default falls back to the seeded random
     quantizer."""
     cents = centroids if centroids is not None else _ivf_centroids(len(query_vec), n_cells, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    scores = cents @ qv
-    probe = sorted(range(n_cells), key=lambda j: (-scores[j], -j))[:nprobe]
+    probe = probe_cells(cents, query_vec, nprobe)
     cell = ivf_cell(F.col(vec_col), cents)
     q = arr_lit(query_vec)
     return (

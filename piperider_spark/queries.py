@@ -2596,28 +2596,71 @@ def cluster_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_BOOKS_CACHE = None
+
+
+def _pq_books(m: int = 8, ksub: int = 16, iters: int = 8):
+    """Memoized PQ codebooks for the bench entry — trained once per process
+    from the SAME shard _ivf_cents uses (lazy, like _ivf_cents: import
+    costs nothing), so the timed region of pq_topk_embeddings is the
+    encode+ADC search the docstring claims, not a per-call retrain
+    (review finding: the first cut re-ran the 100k-row sample collect and
+    the numpy Lloyd loop inside every timed invocation). Falls back to
+    training on the data-free seeded quantizer's geometry only if the
+    shard is missing, with a logged warning (the _ivf_cents rule)."""
+    global _PQ_BOOKS_CACHE
+    if _PQ_BOOKS_CACHE is None:
+        import logging
+        import os
+
+        import numpy as _np
+
+        from piperider_spark.operators import pq as _pq
+
+        path = os.environ.get(
+            "SPARK_GRAFT_IVF_TRAIN_PATH", "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        try:
+            import pyarrow.dataset as _ds
+
+            rows = []
+            for batch in _ds.dataset(path).scanner(columns=["embedding"]).to_batches():
+                rows.extend(v for v in batch.column(0).to_pylist() if v is not None)
+                if len(rows) >= 100_000:
+                    break
+            _PQ_BOOKS_CACHE = _pq.train_pq_codebooks(
+                _np.asarray(rows[:100_000], dtype=_np.float64), m=m, ksub=ksub, iters=iters
+            )
+        except Exception as exc:
+            logging.getLogger(__name__).warning(
+                "PQ training shard unavailable (%s: %s) — falling back to "
+                "random-subcentroid codebooks (ADC recall drops)", path, exc,
+            )
+            _PQ_BOOKS_CACHE = similarity._ivf_centroids(8, ksub).reshape(1, ksub, 8).repeat(m, axis=0)
+    return _PQ_BOOKS_CACHE
+
+
 @register("pq_topk_embeddings")
 def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ compressed-domain ANN (operators/pq.py — Jégou et al. 2011;
-    rows-only: the codebooks are trained at query construction, the
-    iterative non-SQL exception; the operator family is pinned in pytest —
-    exact numpy mirrors for encode / ADC ranking / full-corpus refine,
+    rows-only: the codebooks come from a trained quantizer, the iterative
+    non-SQL exception; the operator family is pinned in pytest — exact
+    numpy mirrors for encode / ADC ranking / full-corpus refine,
     planted-cluster recall, partition-pruned layout parity, NULL masks).
     The scale story this entry times: encode is a zero-shuffle projection
-    (m struct-max walks over codebook literals), search reads CODES only
-    (m byte-lookups per row — at 10^12 vectors the at-rest layout is
-    (id, cell, pq_code), 16 B/row instead of 3 KB raw), probing nprobe=4
-    of 16 IVF cells. Shares the trained coarse quantizer with the gated
-    ivf_topk_embeddings entry."""
+    (one constant-size struct-max walk over the codebook literal), search
+    reads CODES only (m byte-lookups per row — at 10^12 vectors the
+    at-rest layout is (id, cell, pq_code), 16 B/row instead of 3 KB raw),
+    probing nprobe=4 of the coarse cells. Shares the trained coarse
+    quantizer with the gated ivf_topk_embeddings entry; codebooks are
+    memoized (_pq_books) so the timed region is encode+search, not
+    training."""
     from piperider_spark.operators import pq as _pq
 
     df = load(spark, sf_dir, "embeddings")
     qvec = df.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    books = _pq.train_pq_from_df(df, m=8, ksub=16, iters=8)
+    books = _pq_books()
     cents = _ivf_cents()
-    import numpy as _np
-
-    scores = cents @ _np.asarray(qvec, dtype=float)
-    probe = sorted(range(16), key=lambda j: (-scores[j], -j))[:4]
+    probe = similarity.probe_cells(cents, qvec, 4)
     cell = similarity.ivf_cell(F.col("embedding"), cents)
     return _pq.pq_topk(df.where(cell.isin(probe)), books, list(qvec), topk=10)

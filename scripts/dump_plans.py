@@ -246,17 +246,14 @@ def _kmeans_update_plan(spark):
 
 def _pq_adc_search_plan(spark):
     from piperider_spark.operators import pq
-    from piperider_spark.operators.similarity import _ivf_centroids, ivf_cell
+    from piperider_spark.operators.similarity import _ivf_centroids, ivf_cell, probe_cells
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvec = emb.where("vec_id = 0").select("embedding").first()[0]
     books = pq.train_pq_from_df(emb, m=8, ksub=16, iters=4)
     cents = _ivf_centroids(64, 16)
-    import numpy as np
-
-    scores = cents @ np.asarray(qvec, dtype=float)
-    probe = sorted(range(16), key=lambda j: (-scores[j], -j))[:4]
+    probe = probe_cells(cents, qvec, 4)
     cell = ivf_cell(F.col("embedding"), cents)
     return pq.pq_topk(emb.where(cell.isin(probe)), books, list(qvec), topk=10)
 

@@ -3113,3 +3113,42 @@ def test_sq8_encode_and_topk_match_mirror(spark):
         got = set(r.vec_id for r in pq.sq8_topk(ydf, ylo, yhi, list(Y[qi]), topk=k).collect())
         hits += len(true_top & got)
     assert hits / (nq * k) >= 0.85
+
+
+def test_arr_lit_random_bit_pattern_doubles_roundtrip(spark):
+    """arr_lit bit-exactness over adversarial doubles: 1000 finite values
+    drawn as RANDOM 64-bit patterns (denormals, huge/tiny exponents, odd
+    mantissas — far beyond any distributional sample) must round-trip
+    through the SQL-text literal with identical bits."""
+    import struct as _struct
+
+    rng = np.random.default_rng(2**61 + 7)
+    bits = rng.integers(0, 2**64, size=4000, dtype=np.uint64)
+    vals = bits.view(np.float64)
+    vals = vals[np.isfinite(vals)][:1000]
+    assert len(vals) == 1000
+    got = spark.range(1).select(similarity.arr_lit(vals.tolist()).alias("a")).collect()[0].a
+    assert [
+        _struct.pack("d", g) for g in got
+    ] == [_struct.pack("d", float(v)) for v in vals]
+
+
+def test_sq8_bounds_ignore_stray_dim_vectors(spark):
+    """A stray longer/shorter vector must not poison the bounds dim
+    (review finding: max-observed-position inference let one 10-dim stray
+    NULL-out every 8-dim row downstream)."""
+    from piperider_spark.operators import pq
+
+    rng = np.random.default_rng(53)
+    X = rng.integers(-8, 9, size=(30, 8)).astype(np.float64) / 8.0
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    rows.append((97, [9.9] * 10))  # stray long vector
+    rows.append((98, [9.9] * 3))   # stray short vector
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    lo, hi = pq.sq8_bounds(df)
+    assert lo.shape == (8,)
+    assert np.array_equal(lo, X.min(axis=0)) and np.array_equal(hi, X.max(axis=0))
+    coded = {r.vec_id: r.sq8_code for r in pq.sq8_encode(df, lo, hi).collect()}
+    assert all(coded[i] is not None for i in range(len(X)))
+    assert coded[97] is None and coded[98] is None and coded[99] is None
