@@ -3152,3 +3152,28 @@ def test_sq8_bounds_ignore_stray_dim_vectors(spark):
     coded = {r.vec_id: r.sq8_code for r in pq.sq8_encode(df, lo, hi).collect()}
     assert all(coded[i] is not None for i in range(len(X)))
     assert coded[97] is None and coded[98] is None and coded[99] is None
+
+
+def test_pq_knn_join_rank_is_two_phase(spark):
+    """The review fix pinned: pq_knn_join must rank in two phases — a
+    local top-k partitioned by (q_id, scan-partition id) before the
+    global per-query rank — so no window partition is ever corpus-sized.
+    The executed plan must contain BOTH windows, and the first Window
+    encountered bottom-up must partition by two columns."""
+    from piperider_spark.operators import pq
+
+    X, df = _pq_corpus(spark, seed=59, n=40, dim=8)
+    B = pq.train_pq_codebooks(X, m=2, ksub=4, iters=2)
+    plan = (
+        pq.pq_knn_join(df.where(F.col("vec_id") < 3), df, B, topk=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert len(wins) == 2, plan[:800]
+    # one window partitioned by (q_id, _p), one by q_id alone
+    two_col = [w for w in wins if "," in w]
+    one_col = [w for w in wins if "," not in w]
+    assert len(two_col) == 1 and "_p" in two_col[0], wins
+    assert len(one_col) == 1 and "q_id" in one_col[0], wins
