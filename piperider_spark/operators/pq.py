@@ -80,6 +80,8 @@ __all__ = [
     "sq8_bounds",
     "sq8_encode",
     "sq8_topk",
+    "sq8_write_partitioned",
+    "sq8_topk_partitioned",
 ]
 
 # decimal type shared with the classifier/DSIR/kmeans exact-sum contract
@@ -732,4 +734,67 @@ def sq8_topk(
         coded.select(F.col(id_col), F.round(score, 6).alias("sq8_score"))
         .orderBy(F.desc("sq8_score"), F.asc(id_col))
         .limit(topk)
+    )
+
+
+def sq8_write_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The SQ8 at-rest layout: ``(id, sq8_code)`` partitioned by IVF
+    ``cell`` — the 4× rung's answer to :func:`pq_write_partitioned`
+    (dim bytes/row instead of dim floats; probes prune at the partition
+    level and score stored codes only). Raises the shared descriptive
+    error on an empty/NULL-first corpus."""
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"sq8_write_partitioned: no non-null vectors in column {vec_col!r}; "
+            "cannot infer vector dim for the layout"
+        )
+    L = np.asarray(lo, dtype=np.float64)
+    if len(first[0]) != L.shape[0]:
+        raise ValueError(
+            f"sq8_write_partitioned: vector dim {len(first[0])} != bounds dim {L.shape[0]}"
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    out = (
+        sq8_encode(df, L, np.asarray(hi, dtype=np.float64), vec_col=vec_col, out_col="sq8_code")
+        .where(F.col("sq8_code").isNotNull())
+        .select(F.col(id_col), ivf_cell(F.col(vec_col), C).alias("cell"), "sq8_code")
+    )
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def sq8_topk_partitioned(
+    spark,
+    path: str,
+    query_vec,
+    centroids: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    topk: int = 10,
+) -> DataFrame:
+    """Probe an :func:`sq8_write_partitioned` layout: PartitionFilter on
+    the probed cells (the shared :func:`similarity.probe_cells` tie rule),
+    then the const + w·code fold over stored codes — no raw vector read.
+    Pass the SAME ``centroids``/``lo``/``hi`` the layout was written
+    with."""
+    probe = probe_cells(centroids, query_vec, nprobe)
+    return sq8_topk(
+        spark.read.parquet(path).where(F.col("cell").isin(probe)),
+        lo,
+        hi,
+        query_vec,
+        id_col=id_col,
+        vec_col=None,
+        code_col="sq8_code",
+        topk=topk,
     )

@@ -3177,3 +3177,36 @@ def test_pq_knn_join_rank_is_two_phase(spark):
     one_col = [w for w in wins if "," not in w]
     assert len(two_col) == 1 and "_p" in two_col[0], wins
     assert len(one_col) == 1 and "q_id" in one_col[0], wins
+
+
+def test_sq8_partitioned_probe_prunes_and_matches_onfly(spark, tmp_path):
+    """The SQ8 at-rest layout: PartitionFilter over the probed cells,
+    stored-code scoring equals the on-the-fly form restricted to the same
+    cells, no raw vectors at rest, and the shared writer guards."""
+    from piperider_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    E = np.array([r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    cents = similarity.train_ivf_centroids(E[:200], 8)
+    lo, hi = pq.sq8_bounds(emb)
+    path = str(tmp_path / "sq8")
+    pq.sq8_write_partitioned(emb, path, cents, lo, hi)
+    qvec = list(E[0])
+    probed = pq.sq8_topk_partitioned(spark, path, qvec, cents, lo, hi, nprobe=3, topk=10)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:500]
+
+    probe = similarity.probe_cells(cents, qvec, 3)
+    cell = similarity.ivf_cell(F.col("embedding"), cents)
+    onfly = pq.sq8_topk(emb.where(cell.isin(probe)), lo, hi, qvec, topk=10)
+    assert [(r.vec_id, r.sq8_score) for r in probed.collect()] == [
+        (r.vec_id, r.sq8_score) for r in onfly.collect()
+    ]
+    assert "embedding" not in spark.read.parquet(path).columns
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="cannot infer vector dim"):
+        pq.sq8_write_partitioned(empty, str(tmp_path / "e"), cents, lo, hi)
+    bad = spark.createDataFrame([(1, [0.5] * 7)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="!= bounds dim"):
+        pq.sq8_write_partitioned(bad, str(tmp_path / "b"), cents, lo, hi)
