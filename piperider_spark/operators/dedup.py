@@ -182,7 +182,10 @@ def build_fingerprint_bloom(
     required when the result must union into an existing filter (epoch
     snapshots share the first epoch's layout)."""
     if expected is None:
-        expected = df.count()
+        # layout forced (epoch snapshots inherit epoch 1's): the count
+        # would only stamp metadata at the cost of a full corpus pass —
+        # stamp -1 ("unknown") instead
+        expected = -1 if layout is not None else df.count()
     m_bits, k = _bloom_layout(expected, fpp, layout)
     pos = df.select(*_bloom_positions(text_col, m_bits, k))
     return _or_reduce_bloom(pos, m_bits, k, fpp, expected)
@@ -312,7 +315,12 @@ def bloom_or(a: dict, b: dict) -> dict:
     bits = np.bitwise_or(
         np.frombuffer(a["bits"], dtype=np.uint8), np.frombuffer(b["bits"], dtype=np.uint8)
     )
-    return {**a, "bits": bits.tobytes(), "expected": a["expected"] + b["expected"]}
+    exp = (
+        -1
+        if a["expected"] < 0 or b["expected"] < 0
+        else a["expected"] + b["expected"]
+    )
+    return {**a, "bits": bits.tobytes(), "expected": exp}
 
 
 def bloom_seen_flags(
@@ -327,6 +335,16 @@ def bloom_seen_flags(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
+    # a window-grain snapshot holds k-token WINDOW hashes, not document
+    # fingerprints — probing fingerprints against it yields zero true hits
+    # plus ~fpp false drops (review finding: the pipeline accepted a
+    # swapped --bloom-history artifact silently); legacy snapshots without
+    # the key are fingerprint-grain by construction
+    if bloom.get("grain", "fingerprint") != "fingerprint":
+        raise ValueError(
+            f"not a fingerprint-grain filter: grain={bloom.get('grain')!r} "
+            "(a window-grain snapshot probes via window_seen_stats)"
+        )
     m_bits, k = bloom["m_bits"], bloom["k"]
     bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
 
@@ -535,6 +553,12 @@ def minhash_lsh_pairs(
     candidate pairs are tiny relative to the corpus, so holding them
     materialized is the cheap side of the trade.
     """
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must divide into n_bands={n_bands} equal "
+            "rows per band (trailing hashes would be silently ignored and "
+            "the band keys would no longer match minhash_band_keys)"
+        )
     rows_per_band = n_hashes // n_bands
     df = _ensure_parallel(df)
     # ONE shingle materialization, persisted across its four consumers
@@ -1442,7 +1466,10 @@ def build_window_bloom(
             .select("h")
         )
     if expected is None:
-        expected = wins.count()
+        # same layout-forced shortcut as build_fingerprint_bloom — at the
+        # window grain the skipped pass is O(corpus tokens), the single
+        # most expensive stage of the build
+        expected = -1 if layout is not None else wins.count()
     m_bits, k = _bloom_layout(expected, fpp, layout)
     pos = wins.select(
         *[
@@ -1463,6 +1490,7 @@ def window_seen_stats(
     bloom: dict,
     text_col: str = "text",
     k_tokens: int = 8,
+    bits_bc=None,
 ) -> DataFrame:
     """Per-row substring-overlap profile against a window-grain Bloom:
     ``seen_windows`` (windows whose hash probes positive), ``seen_token_cov``
@@ -1490,7 +1518,11 @@ def window_seen_stats(
             f"filter was built at k_tokens={bloom.get('k_tokens')}, probe asked {k_tokens}"
         )
     m_bits, k = bloom["m_bits"], bloom["k"]
-    bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
+    # bits_bc: callers probing many frames against ONE snapshot (the
+    # pipeline probes every wave) pass a prebuilt broadcast so the bitset
+    # ships once, not once per call (review finding: per-wave re-broadcast
+    # of a GB-scale bitset)
+    bc = bits_bc if bits_bc is not None else df.sparkSession.sparkContext.broadcast(bloom["bits"])
     kt = k_tokens
 
     from piperider_spark.functions.text import tokens

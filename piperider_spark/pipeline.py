@@ -170,6 +170,42 @@ def _input_key(input_path: str) -> str:
     return os.path.abspath(input_path)
 
 
+def _artifact_key(path: str) -> str:
+    """CONTENT identity for a loaded artifact (bloom snapshot / dsir ratio
+    / bpe merges / clf / langid model): abspath plus an md5 over the sorted
+    (relpath, size, mtime_ns) listing. Mode strings carry this so an
+    artifact updated IN PLACE at the same path invalidates resume and the
+    dup_convs sidecar — the documented "resuming against a different
+    snapshot reprocesses" contract, which bare path identity cannot keep
+    (review finding: epoch workflows that overwrite latest.bloom reused
+    stale sidecars)."""
+    import hashlib
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"{os.path.abspath(path)}@{h.hexdigest()[:12]}"
+
+
+def _spec_sig(spec: RuleSpec) -> str:
+    """Deterministic digest of the frozen rule thresholds — lineage rows
+    carry it so resuming with a CHANGED RuleSpec reprocesses instead of
+    serving decisions computed under the old policy (review finding: every
+    other knob was tracked, the spec itself was not)."""
+    import hashlib
+
+    return hashlib.md5(repr(spec).encode()).hexdigest()[:12]
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -369,6 +405,15 @@ def run_pipeline(
             metrics_path,
             dup_convs_path,
             os.path.join(output_dir, "dsir_ratio"),
+            # every trained-on-this-staging sidecar: their reuse gates
+            # record only the MODE, so after an input change they would
+            # match and serve artifacts fitted on the OLD corpus
+            os.path.join(output_dir, "bpe_merges"),
+            os.path.join(output_dir, "clf_model"),
+            os.path.join(output_dir, "langid_model"),
+            # conversations/ rollup partitions from the old input survive
+            # dynamic overwrite wherever the new input leaves a bucket empty
+            os.path.join(output_dir, "conversations"),
         ):
             shutil.rmtree(stale, ignore_errors=True)
     src = spark.read.parquet(staged_path)
@@ -379,7 +424,7 @@ def run_pipeline(
             for part in (
                 "exact" if conv_dedup else "",
                 f"near:{conv_near_threshold}" if conv_near_dedup else "",
-                f"bloom:{_input_key(bloom_history)}" if bloom_history else "",
+                f"bloom:{_artifact_key(bloom_history)}" if bloom_history else "",
             )
             if part
         )
@@ -497,7 +542,7 @@ def run_pipeline(
             rolled.unpersist()
 
     if dsir_ratio_path:
-        dsir_mode = f"path:{_input_key(dsir_ratio_path)}:{dsir_buckets}"
+        dsir_mode = f"path:{_artifact_key(dsir_ratio_path)}:{dsir_buckets}"
     elif dsir_fit:
         dsir_mode = f"fit:{dsir_fit}:{dsir_buckets}"
     else:
@@ -542,7 +587,7 @@ def run_pipeline(
         )
 
     if bpe_merges_path:
-        bpe_mode = f"path:{_input_key(bpe_merges_path)}"
+        bpe_mode = f"path:{_artifact_key(bpe_merges_path)}"
     elif bpe_train:
         bpe_mode = f"train:{int(bpe_train)}"
     else:
@@ -584,7 +629,7 @@ def run_pipeline(
         bpe_merges = _bpe.load_merges(spark, merges_src)
 
     if clf_model_path:
-        clf_mode = f"path:{_input_key(clf_model_path)}"
+        clf_mode = f"path:{_artifact_key(clf_model_path)}"
     elif clf_train:
         clf_mode = f"train:{int(clf_train)}"
     else:
@@ -624,7 +669,7 @@ def run_pipeline(
         clf_model = _clf.model_from_df(spark.read.parquet(model_src))
 
     if langid_model_path:
-        langid_mode = f"path:{_input_key(langid_model_path)}"
+        langid_mode = f"path:{_artifact_key(langid_model_path)}"
     elif langid_train:
         langid_mode = f"train:{int(langid_train)}"
     else:
@@ -663,7 +708,7 @@ def run_pipeline(
         langid_model = _lm.langid_model_from_df(spark.read.parquet(lm_src))
 
     substr_mode = (
-        f"bloom:{_input_key(substr_bloom_history)}" if substr_bloom_history else "none"
+        f"bloom:{_artifact_key(substr_bloom_history)}" if substr_bloom_history else "none"
     )
     substr_bloom: dict | None = None
     if substr_bloom_history:
@@ -678,6 +723,13 @@ def run_pipeline(
                 f"{substr_bloom_history}"
             )
 
+    # ONE broadcast of the (potentially GB-scale) bitset for the whole
+    # run — window_seen_stats would otherwise re-broadcast it every wave
+    substr_bits_bc = (
+        spark.sparkContext.broadcast(substr_bloom["bits"]) if substr_bloom else None
+    )
+
+    spec_sig = _spec_sig(spec)
     done: set[int] = set()
     if resume and os.path.isdir(lineage_path):
         try:
@@ -737,6 +789,19 @@ def run_pipeline(
                 if "langid_mode" in lin.columns
                 else F.lit("none")
             )
+            # lineage written before these columns existed reads as the
+            # defaults it was produced under (DEFAULT_SPEC / 0.5) — the
+            # same back-compat rule as the mode columns
+            spec_col = (
+                F.coalesce(F.col("spec_sig"), F.lit(_spec_sig(DEFAULT_SPEC)))
+                if "spec_sig" in lin.columns
+                else F.lit(_spec_sig(DEFAULT_SPEC))
+            )
+            frac_col = (
+                F.coalesce(F.col("rollup_frac"), F.lit(0.5))
+                if "rollup_frac" in lin.columns
+                else F.lit(0.5)
+            )
             last = lin.groupBy("bucket").agg(
                 F.max_by(
                     F.struct(
@@ -747,6 +812,8 @@ def run_pipeline(
                         bpe_col.alias("bp"),
                         clf_col.alias("cl"),
                         langid_col.alias("li"),
+                        spec_col.alias("sp"),
+                        frac_col.alias("rf"),
                     ),
                     ts_col,
                 ).alias("s")
@@ -758,7 +825,13 @@ def run_pipeline(
                 & (F.col("s.bp") == F.lit(bpe_mode))
                 & (F.col("s.cl") == F.lit(clf_mode))
                 & (F.col("s.li") == F.lit(langid_mode))
+                # decisions depend on the rule thresholds themselves: a
+                # changed RuleSpec must reprocess every bucket
+                & (F.col("s.sp") == F.lit(spec_sig))
                 & (F.col("s.r") | F.lit(not conv_rollup))
+                # the rollup threshold shapes conversations/ content; only
+                # binding when the rollup is requested
+                & ((F.col("s.rf") == F.lit(float(conv_min_keep_frac))) | F.lit(not conv_rollup))
             )
             done = {r["bucket"] for r in last.where(ok).collect()}
         except Exception:
@@ -801,7 +874,10 @@ def run_pipeline(
 
             part = (
                 window_seen_stats(
-                    part, substr_bloom, k_tokens=int(substr_bloom["k_tokens"])
+                    part,
+                    substr_bloom,
+                    k_tokens=int(substr_bloom["k_tokens"]),
+                    bits_bc=substr_bits_bc,
                 )
                 .withColumnRenamed("seen_frac", "substr_seen_frac")
                 .drop("n_tokens", "seen_windows", "seen_token_cov")
@@ -831,6 +907,24 @@ def run_pipeline(
             from piperider_spark.operators.langid_model import langid_scored
 
             part = langid_scored(part, langid_model, "text")
+        # Make dynamic overwrite EXACT for reprocessed buckets: a mode-flip
+        # reprocess that yields ZERO rows for a bucket writes no partition
+        # at all, and dynamic overwrite would leave the previous
+        # processing's rows behind while lineage records the bucket done
+        # under the new mode (review finding). Every bucket in this wave is
+        # in `todo` — i.e. NOT committed under the current modes — so
+        # purging its partitions is safe; a crash before the lineage append
+        # leaves the bucket not-done and it reprocesses.
+        import shutil as _sh
+
+        for _base in (
+            decisions_path,
+            metrics_path,
+            os.path.join(output_dir, "conversations"),
+        ):
+            for _b in wave:
+                _sh.rmtree(os.path.join(_base, f"bucket={_b}"), ignore_errors=True)
+
         # persist: decisions write AND the metrics groupBy both consume
         # `decided`; without it the fused signals/scrub UDF stage and the
         # lag-window shuffle would execute twice per wave
@@ -911,13 +1005,16 @@ def run_pipeline(
                     bpe_mode,
                     clf_mode,
                     langid_mode,
+                    spec_sig,
+                    float(conv_min_keep_frac),
                     time.time(),
                 )
                 for b in wave
             ],
             "run_id string, bucket int, elapsed_ms long, conv_rollup boolean, "
             "dedup_mode string, dsir_mode string, substr_mode string, "
-            "bpe_mode string, clf_mode string, langid_mode string, ts double",
+            "bpe_mode string, clf_mode string, langid_mode string, "
+            "spec_sig string, rollup_frac double, ts double",
         )
         lineage_rows.write.mode("append").parquet(lineage_path)
         processed += len(wave)
@@ -1002,6 +1099,19 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         "--conv-rollup",
         action="store_true",
         help="also write conversations/ (conversation-grain stats + keep)",
+    )
+    p.add_argument(
+        "--conv-min-keep-frac",
+        type=float,
+        default=0.5,
+        help="kept-turn fraction a conversation needs for conv_keep "
+        "(with --conv-rollup; default 0.5)",
+    )
+    p.add_argument(
+        "--wave-buckets",
+        type=int,
+        default=8,
+        help="buckets per wave job (bounds crash-loss granularity; default 8)",
     )
     p.add_argument(
         "--conv-dedup",
@@ -1141,6 +1251,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry
         n_buckets=args.buckets,
         resume=not args.no_resume,
         conv_rollup=args.conv_rollup,
+        conv_min_keep_frac=args.conv_min_keep_frac,
+        wave_buckets=args.wave_buckets,
         conv_dedup=args.conv_dedup,
         conv_near_dedup=args.conv_near_dedup,
         conv_near_threshold=args.conv_near_threshold,

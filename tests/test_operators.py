@@ -3210,3 +3210,35 @@ def test_sq8_partitioned_probe_prunes_and_matches_onfly(spark, tmp_path):
     bad = spark.createDataFrame([(1, [0.5] * 7)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="!= bounds dim"):
         pq.sq8_write_partitioned(bad, str(tmp_path / "b"), cents, lo, hi)
+
+
+def test_bloom_grain_and_layout_guards(spark):
+    """Review findings: (a) bloom_seen_flags must reject a window-grain
+    snapshot (probing fingerprints against window hashes yields zero true
+    hits plus fpp false drops); (b) a layout-forced build skips the
+    metadata-only count and stamps expected=-1, which bloom_or
+    propagates; (c) minhash_lsh_pairs rejects non-divisible banding like
+    its band-keys twin."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    wb = dedup.build_window_bloom(df, k_tokens=2, expected=64)
+    with pytest.raises(ValueError, match="not a fingerprint-grain"):
+        dedup.bloom_seen_flags(df, wb)
+
+    fb = dedup.build_fingerprint_bloom(df, expected=64)
+    inherit = dedup.build_fingerprint_bloom(
+        df, layout=(fb["m_bits"], fb["k"]), fpp=fb["fpp"]
+    )
+    assert inherit["expected"] == -1
+    assert dedup.bloom_or(fb, inherit)["expected"] == -1
+    # flags still work against the layout-inherited build
+    rows = {
+        r.doc_id: r.maybe_seen
+        for r in dedup.bloom_seen_flags(df, inherit).collect()
+    }
+    assert rows == {1: True, 2: True}
+
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(df, n_hashes=8, n_bands=3)

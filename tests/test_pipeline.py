@@ -1038,3 +1038,131 @@ def test_pipeline_langid_stage_and_mode_resume(spark, transcripts_pdf, tmp_path)
     assert r3.buckets_processed == 4
     cols = set(spark.read.parquet(r1.decisions_path).columns)
     assert "ft_lang" not in cols and "ft_lang_prob" not in cols
+
+
+def _write_pdf(pdf, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_restage_purges_trained_sidecars(spark, tmp_path):
+    """Review finding: the restage purge cleared dsir_ratio but not the
+    bpe/clf/langid sidecars, so a new input silently reused artifacts
+    trained on the OLD corpus. After an input change the BPE artifact must
+    equal an independent fit on the new corpus."""
+    from piperider_spark.operators import bpe as _bpe
+
+    a = generate_transcripts(600, seed=31)
+    b = generate_transcripts(600, seed=32)
+    inp_a, inp_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    _write_pdf(a, inp_a)
+    _write_pdf(b, inp_b)
+    out = str(tmp_path / "out")
+
+    run_pipeline(spark, inp_a, out, n_buckets=2, bpe_train=25)
+    merges_a = _bpe.load_merges(spark, out + "/bpe_merges")
+    run_pipeline(spark, inp_b, out, n_buckets=2, bpe_train=25)
+    merges_b = _bpe.load_merges(spark, out + "/bpe_merges")
+
+    want_b = _bpe.train_bpe(
+        _bpe.bpe_word_counts(
+            spark.createDataFrame(b), "text", min_count=2, top_words=50_000
+        ),
+        n_merges=25,
+    )
+    assert merges_b == want_b
+    assert merges_a != merges_b  # different corpora -> different fits
+
+
+def test_mode_flip_reprocess_purges_stale_partitions(spark, tmp_path):
+    """Review finding: dynamic partition overwrite writes nothing for a
+    bucket whose reprocess yields ZERO rows, leaving the previous
+    processing's rows behind. A bloom-history flip that gates EVERY
+    conversation must leave decisions/ empty."""
+    from piperider_spark.operators.dedup import (
+        build_fingerprint_bloom,
+        conversation_text,
+        save_bloom,
+    )
+
+    pdf = generate_transcripts(400, seed=33)
+    inp = str(tmp_path / "t.parquet")
+    _write_pdf(pdf, inp)
+    out = str(tmp_path / "out")
+
+    run_pipeline(spark, inp, out, n_buckets=2)
+    n1 = spark.read.parquet(out + "/decisions").count()
+    assert n1 == len(pdf)
+
+    # snapshot containing EVERY conversation of this corpus
+    snap = str(tmp_path / "hist.bloom")
+    bloom = build_fingerprint_bloom(
+        conversation_text(spark.createDataFrame(pdf), sep="\x1e"),
+        text_col="conv_text",
+        expected=1000,
+    )
+    save_bloom(bloom, snap)
+
+    r2 = run_pipeline(spark, inp, out, n_buckets=2, bloom_history=snap)
+    assert r2.buckets_processed == 2  # mode flip reprocesses
+    import glob
+
+    files = glob.glob(out + "/decisions/bucket=*/*.parquet")
+    assert files == [], f"stale partitions survived: {files}"
+
+
+def test_spec_change_invalidates_resume(spark, tmp_path):
+    """Review finding: lineage tracked every mode knob but not the
+    RuleSpec itself — resuming with changed thresholds served decisions
+    computed under the old policy."""
+    from piperider_spark.rules.spec import RuleSpec
+
+    pdf = generate_transcripts(400, seed=34)
+    inp = str(tmp_path / "t.parquet")
+    _write_pdf(pdf, inp)
+    out = str(tmp_path / "out")
+
+    r1 = run_pipeline(spark, inp, out, n_buckets=2)
+    assert r1.buckets_processed == 2
+    # same spec resumes
+    r2 = run_pipeline(spark, inp, out, n_buckets=2)
+    assert r2.buckets_skipped == 2
+    # changed thresholds reprocess, and the output reflects them
+    tight = RuleSpec(max_chars=40)
+    r3 = run_pipeline(spark, inp, out, n_buckets=2, spec=tight)
+    assert r3.buckets_processed == 2
+    dec = spark.read.parquet(out + "/decisions")
+    import pyspark.sql.functions as SF
+
+    long_kept = dec.where(
+        SF.length("text_scrubbed") > 40
+    ).count()
+    assert long_kept == 0  # every kept row obeys the NEW bound
+    # and the rollup threshold binds resume only when the rollup runs
+    r4 = run_pipeline(spark, inp, out, n_buckets=2, spec=tight)
+    assert r4.buckets_skipped == 2
+
+
+def test_artifact_key_tracks_content(tmp_path):
+    """Review finding: artifact identity was the PATH, so an in-place
+    updated snapshot did not invalidate resume. The key must change when
+    the file content/mtime changes and when a dir listing changes."""
+    import time as _t
+
+    from piperider_spark.pipeline import _artifact_key
+
+    f = tmp_path / "model.bin"
+    f.write_bytes(b"epoch1")
+    k1 = _artifact_key(str(f))
+    _t.sleep(0.01)
+    f.write_bytes(b"epoch2!")  # different size + mtime
+    assert _artifact_key(str(f)) != k1
+
+    d = tmp_path / "artifact"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaa")
+    kd1 = _artifact_key(str(d))
+    (d / "part-1.parquet").write_bytes(b"bbb")
+    assert _artifact_key(str(d)) != kd1
