@@ -14,9 +14,14 @@ verbatim (``pattern.pattern``) — there is nothing here to drift.
 Equivalence contract (measured, pinned in test_signals_fast_paths.py):
   * ASCII text: byte-identical to ``rules.scrub_text`` across Python, Java
     (Spark) and RE2 (DuckDB) — three-way tested.
-  * Java vs the Python spec diverges in exactly ONE class: ``\\d`` is
+  * Java vs the Python spec diverges in TWO classes: (1) ``\\d`` is
     Unicode-aware in Python (arabic-indic digit SSNs scrub) but ASCII in
-    Java (they don't). Java's ``\\b`` IS Unicode-aware like Python's, so
+    Java (they don't); (2) ``(?i)`` — Java's CASE_INSENSITIVE without
+    UNICODE_CASE folds US-ASCII pairs only, while Python's IGNORECASE
+    additionally folds the sre equivalences (ſ↔s U+017F, ı↔i U+0131,
+    Kelvin↔k …), so e.g. ``ſmeghead`` is scrubbed by the Python spec but
+    not by this path (the DuckDB ``scrub_sql_exprs`` oracle shares the
+    ASCII-only fold). Java's ``\\b`` IS Unicode-aware like Python's, so
     word-boundary adjacency agrees (measured: ``é123-45-6789`` unscrubbed
     in both).
   * RE2 (the DuckDB oracle form) additionally has an ASCII-only ``\\b``,

@@ -74,6 +74,45 @@ _TOXIC_RE = re.compile(
 )
 TOXIC_REPLACEMENT = "<TOX>"
 
+# re.IGNORECASE matches a handful of EXTRA equivalences beyond str.lower()
+# (ſ↔s U+017F, ı↔i U+0131, Kelvin↔k, ...): sre folds them via its own
+# table, so a lower()-based candidate scan would MISS e.g. 'ſcumbucket'
+# that the authoritative regex scrubs (review finding — the byte-identical
+# serial/vectorized contract broke on those rows). The candidate scan
+# therefore translates every non-canonical member of each sre equivalence
+# group to its canonical char (group[0] — the ASCII letter for the latin
+# groups) AFTER lowering; translate is 1:1 per char so byte offsets stay
+# aligned. The table is read from the running stdlib's own sre data so it
+# cannot drift from the regex engine's behavior; the fallback list covers
+# the latin groups, the only ones reachable from an ASCII lexicon.
+try:  # py3.11+: re._compiler; older: sre_compile
+    from re import _compiler as _sre_compiler  # type: ignore[attr-defined]
+
+    _SRE_EQUIV = _sre_compiler._equivalences
+except Exception:  # pragma: no cover
+    try:
+        import sre_compile as _sre_compiler  # type: ignore[import]
+
+        _SRE_EQUIV = _sre_compiler._equivalences
+    except Exception:
+        _SRE_EQUIV = ((0x69, 0x131), (0x73, 0x17F), (0x6B, 0x212A), (0xE5, 0x212B))
+_CASE_EQUIV_TABLE = {
+    cp: chr(group[0]) for group in _SRE_EQUIV for cp in group[1:]
+}
+
+# Soundness constraint of the toxicity candidate scan (it reads the
+# PRE-PII text): no lexicon word may occur inside a PII replacement token,
+# or substitution could create a toxic match the scan never saw. Enforced
+# at import so a swapped lexicon cannot silently break byte-parity.
+_REPL_BLOB = " ".join(repl.lower() for _n, _p, repl in SCRUB_RULES)
+for _w in TOXIC_LEXICON:
+    if _w in _REPL_BLOB:
+        raise ValueError(
+            f"TOXIC_LEXICON word {_w!r} occurs inside a PII replacement "
+            "token — the vectorized candidate scan reads pre-PII text and "
+            "would miss matches the serial spec produces"
+        )
+
 # Necessary-condition bytes for the PII rules (detection prefilter):
 # email needs '@'; ssn/phone/ipv4 need a digit; api_key needs '-' or '_'.
 # A row containing NONE of these bytes is invariant under all five rules —
@@ -153,6 +192,11 @@ def scrub_series(texts) -> "object":
     # maps 1:1 per char (unicode length-changing lowercasings are the only
     # exception → full-blob fallback pass, correct just slower).
     low = blob.lower()
+    if not low.isascii():
+        # fold the sre extra case-equivalences the regex would match but
+        # lower() leaves alone (ſ→s, ı→i, …); isascii() is a free C check
+        # and ASCII blobs (the common case) skip the extra pass entirely
+        low = low.translate(_CASE_EQUIV_TABLE)
     if len(low) != len(blob):
         full = "\x00".join(scrubbed)
         scrubbed = np.array(

@@ -17,8 +17,9 @@ Scale notes: state per conversation is a fixed-size digest of the previous
 turn (md5 hex + length — exact byte-equality semantics with bounded state;
 a digest collision would need an md5 collision inside one conversation),
 so 10^9 live conversations ≈ tens of GB of state across the cluster,
-within RocksDB state-store norms. Watermark on ts ages out idle
-conversations.
+within RocksDB state-store norms. For continuous deployments pass
+``state_ttl`` — state is evicted ONLY by timeouts (a watermark does not
+age out applyInPandasWithState state).
 """
 
 from __future__ import annotations
@@ -71,65 +72,114 @@ def _fingerprint(text: Any) -> tuple[str, int] | None:
     return hashlib.md5(text.encode("utf-8", "surrogatepass")).hexdigest(), len(text)
 
 
-def _dup_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Lag-1 text equality within a conversation, from keyed state.
+def _make_dup_state_fn(ttl_ms: int | None):
+    def _dup_state_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Lag-1 text equality within a conversation, from keyed state.
 
-    All of the group's Arrow chunks are concatenated and sorted ONCE by
-    turn_idx before flags are computed — a conversation whose micro-batch
-    rows span multiple chunks would otherwise be processed in chunk order
-    and compare against the wrong neighbor (exactly the long-conversation
-    skew case this module targets). The state carries the last turn's
-    digest across micro-batches.
-    """
-    (conv_id,) = key
-    if state.exists:
-        last_idx, last_md5, last_len = state.get
-    else:
-        last_idx, last_md5, last_len = -1, None, -1
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if not chunks:
-        state.update((last_idx, last_md5, last_len))
-        return
-    pdf = (
-        pd.concat(chunks, ignore_index=True)
-        if len(chunks) > 1
-        else chunks[0]
-    ).sort_values("turn_idx", kind="mergesort")
-    flags = []
-    for text in pdf["text"]:
-        fp = _fingerprint(text)
-        dup = fp is not None and last_md5 is not None and fp == (last_md5, last_len)
-        flags.append(bool(dup))
-        if fp is None:
-            last_md5, last_len = None, -1
+        All of the group's Arrow chunks are concatenated and sorted ONCE by
+        turn_idx before flags are computed — a conversation whose micro-batch
+        rows span multiple chunks would otherwise be processed in chunk order
+        and compare against the wrong neighbor (exactly the long-conversation
+        skew case this module targets). The state carries the last turn's
+        digest across micro-batches.
+        """
+        (conv_id,) = key
+        if state.exists and not state.hasTimedOut:
+            last_idx, last_md5, last_len = state.get
         else:
-            last_md5, last_len = fp
-    pdf = pdf.assign(r_duplicate_turn=flags)
-    last_idx = int(pdf["turn_idx"].iloc[-1])
-    state.update((last_idx, last_md5, last_len))
-    yield pdf[[f.name for f in _DUP_OUT_TYPE.fields]]
+            if state.hasTimedOut:
+                # idle conversation evicted (state_ttl): a turn arriving later
+                # re-seeds the frontier and compares against nothing — the
+                # documented bounded-state trade, conservative (never a false
+                # duplicate flag)
+                state.remove()
+                return
+            last_idx, last_md5, last_len = -1, None, -1
+        # with data-driven invocation the chunk iterator is never all-empty;
+        # guard anyway (a bare return leaves state untouched)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("turn_idx", kind="mergesort")
+        flags = []
+        for t_idx, text in zip(pdf["turn_idx"], pdf["text"]):
+            if last_idx >= 0 and int(t_idx) <= last_idx:
+                # LATE ARRIVAL below the committed frontier (cross-micro-batch
+                # reordering / at-least-once replay): its true lag neighbour
+                # already shipped, so comparing against the frontier digest
+                # would flag against the WRONG row (review finding). Flag
+                # conservatively False and leave the frontier state alone —
+                # streaming == batch whenever per-conversation delivery is
+                # turn-ordered (the file-source replay guarantee the pinned
+                # equality tests run under), and a violation degrades to a
+                # kept row, never a false drop.
+                flags.append(False)
+                continue
+            fp = _fingerprint(text)
+            dup = fp is not None and last_md5 is not None and fp == (last_md5, last_len)
+            flags.append(bool(dup))
+            if fp is None:
+                last_md5, last_len = None, -1
+            else:
+                last_md5, last_len = fp
+            last_idx = int(t_idx)
+        pdf = pdf.assign(r_duplicate_turn=flags)
+        state.update((last_idx, last_md5, last_len))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pdf[[f.name for f in _DUP_OUT_TYPE.fields]]
+
+    return _dup_state_fn
 
 
-def with_streaming_dup_flag(stream_df: DataFrame) -> DataFrame:
-    """Attach r_duplicate_turn via keyed conversation state."""
+def with_streaming_dup_flag(
+    stream_df: DataFrame, state_ttl: str | None = None
+) -> DataFrame:
+    """Attach r_duplicate_turn via keyed conversation state.
+
+    ``state_ttl`` (duration string, e.g. ``"30 minutes"``) bounds state for
+    CONTINUOUS deployments via a processing-time timeout: a conversation
+    idle for the duration is evicted (a later turn then compares against
+    nothing — conservative, never a false duplicate flag). Without it,
+    state is one fixed-size digest per conversation FOREVER — fine for
+    drain-style runs, unbounded for continuous ones (review finding: the
+    module header used to claim the watermark evicts this state; it does
+    not — only timeouts evict applyInPandasWithState state). The same
+    AvailableNow caveat as :func:`stream_exact_dedup` applies: leave the
+    TTL unset for drain-style runs."""
+    ttl = _ttl_ms(state_ttl)
     return stream_df.groupBy("conv_id").applyInPandasWithState(
-        _dup_state_fn,
+        _make_dup_state_fn(ttl),
         outputStructType=_DUP_OUT_TYPE,
         stateStructType=_DUP_STATE_TYPE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
-def stream_decisions(stream_df: DataFrame, spec: RuleSpec = DEFAULT_SPEC) -> DataFrame:
+def stream_decisions(
+    stream_df: DataFrame,
+    spec: RuleSpec = DEFAULT_SPEC,
+    state_ttl: str | None = None,
+) -> DataFrame:
     """Full streaming plan: stateful dup flag → batch-identical signals,
     rules and scrub (shared code; with the digest-exact duplicate state the
-    streaming and batch outputs agree row-for-row)."""
+    streaming and batch outputs agree row-for-row under per-conversation
+    turn-ordered delivery). ``state_ttl`` bounds the per-conversation dup
+    state for continuous deployments (see with_streaming_dup_flag)."""
     from piperider_spark.pipeline import build_decisions
 
-    flagged = with_streaming_dup_flag(stream_df)
+    flagged = with_streaming_dup_flag(stream_df, state_ttl=state_ttl)
     return build_decisions(flagged, spec)
 
 
@@ -171,9 +221,10 @@ def _make_first_seen_fn(ttl_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
+        # data-driven invocation: the chunk iterator is never all-empty
+        # (the timeout case returned above); guard with a bare return
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
-            state.update((True,)) if state.exists else None
             return
         pdf = (
             pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
@@ -325,7 +376,11 @@ def stream_near_dup_candidates(
             F.col(id_col).cast("long").alias("doc_id"),
             F.explode(keys).alias("band_key"),
         )
-        .where(F.col("band_key").isNotNull())
+        # band keys depend only on text, so a NULL/uncastable doc_id would
+        # reach the stateful fn as NaN and permanently wedge the query
+        # (int(NaN) raises, the task dies, the checkpoint replays it) —
+        # rows without a dedup identity are filtered with the keys
+        .where(F.col("band_key").isNotNull() & F.col(id_col).isNotNull())
     )
     return exploded.groupBy("band_key").applyInPandasWithState(
         _make_bucket_first_fn(ttl) if ttl is not None else _bucket_first_fn,
@@ -467,7 +522,11 @@ def stream_near_dup_verified(
             shingle_hashes.alias("shingles"),
             F.explode(keys).alias("band_key"),
         )
-        .where(F.col("band_key").isNotNull())
+        # band keys depend only on text, so a NULL/uncastable doc_id would
+        # reach the stateful fn as NaN and permanently wedge the query
+        # (int(NaN) raises, the task dies, the checkpoint replays it) —
+        # rows without a dedup identity are filtered with the keys
+        .where(F.col("band_key").isNotNull() & F.col(id_col).isNotNull())
     )
     return exploded.groupBy("band_key").applyInPandasWithState(
         _make_bucket_verify_fn(threshold, _ttl_ms(state_ttl)),
@@ -681,18 +740,19 @@ def run_stream_once(
     """Drain all available input once (Trigger.AvailableNow) and write
     decisions to parquet — the test/ops entry point; a production job runs
     the same query with a continuous trigger."""
-    from piperider_spark.pipeline import TRANSCRIPT_COLUMNS  # noqa: F401
+    from piperider_spark.pipeline import TRANSCRIPT_COLUMNS
 
-    schema = StructType(
-        [
-            StructField("conv_id", StringType()),
-            StructField("turn_idx", IntegerType()),
-            StructField("role", StringType()),
-            StructField("text", StringType()),
-            StructField("tool", StringType()),
-            StructField("ts", TimestampType()),
-        ]
-    )
+    # one source of truth: the field ORDER comes from the pipeline
+    # contract; only the types are stated here
+    _types = {
+        "conv_id": StringType(),
+        "turn_idx": IntegerType(),
+        "role": StringType(),
+        "text": StringType(),
+        "tool": StringType(),
+        "ts": TimestampType(),
+    }
+    schema = StructType([StructField(c, _types[c]) for c in TRANSCRIPT_COLUMNS])
     stream = spark.readStream.schema(schema).parquet(input_path)
     decided = stream_decisions(stream, spec).select(
         "conv_id", "turn_idx", "role", "ts", "keep", "reasons", "lang", "ppl", "text_scrubbed"

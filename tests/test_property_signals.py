@@ -35,6 +35,12 @@ text_strategy = st.one_of(
             "call 555-123-4567 or mail a@b.co ssn 123-45-6789",
             "word " * 40,
             " ",
+            # sre IGNORECASE extra case-equivalences (ſ↔s, ı↔i, K↔k):
+            # the vectorized candidate scan must admit these rows like the
+            # serial regex does (regression corpus for the ſcumbucket fix)
+            "ſcumbucket ſmeghead dırtbag",
+            "İstanbul frak and Kelvin gorram",
+            "ſ ı K Å mixed with frak",
         ]
     ),
 )

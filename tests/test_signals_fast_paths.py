@@ -289,3 +289,23 @@ def test_fused_signals_and_ppl_equals_separate_paths():
     fused2 = text_signals_and_ppl_batch(bad)
     assert np.array_equal(fused2["ppl"].values, perplexity_batch(bad).values)
     assert list(fused2["lang"]) == list(text_signals_batch(bad)["lang"])
+
+
+def test_scrub_unicode_case_equivalents_match_serial():
+    """Review finding (reproduced): re.IGNORECASE folds the sre extra
+    equivalences (ſ↔s U+017F, ı↔i U+0131) that str.lower() does not, so
+    the lower()-based candidate scan missed 'ſcumbucket' that the
+    authoritative regex scrubs — breaking the byte-identical contract.
+    The translate-table fix must make every such row serial-equal."""
+    cases = [
+        "ſcumbucket is here",
+        "dırtbag alert",
+        "ſmeghead",
+        "İstanbul frak",       # len-changing lower -> full-blob fallback
+        "Kelvin frak",         # U+212A lowers to k via str.lower already
+        "plain ſ and ı noise", # equivalence chars without a toxic word
+        None,
+    ]
+    s = pd.Series(cases, dtype=object)
+    assert scrub_series(s).tolist() == [scrub_text(t) for t in cases]
+    assert scrub_text("ſcumbucket is here") == "<TOX> is here"

@@ -2046,3 +2046,118 @@ def test_stream_pq_encode_matches_batch(spark, tmp_path):
         r.vec_id: tuple(r.pq_code) for r in pq.pq_encode(batch, books).collect()
     }
     assert got == want and len(got) == len(X)
+
+
+def test_stream_near_dup_null_doc_id_not_poison(spark, tmp_path):
+    """Review finding: a NULL doc_id row passed the band-key filter (keys
+    depend only on text) and reached the stateful fn as NaN, where
+    int(NaN) raised and permanently wedged the query. NULL-id rows must
+    be filtered out and the query must complete."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from piperider_spark.streaming.filter_stream import stream_near_dup_candidates
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (None, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(inp / "p0.parquet")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(inp / "p0.parquet"))
+    q = (
+        stream_near_dup_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("null_id_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # would raise on the poisoned task pre-fix
+    got = spark.sql("select * from null_id_stream").collect()
+    ids = {r.doc_id for r in got}
+    assert None not in ids
+    # doc 2 is still flagged as a candidate against owner doc 1
+    assert any(r.doc_id == 2 and r.first_doc_id == 1 for r in got)
+
+
+def test_stream_dup_flag_late_arrival_is_conservative(spark, tmp_path):
+    """Review finding: a turn arriving BELOW the conversation's committed
+    frontier (cross-micro-batch reordering) was compared against the
+    frontier digest — the wrong neighbour. Late rows must flag False
+    (conservative keep) and leave the frontier state intact; in-order
+    conversations keep exact batch equality."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from piperider_spark.streaming.filter_stream import with_streaming_dup_flag
+
+    import datetime as _dt
+
+    t0 = _dt.datetime(2026, 1, 1)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    schema_ddl = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # micro-batch 1: turns 0 and 2 (turn 1 delayed)
+    spark.createDataFrame(
+        [
+            ("c", 0, "user", "hello", None, t0),
+            ("c", 2, "assistant", "same text", None, t0),
+            ("o", 0, "user", "aaa", None, t0),
+            ("o", 1, "user", "aaa", None, t0),
+        ],
+        schema_ddl,
+    ).write.parquet(str(inp / "b1.parquet"))
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    sink = str(tmp_path / "sink")
+
+    def drain(qname):
+        stream = spark.readStream.schema(schema).parquet(str(inp) + "/*.parquet")
+        q = (
+            with_streaming_dup_flag(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.conv_id, r.turn_idx): r.r_duplicate_turn
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    got1 = drain("late1")
+    assert got1[("o", 1)] is True  # in-order conversation: exact lag
+    assert got1[("c", 2)] is False
+
+    # micro-batch 2: the LATE turn 1 whose text equals turn 2's — the
+    # frontier digest; pre-fix it was flagged True against the wrong row
+    spark.createDataFrame(
+        [("c", 1, "assistant", "same text", None, t0)], schema_ddl
+    ).write.parquet(str(inp / "b2.parquet"))
+    got2 = drain("late2")
+    assert got2[("c", 1)] is False
