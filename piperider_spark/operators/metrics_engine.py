@@ -14,7 +14,7 @@ hundred periods); the aggregate side shuffles once on the truncated date.
 
 from __future__ import annotations
 
-from datetime import date
+from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +40,23 @@ AGG_FNS = {
 
 ADDITIVE = {"count", "count_distinct", "sum"}  # zero-filled after spine join
                                               # (metrics.py:207-213)
+
+
+def _trunc_date(d: date, grain: str) -> date:
+    """Driver-side twin of the engine's date_trunc for spine bounds."""
+    if isinstance(d, datetime):
+        d = d.date()
+    if grain == "day":
+        return d
+    if grain == "week":
+        return d - timedelta(days=d.weekday())
+    if grain == "month":
+        return d.replace(day=1)
+    if grain == "quarter":
+        return d.replace(month=((d.month - 1) // 3) * 3 + 1, day=1)
+    if grain == "year":
+        return d.replace(month=1, day=1)
+    raise ValueError(f"unknown grain {grain!r}")
 
 
 def date_spine(spark: SparkSession, start: date, end: date, grain: str) -> DataFrame:
@@ -69,28 +86,36 @@ def metric_series(
     otherwise) — the reference's spine semantics."""
     spark = df.sparkSession
     src = df.where(where) if where else df
-    trunc = F.date_trunc(grain if grain != "week" else "week", F.col(ts_col)).cast("date")
+    trunc = F.date_trunc(grain, F.col(ts_col)).cast("date")
     agg = (
         src.where(F.col(ts_col).isNotNull())
         .groupBy(trunc.alias("d"))
         .agg(AGG_FNS[calculation](F.col(value_col)).alias("m"))
     )
     if start is None or end is None:
-        # bounds must be grain-TRUNCATED: the spine steps whole grains from
-        # `start`, and the join keys on the aggregate side are truncated —
-        # a raw mid-week/mid-month min date would misalign every spine point
         lo, hi = src.agg(F.min(trunc), F.max(trunc)).collect()[0]
         start = start or lo
         end = end or hi
     if start is None:
         return spark.createDataFrame([], "d date, value double")
+    # Bounds must be grain-TRUNCATED: the spine steps whole grains from
+    # `start` and the aggregate keys are truncated, so a raw mid-month
+    # start would misalign EVERY spine point and the additive zero-fill
+    # would silently report an all-zero series (review finding — the old
+    # comment stated the requirement but only the derived path met it).
+    # Truncate both bounds here, for user-supplied values too.
+    start = _trunc_date(start, grain)
+    end = _trunc_date(end, grain)
     spine = date_spine(spark, start, end, grain)
     value = F.col("m")
     if calculation in ADDITIVE:
         value = F.coalesce(value, F.lit(0))
+    # broadcast the AGGREGATE side (≤ one row per period): the spine is
+    # the left join's PRESERVED side, which Spark cannot use as a
+    # broadcast build side for LeftOuter — the old broadcast(spine) hint
+    # was silently unusable (review finding)
     return (
-        F.broadcast(spine)
-        .join(agg, "d", "left")
+        spine.join(F.broadcast(agg), "d", "left")
         .select("d", value.cast("double").alias("value"))
         .orderBy("d")
     )

@@ -83,12 +83,9 @@ def gopher_repetition_stats(
     df = _ensure_parallel(df)
     text = F.col(text_col)
     toks = tokens(F.lower(text))
-    lines = F.when(text.isNull(), _empty()).otherwise(
-        F.filter(
-            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
-            lambda l: F.length(l) > 0,
-        )
-    )
+    lines = _trimmed_lines(text)  # single-sourced line spec (shared with
+    # gopher_quality_stats — a drift here would desync the repetition
+    # metrics from the quality metrics and the DuckDB oracle)
 
     top_ns = sorted(TOP_NGRAM_CHAR_FRAC_MAX)
     dup_ns = sorted(DUP_NGRAM_CHAR_FRAC_MAX)

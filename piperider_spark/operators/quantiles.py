@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _disc_rank(p: float, n: int) -> int:
+    """Smallest 1-based rank r with ``r/n >= p`` under IEEE double
+    division — the exact ``percentile_disc`` / ``cume_dist`` selection
+    rule. ``ceil(p*n)`` is only an estimate (float products round both
+    ways); the fix-up loops move at most a step or two."""
+    r = max(int(math.ceil(p * n)), 1)
+    while r > 1 and (r - 1) / n >= p:
+        r -= 1
+    while r < n and r / n < p:
+        r += 1
+    return r
+
+
 def percentile_disc_multi(
     df: DataFrame,
     col: str,
@@ -60,7 +73,9 @@ def percentile_disc_multi(
     blocks are executor-resident and not recomputable after executor
     loss — a production job that needs fault-tolerant lineage should
     checkpoint to reliable storage instead."""
-    aliases = aliases or tuple(f"p{int(p * 100)}" for p in ps)
+    # round, not int-truncate: int(0.29*100) == 28 (review finding — a
+    # mislabeled column, and (0.28, 0.29) would produce two 'p28's)
+    aliases = aliases or tuple(f"p{round(p * 100)}" for p in ps)
     vc = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("v"))
@@ -107,8 +122,18 @@ def percentile_disc_multi(
             F.sum("cnt").over(w).alias("cum"),
             F.sum("cnt").over(wn).alias("n"),
         )
+        # compare cume_dist DIRECTLY (cum/n as double >= p) — the
+        # definitional percentile_disc rule. The previous ceil(p*n) rank
+        # diverges for non-canonical p under float rounding (review
+        # finding: 0.07*100 = 7.000000000000001 → rank 8, while
+        # percentile_disc returns the 7th value).
         aggs = [
-            F.min(F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("v"))).alias(a)
+            F.min(
+                F.when(
+                    (F.col("cum").cast("double") / F.col("n")) >= F.lit(float(p)),
+                    F.col("v"),
+                )
+            ).alias(a)
             for p, a in zip(ps, aliases)
         ]
         return cum.agg(*aggs)
@@ -146,8 +171,14 @@ def percentile_disc_multi(
         "v",
         (F.sum("cnt").over(wb) + offset_map[F.col("b")]).alias("cum"),
     )
+    # exact percentile_disc rank: smallest r with fl(r/n) >= p under IEEE
+    # double division (python floats and JVM doubles share IEEE-754, so
+    # this driver-side loop reproduces the engine comparison bit-for-bit);
+    # ceil(p*n) alone is off by one for non-canonical p (review finding)
     aggs = [
-        F.min(F.when(F.col("cum") >= F.lit(int(math.ceil(p * n_total))), F.col("v"))).alias(a)
+        F.min(
+            F.when(F.col("cum") >= F.lit(_disc_rank(p, n_total)), F.col("v"))
+        ).alias(a)
         for p, a in zip(ps, aliases)
     ]
     return cum.agg(*aggs)

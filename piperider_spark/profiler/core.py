@@ -33,6 +33,7 @@ reference's approx branches on redshift/athena (profiler.py:1163-1173).
 
 from __future__ import annotations
 
+import decimal as _decimal
 import math
 from dataclasses import dataclass
 from datetime import date, datetime
@@ -408,28 +409,37 @@ def _datetime_bucket_plan(vmin, vmax) -> dict:
         vmin_d, vmax_d = vmin, vmax
     if isinstance(vmax, datetime):
         vmax_d = vmax.date()
+    # The year-3000 cap applies to BOTH edges: a column of far-future
+    # sentinel dates (9999-12-31 is common) previously clamped only dmax,
+    # yielding a NEGATIVE bucket count (np.bincount ValueError in the
+    # executor) or a ZeroDivisionError in the yearly branch when
+    # dmin.year >= 3000 (review finding, both reproduced).
+    if vmin_d.year >= 3000:
+        vmin_d = date(2999, 12, 31)
+    if vmax_d < vmin_d:
+        vmax_d = vmin_d
     days_delta = (vmax_d - vmin_d).days
 
     if days_delta > 365 * 4:
         grain = "yearly"
         dmin = date(vmin_d.year, 1, 1)
         dmax = date(vmax_d.year, 1, 1) + relativedelta(years=+1) if vmax_d.year < 3000 else date(3000, 1, 1)
-        k = math.ceil((dmax.year - dmin.year) / HISTOGRAM_NUM_BUCKET)
+        k = max(math.ceil((dmax.year - dmin.year) / HISTOGRAM_NUM_BUCKET), 1)
         interval = relativedelta(years=+k)
-        nb = math.ceil((dmax.year - dmin.year) / k)
+        nb = max(math.ceil((dmax.year - dmin.year) / k), 1)
     elif days_delta > 60:
         grain = "monthly"
         interval = relativedelta(months=+1)
         dmin = date(vmin_d.year, vmin_d.month, 1)
         dmax = date(vmax_d.year, vmax_d.month, 1) + interval if vmax_d.year < 3000 else date(3000, 1, 1)
         period = relativedelta(dmax, dmin)
-        nb = period.years * 12 + period.months
+        nb = max(period.years * 12 + period.months, 1)
     else:
         grain = "daily"
         interval = relativedelta(days=+1)
         dmin = vmin_d
         dmax = vmax_d + interval if vmax_d.year < 3000 else date(3000, 1, 1)
-        nb = (dmax - dmin).days
+        nb = max((dmax - dmin).days, 1)
     return {"grain": grain, "dmin": dmin, "interval": interval, "nb": nb}
 
 
@@ -578,8 +588,10 @@ def _distribution_pass(
         if out_rows:
             yield pd.DataFrame(out_rows)
 
+    import json
+
     rows = vc.repartition("ci").mapInPandas(fn, "ci int, stats string").collect()
-    return {r["ci"]: __import__("json").loads(r["stats"]) for r in rows}
+    return {r["ci"]: json.loads(r["stats"]) for r in rows}
 
 
 # ---------------------------------------------------------------------------
@@ -752,8 +764,22 @@ class Profiler:
             if not row[f"{name}::non_nulls"]:
                 continue
             if generic in ("integer", "numeric"):
-                vmin, vmax = rv(name, "min"), rv(name, "max")
-                if vmin is None or not (math.isfinite(vmin) and math.isfinite(vmax)):
+                # raw row values, NOT rv(): json_safe stringifies NaN/inf
+                # ('nan'), which made the isfinite guard raise TypeError and
+                # crash the whole table profile on any column containing a
+                # NaN (review finding — max() returns NaN when one exists).
+                # Decimal→float here matches what json_safe did for the
+                # finite path.
+                vmin, vmax = row.get(f"{name}::min"), row.get(f"{name}::max")
+                if isinstance(vmin, _decimal.Decimal):
+                    vmin = float(vmin)
+                if isinstance(vmax, _decimal.Decimal):
+                    vmax = float(vmax)
+                if (
+                    vmin is None
+                    or vmax is None
+                    or not (math.isfinite(vmin) and math.isfinite(vmax))
+                ):
                     continue
                 interval, nb = _numeric_bucket_plan(vmin, vmax, is_int)
                 hist_by_col[name] = _numeric_histogram_shell(vmin, vmax, interval, nb, is_int)
@@ -966,7 +992,18 @@ class Profiler:
             # cover ALL items of the sampled rows — re-applying the limit to
             # exploded item rows would under-sample arrays
             sub = Profiler(
-                ProfilerConfig(limit=0, duplicate_rows=False, approx=cfg.approx)
+                # propagate the caller's cardinality-guard settings: the
+                # sub-profile must honor an explicit exact_distribution_cap
+                # (review finding: it silently reverted to the default, so
+                # a high-cardinality array column ran the exact pass the
+                # caller had routed to the sketch). declared_types stays
+                # out: typed array items never go through untyped staging.
+                ProfilerConfig(
+                    limit=0,
+                    duplicate_rows=False,
+                    approx=cfg.approx,
+                    exact_distribution_cap=cfg.exact_distribution_cap,
+                )
             ).profile_table(exploded, f"{table_name}.{path}")
             for cname, cprof in sub["columns"].items():
                 if cname == path:  # array of scalars: ARRAY<item> label

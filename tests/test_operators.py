@@ -3242,3 +3242,42 @@ def test_bloom_grain_and_layout_guards(spark):
 
     with pytest.raises(ValueError, match="must divide"):
         dedup.minhash_lsh_pairs(df, n_hashes=8, n_bands=3)
+
+
+def test_percentile_disc_rank_matches_engine_for_noncanonical_p(spark, duck):
+    """Review finding (verified sweep: 454 mismatches): ceil(p*n) in float
+    overshoots for p like 0.07 (0.07*100 → 7.000000000000001 → rank 8)
+    while percentile_disc selects the 7th value. The rank now reproduces
+    the IEEE cume_dist comparison exactly — pinned against DuckDB's
+    percentile_disc for a sweep of awkward p values on both the bucketed
+    and the degenerate paths, plus the alias rounding fix."""
+    from piperider_spark.operators.quantiles import percentile_disc_multi
+
+    ps = (0.07, 0.13, 0.29, 0.61, 0.83)
+    vals = [float(v) for v in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = percentile_disc_multi(df, "x", ps).collect()[0].asDict()
+    assert list(got) == ["p7", "p13", "p29", "p61", "p83"]
+
+    arr = "[" + ",".join(str(v) for v in vals) + "]"
+    duck.execute(f"create or replace view t100 as select unnest({arr}::double[]) x")
+    want = duck.sql(
+        "select "
+        + ", ".join(
+            f"percentile_disc({p}) within group (order by x) as p{round(p*100)}"
+            for p in ps
+        )
+        + " from t100"
+    ).fetchone()
+    assert tuple(got.values()) == want
+
+    # degenerate path (single distinct value classes -> non-numeric route):
+    # string column takes the window fallback; same rule must hold
+    sdf = spark.createDataFrame([(chr(97 + i % 26) + str(i),) for i in range(100)], "x string")
+    got2 = percentile_disc_multi(sdf, "x", (0.07,)).collect()[0][0]
+    sarr = "[" + ",".join(f"'{chr(97 + i % 26)}{i}'" for i in range(100)) + "]"
+    duck.execute(f"create or replace view ts as select unnest({sarr}::varchar[]) x")
+    want2 = duck.sql(
+        "select percentile_disc(0.07) within group (order by x) from ts"
+    ).fetchone()[0]
+    assert got2 == want2

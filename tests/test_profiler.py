@@ -643,3 +643,59 @@ def test_uuid_approx_mode_skips_value_counts(spark):
     assert 45 <= r["distinct"] <= 55
     for absent in ("duplicates", "non_duplicates", "topk", "histogram"):
         assert absent not in r
+
+
+def test_profile_survives_nan_and_sentinel_dates(spark):
+    """Review findings, both previously crashed the whole table profile:
+    (1) a double column containing a NaN made max() return NaN, which
+    json_safe stringified to 'nan' and math.isfinite(str) raised
+    TypeError; (2) a datetime column of far-future sentinel dates
+    (9999-12-31) clamped only dmax to year 3000, producing a negative
+    bucket count (np.bincount ValueError) or a ZeroDivisionError. Both
+    columns must now profile, with the histogram skipped/clamped."""
+    import datetime as _dt
+
+    from piperider_spark.profiler.core import profile_table
+
+    rows = [
+        (float("nan"), _dt.datetime(9999, 12, 31), 1.0),
+        (2.5, _dt.datetime(9999, 12, 31), 2.0),
+        (3.5, _dt.datetime(9999, 12, 31), float("inf")),
+    ]
+    df = spark.createDataFrame(rows, "x double, d timestamp, y double")
+    rep = profile_table(df, "weird")
+    assert rep["row_count"] == 3
+    # NaN/inf columns: stats exist, histogram skipped (non-finite bounds)
+    assert rep["columns"]["x"]["non_nulls"] == 3
+    assert "histogram" not in rep["columns"]["x"] or not rep["columns"]["x"].get("histogram")
+    assert rep["columns"]["y"]["non_nulls"] == 3
+    # sentinel dates: profiled without a crash
+    assert rep["columns"]["d"]["non_nulls"] == 3
+
+
+def test_metric_series_truncates_user_bounds(spark):
+    """Review finding: user-supplied start/end were not grain-truncated,
+    so the spine misaligned with the truncated aggregate keys and the
+    additive zero-fill reported an all-zero series despite data."""
+    from datetime import date
+
+    import pandas as pd
+
+    from piperider_spark.operators.metrics_engine import metric_series
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2026-01-03", "2026-02-10", "2026-03-20"]),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = metric_series(
+        df, "ts", "v", "sum", "month", start=date(2026, 1, 15), end=date(2026, 3, 15)
+    )
+    rows = {r.d: r.value for r in out.collect()}
+    assert rows == {
+        date(2026, 1, 1): 1.0,
+        date(2026, 2, 1): 2.0,
+        date(2026, 3, 1): 3.0,
+    }
