@@ -99,7 +99,14 @@ def curate_corpus(
         enc_keep = encoding_quality_stats(df, text_col=text_col, id_col=id_col).select(
             id_col, F.col("keep").alias("_enc_keep")
         )
-    dup = exact_dup_flags(df, id_col, text_col).select(id_col, "is_canonical")
+    # materialize the tiny (id, is_canonical) frame: it feeds both the
+    # canonical semi-join below AND the final spine join — without this the
+    # full fingerprint groupBy+join shuffle executes twice per call
+    dup = (
+        exact_dup_flags(df, id_col, text_col)
+        .select(id_col, "is_canonical")
+        .localCheckpoint(eager=True)
+    )
     canon = df.join(
         dup.where(F.col("is_canonical")).select(id_col), id_col, "left_semi"
     )
@@ -107,7 +114,9 @@ def curate_corpus(
     lined = corpus_line_dedup(canon, id_col, text_col, min_docs=min_line_docs)
     lined = lined.select(
         id_col,
-        F.col("text").alias("_t1"),
+        # corpus_line_dedup aliases its rebuilt text to text_col (review
+        # finding: the hardcoded "text" broke any non-default text_col)
+        F.col(text_col).alias("_t1"),
         F.col("n_removed").alias("n_boilerplate_removed"),
     )
     # The line-dedup subtree (three shuffle stages) fans into four join

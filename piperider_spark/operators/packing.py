@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from piperider_spark.functions.text import md5_60bit
+from piperider_spark.operators.sampling import sample_hash
 
 
 def concat_chunk_pack(
@@ -45,6 +45,8 @@ def concat_chunk_pack(
     Returns (id, len, start_offset, first_chunk, last_chunk, n_chunks).
     Rows with len <= 0 are excluded (they occupy no tokens).
     """
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
     idc = F.col(id_col)
     ln = F.col(len_col).cast("long")
     # persist: the totals action and the final windowed plan both consume
@@ -57,13 +59,22 @@ def concat_chunk_pack(
         .select(
             idc.alias("id"),
             ln.alias("len"),
-            F.pmod(md5_60bit(idc.cast("string")), F.lit(n_buckets)).alias("__b"),
+            sample_hash(idc, n_buckets).alias("__b"),
         )
         .persist()
     )
 
-    # phase 1+2: per-bucket inclusive cumsum (parallel window per bucket)
-    w = Window.partitionBy("__b").orderBy("id")
+    # phase 1+2: per-bucket inclusive cumsum (parallel window per bucket).
+    # ROWS frame, not the default RANGE: RANGE treats duplicate ids as
+    # peers sharing one cumulative end, which overlaps their spans and
+    # breaks the disjoint-tiling invariant (review finding); with ROWS,
+    # duplicate ids tile disjointly (their mutual order is arbitrary but
+    # the offsets stay exact)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = bucketed.withColumn("__cend", F.sum("len").over(w))
 
     # phase 3: bucket totals → driver prefix sums → broadcast offsets.

@@ -95,8 +95,15 @@ def quota_sample(
     # persist: the pruned relation is small (~mult×quota rows per stratum)
     # and feeds both the rank window and the survivor counts — without it
     # the base scan + join + hash filter would run twice
+    # NULL-id rows hash to NULL, which ascending sort places FIRST — the
+    # naive window (and the fallback path) therefore picks them before any
+    # hashed row, so the prefilter must admit them too (review finding:
+    # `h < thr` is NULL for them and the pruned path silently dropped
+    # them, diverging from the fallback inside one function)
     pruned = (
-        dfk.join(F.broadcast(thr_df), "__st").where(h < F.col("__thr")).persist()
+        dfk.join(F.broadcast(thr_df), "__st")
+        .where((h < F.col("__thr")) | h.isNull())
+        .persist()
     )
 
     w = Window.partitionBy("__st").orderBy(h, F.col(id_col))

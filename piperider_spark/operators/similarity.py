@@ -155,6 +155,14 @@ def ann_candidate_pairs(
     """Near-dup pairs at scale: hyperplane-signature bucket self-join for
     candidates (vectors agreeing on all planes), exact cosine verify. The
     embedding analogue of MinHash-LSH dedup."""
+    actual = _infer_dim(df, vec_col, "ann_candidate_pairs")
+    if actual != dim:
+        raise ValueError(
+            f"ann_candidate_pairs: dim={dim} != the corpus vector length "
+            f"{actual} — a mismatched plane width NULLs every dot product, "
+            "all signatures collapse to 0, and the 'candidate' self-join "
+            "silently becomes the full quadratic cross product"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     sig = hyperplane_signature(F.col(vec_col), planes)
     bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
@@ -176,6 +184,19 @@ def ann_candidate_pairs(
 # ---------------------------------------------------------------------------
 # IVF ANN (deterministic coarse centroids, cell-probe search)
 # ---------------------------------------------------------------------------
+
+
+def _infer_dim(df: DataFrame, vec_col: str, caller: str) -> int:
+    """First-row vector length for the partitioned writers, with the shared
+    descriptive guard (empty corpus / NULL first embedding)."""
+    probe = df.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"{caller}: cannot infer vector dim — input is empty "
+            f"or its first {vec_col!r} is NULL; filter NULL embeddings out "
+            f"(df.where(F.col({vec_col!r}).isNotNull())) or pass a non-empty corpus"
+        )
+    return len(probe[0])
 
 
 def probe_cells(cents: np.ndarray, query_vec, nprobe: int) -> list[int]:
@@ -307,15 +328,14 @@ def ivf_write_partitioned(
     the probe path prunes against (one directory per cell; an Iceberg
     deployment uses a partition transform on the precomputed cell column
     for the same effect)."""
-    probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
-        raise ValueError(
-            f"ivf_write_partitioned: cannot infer vector dim — input is empty "
-            f"or its first {vec_col!r} is NULL; filter NULL embeddings out "
-            f"(df.where(F.col({vec_col!r}).isNotNull())) or pass a non-empty corpus"
-        )
-    dim = len(probe[0])
-    cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells, seed)
+    # the probe job (and its NULL-first-row guard) is only needed to SIZE
+    # the fallback quantizer — trained centroids skip it (review finding:
+    # the extra first() ran, and could spuriously fail, per write)
+    cents = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(_infer_dim(df, vec_col, "ivf_write_partitioned"), n_cells, seed)
+    )
     (
         df.withColumn("cell", ivf_cell(F.col(vec_col), cents))
         .repartition("cell")
@@ -537,8 +557,15 @@ def semdedup_arrow(
             )
 
     vec_t = df.schema[vec_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+    if id_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"semdedup_arrow: integer id column required (got {id_t}) — the "
+            "numpy witness kernel materializes ids as int64; use the "
+            "type-generic SQL twin `semdedup` for other id types"
+        )
     scored = df.mapInPandas(
-        assign, f"{id_col} long, v {vec_t}, cell int, centroid_sim double"
+        assign, f"{id_col} {id_t}, v {vec_t}, cell int, centroid_sim double"
     )
 
     def prune(pdf):
@@ -572,7 +599,7 @@ def semdedup_arrow(
 
     return scored.groupBy("cell").applyInPandas(
         prune,
-        f"{id_col} long, cell int, centroid_sim double, keep boolean, "
+        f"{id_col} {id_t}, cell int, centroid_sim double, keep boolean, "
         "witness_id long, witness_sim double",
     )
 
@@ -623,14 +650,7 @@ def ann_write_partitioned(
     at-rest layout for :func:`ann_topk_partitioned` (one directory per
     signature; an Iceberg deployment uses the precomputed sig column as a
     partition column). The hyperplane twin of :func:`ivf_write_partitioned`."""
-    probe = df.select(vec_col).first()
-    if probe is None or probe[0] is None:
-        raise ValueError(
-            f"ann_write_partitioned: cannot infer vector dim — input is empty "
-            f"or its first {vec_col!r} is NULL; filter NULL embeddings out "
-            f"(df.where(F.col({vec_col!r}).isNotNull())) or pass a non-empty corpus"
-        )
-    dim = len(probe[0])
+    dim = _infer_dim(df, vec_col, "ann_write_partitioned")
     planes = _hyperplanes(dim, n_planes, seed)
     (
         df.withColumn("sig", hyperplane_signature(F.col(vec_col), planes))

@@ -3281,3 +3281,72 @@ def test_percentile_disc_rank_matches_engine_for_noncanonical_p(spark, duck):
         "select percentile_disc(0.07) within group (order by x) from ts"
     ).fetchone()[0]
     assert got2 == want2
+
+
+def test_packing_duplicate_ids_tile_disjointly(spark):
+    """Review finding: the cumsum window used the default RANGE frame, so
+    duplicate ids (ordering peers) shared one cumulative end and their
+    spans overlapped. With the ROWS frame every row's span is disjoint
+    and the spans tile [0, total) exactly."""
+    from piperider_spark.operators.packing import concat_chunk_pack
+
+    rows = [("a", 5), ("a", 7), ("b", 3), ("c", 11), ("c", 2)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    out = concat_chunk_pack(df, "doc_id", "n_tok", max_len=8).collect()
+    spans = sorted((r.start_offset, r.start_offset + r.len) for r in out)
+    total = sum(n for _, n in rows)
+    assert spans[0][0] == 0 and spans[-1][1] == total
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 == b0, spans  # disjoint and gap-free
+
+    with pytest.raises(ValueError, match="max_len must be positive"):
+        concat_chunk_pack(df, "doc_id", "n_tok", max_len=0)
+
+
+def test_quota_sample_null_ids_match_fallback_ordering(spark):
+    """Review finding: NULL-id rows (NULL hash → NULLS FIRST in the naive
+    window) were silently dropped by the pruned path's `h < thr` filter
+    while the exactness fallback picked them first. Both paths must agree:
+    NULL-id rows outrank every hashed row."""
+    from piperider_spark.operators.sampling import quota_sample
+
+    rows = [(f"id{i}", "s") for i in range(100)] + [(None, "s")] * 3
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+    picked = quota_sample(df, "src", "doc_id", quota=7).collect()
+    ids = [r.doc_id for r in picked]
+    assert len(ids) == 7
+    assert ids.count(None) == 3  # the NULL-hash rows always make the cut
+
+
+def test_curate_corpus_honors_text_col(spark):
+    """Review finding: the post-line-dedup select hardcoded "text",
+    raising UNRESOLVED_COLUMN for any non-default text_col."""
+    from piperider_spark.operators.curation import curate_corpus
+
+    df = spark.createDataFrame(
+        [(1, "This is a perfectly reasonable document with enough words to pass. " * 3)],
+        "doc_id long, body string",
+    )
+    out = curate_corpus(df, id_col="doc_id", text_col="body")
+    assert out.count() == 1
+
+
+def test_ann_candidate_pairs_rejects_dim_mismatch(spark):
+    """Review finding: a mismatched dim NULLs every hyperplane dot, all
+    signatures collapse to 0, and the candidate join silently becomes the
+    full quadratic cross product — now a descriptive error."""
+    df = spark.createDataFrame(
+        [(1, [0.1] * 32), (2, [0.2] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim=64 != the corpus vector length 32"):
+        similarity.ann_candidate_pairs(df)
+
+
+def test_semdedup_arrow_rejects_non_integer_ids(spark):
+    """Review finding: the arrow twin hardcoded long id schemas and crashed
+    opaquely on string ids — now a descriptive error naming the SQL twin."""
+    df = spark.createDataFrame(
+        [("a", [0.1] * 8)], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integer id column required"):
+        similarity.semdedup_arrow(df, np.eye(8)[:2])
