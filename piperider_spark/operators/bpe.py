@@ -348,7 +348,13 @@ def base_symbols(word_counts: DataFrame) -> list[str]:
     Driver transfer is the alphabet (hundreds of rows, not the corpus)."""
     rows = (
         word_counts.select(
-            F.explode(F.split(F.col("word"), "(?!^)(?=.)")).alias("c")
+        # (?s): without DOTALL, Java's '.' excludes line terminators
+        # (\n, \u2028, \u2029, \u0085), so the split missed the
+        # boundary BEFORE them and a punctuation token like '!\u2028'
+        # yielded a corrupt 2-char 'base symbol' (review finding) —
+        # its real char never entered the alphabet and encode_ids
+        # emitted UNK for a character present in training
+            F.explode(F.split(F.col("word"), "(?s)(?!^)(?=.)")).alias("c")
         )
         .where(F.length("c") > 0)
         .distinct()

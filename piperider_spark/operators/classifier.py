@@ -126,9 +126,25 @@ def fit_quality_classifier(
         ngram_buckets(text_col, n_buckets, hash_fn).alias("_bks"),
     ).persist()
     try:
-        n_rows = feats.count()
+        # one agg: row count AND the NULL-label census. A NULL label makes
+        # resid NULL, which F.sum silently drops from every gradient while
+        # the row still inflates the n_rows divisor — at 50% NULL labels
+        # every gradient is halved with no error (review finding; the
+        # sibling fit_langid_model already raises on NULL labels).
+        crow = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("_y").isNull()).alias("nn"),
+        ).collect()[0]
+        n_rows, n_null = crow["n"], crow["nn"]
         if n_rows == 0:
             raise ValueError("fit_quality_classifier: empty training input")
+        if n_null:
+            raise ValueError(
+                f"fit_quality_classifier: {n_null} rows have a NULL "
+                f"{label_col!r} label — drop or impute them first (NULL "
+                "residuals silently vanish from the gradient sums while "
+                "still counting in the divisor)"
+            )
         spark = df.sparkSession
         w = [0.0] * n_buckets
         bias = 0.0

@@ -100,9 +100,18 @@ def fit_bucket_log_ratio(
         .join(counts(raw, "cr"), "bucket", "full_outer")
         .fillna(0, ["ct", "cr"])
     )
-    totals = joined.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    return _log_ratio_projection(joined, alpha, n_buckets)
+
+
+
+def _log_ratio_projection(counts: DataFrame, alpha: float, n_buckets: int) -> DataFrame:
+    """Shared add-α-smoothed log-ratio over a (bucket, ct, cr) counts frame
+    — the single source for BOTH the two-corpus fit and the single-
+    featurize fit+score path (their pinned equality depends on this being
+    one block of code, incl. the 9-dp quantization)."""
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     b = float(n_buckets)
-    return joined.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(
             F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * b))
@@ -167,20 +176,16 @@ def dsir_fit_score(
         F.explode(ngram_buckets(text_col, n_buckets, hash_fn)).alias("bucket"),
     )
     if cache:
-        bk = bk.persist()
+        # eager localCheckpoint, not a lazy persist: the function returns a
+        # lazy frame and callers get no handle to unpersist, so a persist
+        # here leaked one corpus-gram-sized cached relation PER CALL for
+        # the session lifetime (review finding — the quota_sample leak
+        # class); checkpointed blocks are ContextCleaner-managed
+        bk = bk.localCheckpoint(eager=True)
     counts = bk.groupBy("bucket").agg(
         F.count("*").alias("cr"), F.count_if(F.col("is_t")).alias("ct")
     )
-    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    b = float(n_buckets)
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("ct") + alpha) / (F.col("tt") + alpha * b))
-            - F.log((F.col("cr") + alpha) / (F.col("tr") + alpha * b)),
-            9,
-        ).alias("log_ratio"),
-    )
+    ratio = _log_ratio_projection(counts, alpha, n_buckets)
     scores = (
         bk.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
@@ -247,7 +252,11 @@ def gumbel_topk(
     h = (
         F.pmod(F.xxhash64(tag), F.lit(2**60)) if hash_fn == "xxhash64" else md5_60bit(tag)
     )
-    u = (h + 1) / F.lit(_U_DENOM)
+    # least(): (h+1)/denom can ROUND to exactly 1.0 in double for the top
+    # ~64 hash values (verified), where -log(-log(u)) is NULL in Spark and
+    # ln(0) errors in DuckDB — clamp to the largest double below 1, same
+    # clamp in the oracle SQL
+    u = F.least((h + 1) / F.lit(_U_DENOM), F.lit(1.0 - 2**-53))
     g = F.round(-F.log(-F.log(u)), 9)
     key = F.round(F.col(score_col) / F.lit(float(temperature)) + g, 6)
     return (

@@ -72,6 +72,7 @@ def kmeans_update_agg(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     quant_dp: int = 9,
+    spherical: bool = True,
 ) -> DataFrame:
     """One Lloyd-round update as a lazy plan: broadcast-table assignment
     (round-invariant plan source) → ``posexplode`` → ``groupBy(cell, dim)`` with map-side
@@ -91,17 +92,34 @@ def kmeans_update_agg(
     # ~400 MB into every task's plan per round. ivf_cell_expr walks the
     # column exactly as ivf_cell walks the literal — byte-identical
     # assignments (pinned by the numpy-mirror + invariance tests).
+    # Non-spherical Lloyd needs true nearest-centroid: argmax raw dot is
+    # only argmin-L2 for EQUAL-NORM centroids (the spherical case, where
+    # every centroid is unit-norm). With plain means, score = v·c − ‖c‖²/2
+    # (review finding: raw dot collapsed clusters toward the largest-norm
+    # mean). The biases ride the same broadcast one-row table.
+    biases = [float(0.5 * (C[j] ** 2).sum()) for j in range(C.shape[0])]
     cdf = df.sparkSession.createDataFrame(
-        [([[float(v) for v in C[j]] for j in range(C.shape[0])],)],
-        "_cents array<array<double>>",
+        [([[float(v) for v in C[j]] for j in range(C.shape[0])], biases)],
+        "_cents array<array<double>>, _biases array<double>",
     )
     # NOTE: the cell must be assigned in its own projection — putting the
     # transform-lambda struct in the same select as a generator makes
     # ExtractGenerator strip the lambda's field aliases (col1/col2) and
     # the `["j"]` extraction fails to resolve.
-    assigned = base.crossJoin(F.broadcast(cdf)).select(
-        ivf_cell_expr(F.col("_v"), F.col("_cents")).alias("_c"), "_v"
-    )
+    if spherical:
+        cell = ivf_cell_expr(F.col("_v"), F.col("_cents"))
+    else:
+        from piperider_spark.operators.similarity import dot as _dot
+
+        structs = F.transform(
+            F.col("_cents"),
+            lambda c, j: F.struct(
+                (_dot(F.col("_v"), c) - F.element_at(F.col("_biases"), j + 1)).alias("s"),
+                j.cast("int").alias("j"),
+            ),
+        )
+        cell = F.array_max(structs)["j"]
+    assigned = base.crossJoin(F.broadcast(cdf)).select(cell.alias("_c"), "_v")
     return (
         assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
         .groupBy("_c", "_d")
@@ -135,7 +153,9 @@ def kmeans_refine(
     if C.ndim != 2 or C.shape[0] == 0:
         raise ValueError("kmeans_refine: centroids must be a non-empty 2-D array")
     for _ in range(iters):
-        rows = kmeans_update_agg(df, C, vec_col=vec_col, quant_dp=quant_dp).collect()
+        rows = kmeans_update_agg(
+            df, C, vec_col=vec_col, quant_dp=quant_dp, spherical=spherical
+        ).collect()
         nxt = C.copy()
         counts = np.zeros(C.shape[0], dtype=np.int64)
         sums = np.zeros_like(C)
@@ -164,15 +184,24 @@ def kmeans_fit(
     (``limit`` collect — driver transfer capped by ``sample_rows``), then
     ``full_iters`` distributed Lloyd rounds over the whole corpus. Returns
     the L2-normalized centroid matrix (k × dim)."""
-    sample = [
+    rows = [
         r[0]
         for r in df.select(vec_col)
         .where(F.col(vec_col).isNotNull())
         .limit(sample_rows)
         .collect()
     ]
-    if not sample:
+    if not rows:
         raise ValueError(f"kmeans_fit: no non-null vectors in column {vec_col!r}")
+    # drop ragged vectors (np.asarray would raise on an inhomogeneous
+    # shape); the refine/stats passes filter size(vec)==dim the same way.
+    # NOTE: an unordered limit() sample is partition-layout-dependent, so
+    # the INIT (and with few full_iters the refined centroids) can differ
+    # across layouts — kmeans_refine itself stays byte-identical GIVEN an
+    # init; callers needing a layout-independent fit should pass a stable
+    # pre-sampled init to kmeans_refine directly.
+    dim0 = len(rows[0])
+    sample = [v for v in rows if len(v) == dim0]
     init = train_ivf_centroids(np.asarray(sample, dtype=np.float64), k, seed=seed,
                                iters=sample_iters)
     return kmeans_refine(
@@ -241,8 +270,16 @@ def cluster_balanced_sample(
     otherwise silently land in cell k−1). The ``cell_col`` column rides
     along in the output for downstream per-cell accounting."""
     assigned = kmeans_assign(df, centroids, vec_col=vec_col, out_col=cell_col)
+    dim = int(np.asarray(centroids).shape[1])
+    # NULL *or wrong-dimension* vectors: both make every centroid score
+    # NULL and fall through the struct-max to cell k−1 (review finding —
+    # the original mask covered NULLs only, so a ragged vector silently
+    # consumed the last cell's quota)
     assigned = assigned.withColumn(
-        cell_col, F.when(F.col(vec_col).isNotNull(), F.col(cell_col))
+        cell_col,
+        F.when(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim), F.col(cell_col)
+        ),
     )
     from piperider_spark.operators.sampling import quota_sample
 

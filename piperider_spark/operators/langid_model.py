@@ -126,8 +126,9 @@ def char_ngram_buckets(
     """Hashed gram bucket ids (``array<long>``, one entry per gram
     occurrence) over an already-staged prefix column: char n-grams for
     each n in ``ns`` plus (``include_words``) whitespace-token word
-    unigrams prefixed ``"w "`` to keep them out of the char-gram hash
-    domain — fastText langid's feature set is exactly char n-grams +
+    unigrams prefixed ``"word:"`` — a prefix longer than any char n-gram
+    (max(ns) < 5 is enforced), so the two namespaces are string-disjoint
+    BY LENGTH, not merely by convention — fastText langid's feature set is exactly char n-grams +
     word n-grams (arXiv:1612.03651 §2). Substring positions are
     codepoint-based (matches python slicing in the test mirrors).
 
@@ -150,9 +151,20 @@ def char_ngram_buckets(
         )
     if include_words:
         # split on whitespace runs; filter the empty leading/trailing
-        # fragments split() emits, then namespace with "w "
+        # fragments split() emits, then namespace with "word:" — a prefix
+        # LONGER than any char n-gram (max(ns) < 5), so no word-feature
+        # string can ever EQUAL a char-gram string (review finding: the
+        # old "w " prefix made the word feature for "a" the same string
+        # as the char trigram "w a", a systematic cross-namespace alias
+        # polluting the high-signal single-letter word features)
+        if max(ns) >= 5:
+            raise ValueError(
+                f"ns={tuple(ns)}: char n-grams of length >= 5 could equal a "
+                "'word:'-prefixed word feature — keep max(ns) < 5 (the "
+                "namespace-disjointness invariant)"
+            )
         words = F.filter(F.split(p, r"\s+"), lambda w: w != F.lit(""))
-        parts.append(F.transform(words, lambda w: F.concat(F.lit("w "), w)))
+        parts.append(F.transform(words, lambda w: F.concat(F.lit("word:"), w)))
     grams = parts[0] if len(parts) == 1 else F.concat(*parts)
     if hash_fn == "xxhash64":
         return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))

@@ -1862,8 +1862,9 @@ _DSIR_SQL = r"""
     )
     SELECT doc_id, dsir_score,
            round(dsir_score
-                 + round(-ln(-ln((('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT + 1)
-                                 / 1152921504606846978.0)), 9), 6) AS gumbel_key
+                 + round(-ln(-ln(least((('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT + 1)
+                                 / 1152921504606846978.0,
+                                 0.9999999999999999e0))), 9), 6) AS gumbel_key
     FROM allsc
     ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100
 """

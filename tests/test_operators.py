@@ -3350,3 +3350,126 @@ def test_semdedup_arrow_rejects_non_integer_ids(spark):
     )
     with pytest.raises(ValueError, match="integer id column required"):
         similarity.semdedup_arrow(df, np.eye(8)[:2])
+
+
+def test_kmeans_refine_nonspherical_matches_l2_lloyd_mirror(spark):
+    """Review finding: spherical=False assigned by raw argmax dot, which
+    is nearest-centroid only for equal-norm centroids — clusters collapsed
+    toward the largest-norm mean. The update must now match a numpy
+    L2-Lloyd mirror exactly on binary-fraction coordinates, including with
+    centroids of very different norms."""
+    from piperider_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(61)
+    X = rng.integers(-8, 9, size=(80, 4)).astype(np.float64) / 4.0
+    # centroids with wildly different norms
+    C0 = np.array([[0.25, 0.25, 0.0, 0.0], [6.0, 6.0, 6.0, 6.0], [-4.0, 0.0, 0.0, 0.0]])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    got = km.kmeans_refine(df, C0, iters=2, spherical=False)
+
+    C = C0.copy()
+    for _ in range(2):
+        scores = X @ C.T - 0.5 * (C**2).sum(axis=1)
+        assign = C.shape[0] - 1 - np.argmax(scores[:, ::-1], axis=1)
+        nxt = C.copy()
+        for j in range(C.shape[0]):
+            m = assign == j
+            if m.any():
+                nxt[j] = X[m].mean(axis=0)
+        C = nxt
+    assert np.array_equal(got, C)
+
+
+def test_cluster_sample_and_fit_handle_ragged_vectors(spark):
+    """Review findings: a wrong-dimension vector silently landed in cell
+    k−1 (consuming its quota) and crashed kmeans_fit's np.asarray on the
+    init sample. Ragged rows must sample as the NULL stratum and the fit
+    must ignore them."""
+    from piperider_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(67)
+    X = rng.standard_normal((40, 6))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    rows.append((97, [0.5] * 9))  # ragged
+    rows.append((98, None))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    C = km.kmeans_fit(df, k=3, sample_rows=50, full_iters=1)  # must not raise
+    assert C.shape == (3, 6)
+    pdf = km.cluster_balanced_sample(df, C, quota=50).toPandas()
+    cells = {r.vec_id: r.cell for r in pdf.itertuples()}
+    assert pd.isna(cells[97]) and pd.isna(cells[98])
+
+
+def test_classifier_rejects_null_labels(spark):
+    """Review finding: NULL labels silently vanished from the gradient
+    sums while still inflating the divisor — now a descriptive error,
+    matching the langid sibling."""
+    from piperider_spark.operators import classifier as clf
+
+    df = spark.createDataFrame(
+        [("good text", True), ("bad text", None)], "text string, keep boolean"
+    )
+    with pytest.raises(ValueError, match="NULL 'keep' label"):
+        clf.fit_quality_classifier(df, epochs=1, n_buckets=64)
+
+
+def test_langid_word_features_length_disjoint_from_char_grams(spark):
+    """Review finding: the "w " prefix made the word feature for "a" the
+    SAME STRING as the char trigram "w a" (systematic alias). The "word:"
+    prefix is longer than any allowed char n-gram, so the namespaces are
+    disjoint by length; ns >= 5 is rejected."""
+    from piperider_spark.operators.langid_model import char_ngram_buckets
+
+    with pytest.raises(ValueError, match="max\\(ns\\) < 5"):
+        spark.range(1).select(
+            char_ngram_buckets(F.lit("saw a"), ns=(2, 5))
+        ).collect()
+    # the word feature for "a" is hashed from "word:a" (length 6 > any
+    # allowed char n-gram) — present in the gram set, and structurally
+    # unable to equal a 2/3-char gram string
+    from piperider_spark.functions.text import md5_60bit
+
+    b = spark.range(1).select(
+        char_ngram_buckets(F.lit("saw a"), n_buckets=2**40, hash_fn="md5").alias("b"),
+        F.pmod(md5_60bit(F.lit("word:a")), F.lit(2**40)).alias("word"),
+    ).collect()[0]
+    assert b.word in b.b
+
+
+def test_bpe_base_symbols_split_line_separators(spark):
+    """Review finding: the char-split regex lacked DOTALL, so Java's '.'
+    skipped the boundary before line terminators and a punctuation token
+    like '!\\u2028' produced a corrupt two-char 'base symbol'. The real
+    chars must each enter the alphabet."""
+    from piperider_spark.operators import bpe as _bpe
+
+    df = spark.createDataFrame(
+        [("hey !  there  !",)] * 3, "text string"
+    )
+    wc = _bpe.bpe_word_counts(df, min_count=1)
+    alpha = _bpe.base_symbols(wc)
+    assert " " in alpha and " " in alpha and "!" in alpha
+    assert not any(len(a) > 1 for a in alpha)
+
+
+def test_gumbel_clamp_keeps_u_below_one(spark, duck):
+    """Review finding: (h+1)/2^60 rounds to exactly 1.0 for the top ~64
+    hash values, where -log(-log(u)) is NULL in Spark and ln(0) ERRORS in
+    DuckDB. The clamp keeps both engines finite at the boundary."""
+    v = spark.sql(
+        "select -ln(-ln(least(1.0, 0.9999999999999999d))) as g"
+    ).collect()[0].g
+    assert v is not None and math.isfinite(v)
+    # NOTE the e0 suffix: DuckDB's DECIMAL(16,16)→DOUBLE cast computes
+    # 9999999999999999/1e16 in double, where the numerator rounds to 1e16
+    # and the quotient to exactly 1.0 — the scientific-notation literal
+    # parses as DOUBLE directly (1−2⁻⁵³, matching Spark's F.lit)
+    w = duck.sql(
+        "select -ln(-ln(least(1.0, 0.9999999999999999e0)))"
+    ).fetchone()[0]
+    assert math.isfinite(w)
+    assert abs(v - w) < 1e-9
