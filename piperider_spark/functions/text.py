@@ -105,16 +105,35 @@ def bpe_token_count(text: Column | str) -> Column:
 def quality_score(text: Column | str) -> Column:
     """Composite heuristic quality score in [0,1]: penalize repetition,
     reward stopword evidence, penalize punctuation excess. Deterministic
-    plain arithmetic — identical in SQL form."""
-    n = token_count(text)
-    rep = repetition_ratio(text)
-    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.least(en_stopword_hits(text).cast("double") / n.cast("double") * 2.0, F.lit(1.0))
+    plain arithmetic — identical in SQL form.
+
+    The token array is bound ONCE via a 1-element ``transform`` lambda:
+    composing token_count/repetition_ratio directly repeated the trim+split
+    subtree ~5× per row (Catalyst does not CSE across sibling expressions —
+    the repo-wide pre-projection convention, here applied inside a single
+    Column so callers need no staging projection). Values are unchanged."""
+    t = _c(text)
+    stop_hits = en_stopword_hits(t).cast("double")
+    punct_ratio = F.when(char_count(t) == 0, F.lit(0.0)).otherwise(
+        punct_count(t).cast("double") / char_count(t).cast("double")
     )
-    punct_ratio = F.when(char_count(text) == 0, F.lit(0.0)).otherwise(
-        punct_count(text).cast("double") / char_count(text).cast("double")
-    )
-    raw = (F.lit(1.0) - rep) * 0.5 + stop_ratio * 0.4 + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
+
+    def _score(a: Column) -> Column:
+        n = F.size(a)
+        nd = n.cast("double")
+        rep = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(a)) / nd
+        )
+        stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.least(stop_hits / nd * 2.0, F.lit(1.0))
+        )
+        return (
+            (F.lit(1.0) - rep) * 0.5
+            + stop_ratio * 0.4
+            + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
+        )
+
+    raw = F.transform(F.array(tokens(t)), _score)[0]
     return F.round(raw, 6)
 
 
@@ -155,9 +174,7 @@ def rolling_hash_fingerprint(text: Column | str, k: int = 16) -> Column:
         F.sequence(F.lit(1), n - F.lit(k - 1)),
         lambda i: F.substring(norm, i, k),  # type: ignore[arg-type]
     )
-    min_hash = F.array_min(
-        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
-    )
+    min_hash = F.array_min(F.transform(grams, lambda g: md5_60bit(g)))
     return F.when(n >= k, min_hash)
 
 

@@ -145,8 +145,8 @@ def diff_decisions(base, target):
     Both inputs are decisions DataFrames, parquet paths, or
     ``table:<name>`` identifiers (conv_id, turn_idx, keep, reasons,
     text_scrubbed). Returns one row per turn present in either run with
-    ``status`` ∈ {unchanged, now_dropped, now_kept, text_changed, added,
-    removed} (first match in that order).
+    ``status`` ∈ {added, removed, now_dropped, now_kept, text_changed,
+    unchanged} (first match in that order — the when-chain below).
 
     Scale note (honest plan accounting): the pipeline's decisions/ output
     is DIRECTORY-partitioned by bucket, which prunes scans but gives the

@@ -77,8 +77,17 @@ def build_run_report(
     """Profile every table and assemble the reference-shaped report."""
     profiler = Profiler(config)
     created_at = created_at or datetime.now(timezone.utc).isoformat()
+    import hashlib
+
+    # NOT python's hash(): it is salted per process (irreproducible) and
+    # depends only on created_at (two same-second reports collided) —
+    # review finding. md5 over timestamp + table names is stable across
+    # processes and distinct for distinct inputs.
+    rid = hashlib.md5(
+        (created_at + ":" + ",".join(sorted(tables))).encode()
+    ).hexdigest()[:10]
     report = {
-        "id": f"run-{abs(hash(created_at)) % 10**10}",
+        "id": f"run-{rid}",
         "created_at": created_at,
         "datasource": {"name": datasource_name, "type": "spark"},
         "tables": {},
@@ -100,7 +109,11 @@ def build_run_report(
 def write_run_json(report: dict, output_dir: str) -> str:
     """Write run.json under a timestamped dir + refresh the `latest` symlink
     (reference layout: runner.py:256-273, 688-692)."""
-    stamp = report.get("created_at", "run").replace(":", "").replace("+", "Z")[:17]
+    # keep fractional seconds: two same-second runs previously shared a
+    # dir and the second json.dump clobbered the first (review finding)
+    stamp = (
+        report.get("created_at", "run").replace(":", "").replace("+", "Z")[:24].rstrip(".")
+    )
     run_dir = os.path.join(output_dir, stamp)
     os.makedirs(run_dir, exist_ok=True)
     path = os.path.join(run_dir, "run.json")
@@ -110,7 +123,10 @@ def write_run_json(report: dict, output_dir: str) -> str:
     try:
         if os.path.islink(latest) or os.path.exists(latest):
             os.unlink(latest)
-        os.symlink(run_dir, latest)
+        # the bare stamp, not run_dir: a symlink target resolves relative
+        # to the LINK's directory, so a cwd-relative run_dir ('out/<stamp>')
+        # produced a dangling out/out/<stamp> link (review finding)
+        os.symlink(stamp, latest)
     except OSError:
         pass
     return path

@@ -21,8 +21,11 @@ from pyspark.sql import types as T
 
 FORMAT_READERS = {
     "parquet": lambda spark, path, opts: spark.read.options(**opts).parquet(path),
+    # dict-merge, not keyword+**opts: a user-supplied 'header'/'inferSchema'
+    # raised "got multiple values for keyword argument" instead of
+    # overriding (review finding); merge order makes user options WIN
     "csv": lambda spark, path, opts: spark.read.options(
-        header=True, inferSchema=True, **opts
+        **{"header": True, "inferSchema": True, **opts}
     ).csv(path),
     "json": lambda spark, path, opts: spark.read.options(**opts).json(path),
     "orc": lambda spark, path, opts: spark.read.options(**opts).orc(path),
@@ -60,20 +63,30 @@ class DataSource:
                 out.append(base)
             elif os.path.isdir(os.path.join(self.path, entry)):
                 out.append(entry)
-        return out
+        # de-duplicate (events.csv + events.json would list 'events' twice
+        # and the profile loop would profile the extension-priority winner
+        # twice while the other file is silently never profiled — review
+        # finding); first occurrence wins, order preserved
+        return list(dict.fromkeys(out))
+
+    def _resolve(self, table: str) -> tuple[str, str]:
+        """(path, fmt) for a table file/dir — the ONE extension-priority
+        walk both the typed and untyped readers share (review finding: two
+        hand-maintained copies could resolve different files)."""
+        candidates = [
+            (os.path.join(self.path, f"{table}{ext}"), fmt)
+            for ext, fmt in _EXTENSIONS.items()
+        ] + [(os.path.join(self.path, table), self.fmt)]
+        for cand, fmt in candidates:
+            if os.path.exists(cand):
+                return cand, fmt
+        raise FileNotFoundError(f"table {table!r} not found under {self.path}")
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
         if self.database is not None:
             return spark.table(f"{self.database}.{table}")
-        candidates = [
-            os.path.join(self.path, f"{table}{ext}") for ext in _EXTENSIONS
-        ] + [os.path.join(self.path, table)]
-        for cand in candidates:
-            if os.path.exists(cand):
-                _, ext = os.path.splitext(cand)
-                fmt = _EXTENSIONS.get(ext, self.fmt)
-                return FORMAT_READERS[fmt](spark, cand, self.options)
-        raise FileNotFoundError(f"table {table!r} not found under {self.path}")
+        cand, fmt = self._resolve(table)
+        return FORMAT_READERS[fmt](spark, cand, self.options)
 
     def read_table_untyped(
         self, spark: SparkSession, table: str
@@ -93,27 +106,15 @@ class DataSource:
         if self.database is not None:
             # catalog tables are typed — invalids == 0 by construction
             return self.read_table(spark, table), {}
-        resolved = None
-        for ext, f in _EXTENSIONS.items():
-            cand = os.path.join(self.path, f"{table}{ext}")
-            if os.path.exists(cand):
-                resolved, fmt = cand, f
-                break
-        else:
-            cand = os.path.join(self.path, table)
-            if os.path.exists(cand):
-                # extensionless file or directory of part files
-                resolved, fmt = cand, self.fmt
-        if resolved is None:
-            raise FileNotFoundError(f"table {table!r} not found under {self.path}")
+        resolved, fmt = self._resolve(table)
         if fmt not in ("csv", "json"):
             return self.read_table(spark, table), {}
         if fmt == "csv":
-            raw = spark.read.options(header=True, **self.options).csv(resolved)
+            raw = spark.read.options(**{"header": True, **self.options}).csv(resolved)
         else:
-            raw = spark.read.options(primitivesAsString=True, **self.options).json(
-                resolved
-            )
+            raw = spark.read.options(
+                **{"primitivesAsString": True, **self.options}
+            ).json(resolved)
         return raw, infer_declared_types(raw)
 
     def reflect_schema(self, spark: SparkSession, table: str) -> T.StructType:

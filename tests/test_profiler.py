@@ -699,3 +699,46 @@ def test_metric_series_truncates_user_bounds(spark):
         date(2026, 2, 1): 2.0,
         date(2026, 3, 1): 3.0,
     }
+
+
+def test_report_symlink_id_and_stamp_fixes(spark, tmp_path, monkeypatch):
+    """Review findings: (1) the `latest` symlink target was the
+    cwd-relative run_dir, dangling for relative output dirs; (2) two
+    same-second runs shared a dir and the second clobbered the first;
+    (3) the run id came from python's salted str hash (irreproducible
+    across processes, collides for equal created_at)."""
+    import json
+    import os
+
+    from piperider_spark.profiler.report import build_run_report, write_run_json
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    monkeypatch.chdir(tmp_path)
+    r1 = build_run_report({"t": df}, created_at="2026-08-21T01:02:03.111111+00:00")
+    r2 = build_run_report({"t": df}, created_at="2026-08-21T01:02:03.222222+00:00")
+    p1 = write_run_json(r1, "out")  # RELATIVE output dir
+    p2 = write_run_json(r2, "out")
+    assert p1 != p2  # same-second runs no longer share a dir
+    latest = os.path.join("out", "latest")
+    assert os.path.islink(latest)
+    with open(os.path.join(latest, "run.json")) as fh:  # must not dangle
+        assert json.load(fh)["id"] == r2["id"]
+    # stable ids: same inputs -> same id; different created_at -> different
+    r1b = build_run_report({"t": df}, created_at="2026-08-21T01:02:03.111111+00:00")
+    assert r1b["id"] == r1["id"] and r1["id"] != r2["id"]
+
+
+def test_csv_reader_user_options_override(spark, tmp_path):
+    """Review finding: a user 'header' option crashed with 'got multiple
+    values for keyword argument' instead of overriding the default."""
+    from piperider_spark.sources.registry import DataSource
+
+    p = tmp_path / "t.csv"
+    p.write_text("1,foo\n2,bar\n")
+    ds = DataSource("s", path=str(tmp_path), options={"header": "false", "inferSchema": "false"})
+    df = ds.read_table(spark, "t")
+    assert df.count() == 2  # headerless read keeps both rows
+
+    # duplicate basenames list once
+    (tmp_path / "t.json").write_text('{"a": 1}\n')
+    assert DataSource("s", path=str(tmp_path)).list_tables(spark) == ["t"]
