@@ -27,6 +27,14 @@ def cmd_profile(args: argparse.Namespace) -> int:
     if not args.source and not args.dbt_state:
         print("profile: one of --source / --dbt-state is required", file=sys.stderr)
         return 2
+    if args.dbt_state and (args.untyped or args.table):
+        print(
+            "profile: --untyped/--table have no effect with --dbt-state "
+            "(the manifest selects the subjects and reads are typed) — "
+            "drop the conflicting flags",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("piperider_spark.profile")
     if args.dbt_state:
         # `piperider run --dbt-state` analog: manifest picks the subjects,
@@ -109,9 +117,12 @@ def cmd_diff_decisions(args: argparse.Namespace) -> int:
     d = diff_decisions(
         spark.read.parquet(args.base), spark.read.parquet(args.target)
     )
+    if args.output:
+        d = d.persist()  # counts AND the write consume the diff join once
     counts = {r["status"]: r["count"] for r in d.groupBy("status").count().collect()}
     if args.output:
         d.write.mode("overwrite").parquet(args.output)
+        d.unpersist()
     print(json.dumps({"status_counts": counts, "output": args.output}))
     return 0
 

@@ -773,6 +773,12 @@ def extract_image_features(df: DataFrame, codec: str = "fake", embed_dim: int = 
     """Decode + feature-extract via mapInPandas: per-image channel means and
     a deterministic pooled embedding (grid-average downsample)."""
     decode = _CODECS[codec]
+    g = int(np.sqrt(embed_dim))
+    if g * g != embed_dim:
+        raise ValueError(
+            f"embed_dim must be a perfect square (grid pooling), got "
+            f"{embed_dim} — the old code silently returned {g * g} cells"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -781,19 +787,20 @@ def extract_image_features(df: DataFrame, codec: str = "fake", embed_dim: int = 
                 img = decode(bytes(payload))
                 h, w, _ = img.shape
                 means = img.reshape(-1, 3).mean(axis=0)
-                # grid-pool to an embed_dim vector (luma of sqrt-grid cells)
-                g = int(np.sqrt(embed_dim))
+                # grid-pool (luma of g×g cells); ranges clamped NON-EMPTY: an image
+                # smaller than the grid previously pooled empty slices
+                # into NaN embedding cells (review finding — tiny
+                # thumbnails/tracking pixels are common in scraped
+                # corpora); for images >= g×g the ranges are unchanged.
                 luma = img.mean(axis=2)
-                cells = [
-                    float(
-                        luma[
-                            i * h // g : (i + 1) * h // g or h,
-                            j * w // g : (j + 1) * w // g or w,
-                        ].mean()
-                    )
-                    for i in range(g)
-                    for j in range(g)
-                ]
+                cells = []
+                for i in range(g):
+                    y0 = min(i * h // g, h - 1)
+                    y1 = max((i + 1) * h // g, y0 + 1)
+                    for j in range(g):
+                        x0 = min(j * w // g, w - 1)
+                        x1 = max((j + 1) * w // g, x0 + 1)
+                        cells.append(float(luma[y0:y1, x0:x1].mean()))
                 rows.append(
                     (int(mid), w, h, float(means[0]), float(means[1]), float(means[2]), cells)
                 )
@@ -1091,6 +1098,10 @@ def _iter_avi_frames(payload: bytes):
             movi_spans.append((dpos + 4, dpos + size))
     if w is None:
         raise ValueError("AVI missing video stream headers")
+    # negative biHeight = TOP-DOWN rows (valid DIB, same convention
+    # _decode_bmp honors) — collapsing it with abs() and flipping
+    # unconditionally rendered such AVIs upside down (review finding)
+    top_down = h < 0
     h = abs(h)
     row_bytes = (w * 3 + 3) & ~3
     fi = 0
@@ -1100,7 +1111,8 @@ def _iter_avi_frames(payload: bytes):
                 continue
             raw = np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=dpos)
             rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
-            yield fi, w, h, rows[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+            rgb = rows[:, :, ::-1] if top_down else rows[::-1, :, ::-1]
+            yield fi, w, h, rgb  # BGR → RGB, rows top-down either way
             fi += 1
 
 
@@ -1173,8 +1185,12 @@ def sample_frames(df: DataFrame, stride: int = 10, codec: str = "fake") -> DataF
 
 
 def media_metadata_stats(df: DataFrame) -> DataFrame:
-    """Metadata-only profile — never touches payload bytes (columnar
-    pruning: the parquet scan reads only meta.*)."""
+    """Per-type media profile. Honest I/O note (review finding): the
+    ``total_bytes`` aggregate needs per-row payload LENGTHS, so the scan
+    does read the binary column — parquet has no pushed-down length
+    metadata. At 100 TB, store the size as a meta field at ingest and
+    aggregate that instead; the width/height aggregates alone prune to
+    meta.* only."""
     return df.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("meta.width").alias("avg_width"),

@@ -33,7 +33,11 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = cores if isinstance(cores, str) and cores.startswith("local") else f"local[{cores}]"
+    # int / digit-string → local[n]; anything else is a FULL master URL
+    # passed through verbatim (the old startswith("local") test mangled
+    # "spark://host:7077" into local[spark://host:7077] — review finding)
+    cs = str(cores)
+    master = f"local[{cs}]" if cs.isdigit() or cs == "*" else cs
     if shuffle_partitions is None:
         inner = master[len("local[") : -1] if master.startswith("local[") else ""
         n = int(inner) if inner.isdigit() else (os.cpu_count() or 8)

@@ -17,6 +17,7 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 from piperider_spark.signals.core import (
     detect_lang_batch,
     perplexity_batch,
+    text_signals_and_ppl_batch,
     text_signals_batch,
     token_stats_batch,
 )
@@ -45,12 +46,15 @@ _SIG_TYPE = StructType(
 @pandas_udf(_SIG_TYPE)
 def signals_udf(texts: pd.Series) -> pd.DataFrame:
     """All per-turn text signals from ONE Arrow crossing AND one shared
-    tokenize/factorize (langid + token stats; perplexity is char-level)."""
-    sig = text_signals_batch(texts)
+    tokenize/factorize (langid + token stats; perplexity is char-level).
+    Uses the FUSED batch (one fillna/lower pass feeding tokenizer and ppl
+    cleaner) — two separate batch calls paid the text conversion twice per
+    Arrow batch (review finding; make_process_udf already fuses)."""
+    sig = text_signals_and_ppl_batch(texts)
     return pd.DataFrame(
         {
             "lang": sig["lang"],
-            "ppl": perplexity_batch(texts),
+            "ppl": sig["ppl"],
             "n_tok": sig["n_tok"],
             "rep_ratio": sig["rep_ratio"],
         }

@@ -2161,3 +2161,59 @@ def test_stream_dup_flag_late_arrival_is_conservative(spark, tmp_path):
     ).write.parquet(str(inp / "b2.parquet"))
     got2 = drain("late2")
     assert got2[("c", 1)] is False
+
+
+def test_image_features_tiny_image_no_nan_and_dim_guard(spark):
+    """Review findings: images smaller than the pooling grid produced NaN
+    embedding cells (empty slices), and a non-square embed_dim silently
+    returned g² cells. Tiny images must pool finite values; bad dims must
+    raise."""
+    import numpy as np
+
+    from piperider_spark.multimodal import media as M
+
+    img = np.full((2, 2, 3), 77, dtype=np.uint8)
+    payload = M._FAKE_MAGIC + __import__("struct").pack("<II", 2, 2) + img.tobytes()
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, media binary")
+    row = M.extract_image_features(df, codec="fake").collect()[0]
+    emb = np.asarray(row.embedding, dtype=float)
+    assert emb.shape == (16,) and np.isfinite(emb).all()
+    assert np.allclose(emb, 77.0)
+
+    with pytest.raises(ValueError, match="perfect square"):
+        M.extract_image_features(df, codec="fake", embed_dim=20)
+
+
+def test_avi_top_down_frames_not_flipped(spark):
+    """Review finding: negative biHeight (top-down DIB rows) was collapsed
+    with abs() and the bottom-up flip applied unconditionally — such AVIs
+    decoded upside down. Build a top-down AVI by patching the strf height
+    negative and pre-flipping rows; the decoded frame must equal the
+    original image."""
+    import struct as _struct
+
+    import numpy as np
+
+    from piperider_spark.multimodal import media as M
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 255, size=(6, 5, 3), dtype=np.uint8)
+    avi = M.encode_avi(img[None, :, :, :])
+    # locate the strf BITMAPINFOHEADER: biSize=40 little-endian followed by
+    # our w,h — patch h to -h and flip the stored rows to top-down order
+    marker = _struct.pack("<Iii", 40, 5, 6)
+    at = avi.find(marker)
+    assert at != -1
+    patched = bytearray(avi)
+    patched[at + 4 : at + 12] = _struct.pack("<ii", 5, -6)
+    # stored frame: find the movi '00db' chunk and rewrite rows top-down
+    row_bytes = (5 * 3 + 3) & ~3
+    dpos = avi.find(b"00db") + 8
+    frame = np.frombuffer(avi, dtype=np.uint8, count=6 * row_bytes, offset=dpos).reshape(6, row_bytes).copy()
+    patched[dpos : dpos + 6 * row_bytes] = frame[::-1].tobytes()
+
+    out = list(M._iter_avi_frames(bytes(patched)))
+    assert len(out) == 1
+    _, w, h, rgb = out[0]
+    assert (w, h) == (5, 6)
+    assert np.array_equal(rgb, img)
