@@ -120,7 +120,12 @@ def transcripts_path(n_turns: int, seed: int = 42) -> str:
     if not path.exists():
         from piperider_spark.datagen import write_transcripts_parquet
 
-        write_transcripts_parquet(str(path), n_turns=n_turns, seed=seed)
+        # write-then-rename: a run killed mid-write previously left a
+        # truncated file that the existence check reused forever (review
+        # finding); rename is atomic on one filesystem
+        tmp = cache / f".tmp_transcripts_{n_turns}_{seed}_{os.getpid()}.parquet"
+        write_transcripts_parquet(str(tmp), n_turns=n_turns, seed=seed)
+        os.replace(tmp, path)
     return str(path)
 
 
@@ -352,24 +357,30 @@ def scaling_measurement() -> dict:
         # which distorts the small-N leg. A real N-core executor gets N
         # cores for everything — taskset is the faithful proxy.
         pin = [taskset, "-c", f"0-{cores - 1}"] if taskset else []
-        proc = subprocess.run(
-            pin
-            + [
-                sys.executable,
-                str(REPO / "bench.py"),
-                "--pipeline-only",
-                "--cores",
-                str(cores),
-                "--turns",
-                str(turns),
-                "--reps",
-                str(reps if reps is not None else inner_reps[cores]),
-            ],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-            cwd=str(REPO),
-        )
+        try:
+            proc = subprocess.run(
+                pin
+                + [
+                    sys.executable,
+                    str(REPO / "bench.py"),
+                    "--pipeline-only",
+                    "--cores",
+                    str(cores),
+                    "--turns",
+                    str(turns),
+                    "--reps",
+                    str(reps if reps is not None else inner_reps[cores]),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                cwd=str(REPO),
+            )
+        except subprocess.TimeoutExpired:
+            # a HUNG leg must follow the same drop-the-pair contract as
+            # a crashed one — previously it propagated and discarded
+            # every completed pair/probe/envelope (review finding)
+            return None
         try:
             line = proc.stdout.strip().splitlines()[-1]
             return float(json.loads(line)["turns_per_sec"])
@@ -378,9 +389,13 @@ def scaling_measurement() -> dict:
             # the pair is simply dropped and later pairs still sample both
             return None
 
-    # (a) untimed warm-up: generates/caches the 3M-turn input, pulls it
-    # into the OS page cache, and exercises the whole leg path once at the
-    # wide width (~20 s) so pair 1 starts from the same state as pair 2+.
+    # (a) untimed warm-up: FIRST materialize the full-size input at full
+    # parallelism (review finding: the 300k warm leg cached the wrong
+    # file, so pair 1's taskset-pinned 2-core leg paid the entire
+    # full-size datagen inside its own budget and window), then exercise
+    # the whole leg path once at the wide width so pair 1 starts from the
+    # same page-cache/JIT state as pair 2+.
+    transcripts_path(turns)
     run_leg(SCALING_4N, turns=300_000, reps=1)
 
     # Self-bounding: the first pair always runs (a valid ratio needs one
@@ -522,7 +537,10 @@ def main() -> None:
     # alternating fresh sessions: median 7.5 s vs 9.0 s first timed run).
     # Path is keyed by sf so cross-sf bench runs never share a warm table.
     warm_path = str(REPO / ".bench_cache" / f"profiler_warm_sf{sf}.parquet")
-    if not os.path.exists(warm_path):
+    # _SUCCESS, not bare existence: a kill mid-write leaves a partial dir
+    # that bare existence would reuse forever (review finding); Spark
+    # writes _SUCCESS last, and overwrite mode replaces a partial dir
+    if not os.path.exists(os.path.join(warm_path, "_SUCCESS")):
         li.limit(60000).write.mode("overwrite").parquet(warm_path)
     # Two warm passes: the first tiers the hot loops to C2, but itself
     # triggers compilation mid-run that leaves some units interpreted; a

@@ -1525,13 +1525,18 @@ def metric_quarterly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped token statistics (corpus accounting by language label)."""
-    df = load(spark, sf_dir, "documents").withColumn("text_l", F.lower(F.col("text")))
-    n = token_count("text_l")
+    """Grouped token statistics (corpus accounting by language label).
+    Token count PRE-PROJECTED once (the NOTES_r3 convention): inlined in
+    both aggregates, the trim+split ran twice per row (review finding)."""
+    df = (
+        load(spark, sf_dir, "documents")
+        .withColumn("text_l", F.lower(F.col("text")))
+        .withColumn("_n", token_count("text_l"))
+    )
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(n), 4).alias("avg_tokens"),
-        F.sum(n).alias("total_tokens"),
+        F.round(F.avg("_n"), 4).alias("avg_tokens"),
+        F.sum("_n").alias("total_tokens"),
     )
 
 

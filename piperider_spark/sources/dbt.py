@@ -186,13 +186,18 @@ def dbt_test_results(
     return out
 
 
-def append_descriptions(report: dict, manifest: dict) -> None:
+def append_descriptions(report: dict, manifest: dict, key_map: dict | None = None) -> None:
     """Copy node + column descriptions from the manifest onto a run report
     in place (dbtutil.py:150-168, extended to columns from the manifest's
-    per-node column metadata)."""
+    per-node column metadata). ``key_map`` maps node unique_id → the
+    report table key — needed when name-collision subjects were keyed by
+    qualified name (review finding: a bare-name lookup matched BOTH
+    same-named nodes onto the bare-keyed table, last writer winning,
+    while the qualified-keyed loser got no description at all)."""
     for node in (manifest.get("nodes") or {}).values():
         name = node.get("name")
-        tbl = report.get("tables", {}).get(name)
+        key = (key_map or {}).get(node.get("unique_id"), name)
+        tbl = report.get("tables", {}).get(key)
         if not tbl:
             continue
         if node.get("description"):
@@ -253,6 +258,7 @@ def profile_dbt_state(
         manifest, tag=tag, resources=resources, include_views=include_views
     )
     tables: dict[str, DataFrame] = {}
+    key_by_id: dict[str, str] = {}
     for s in subjects:
         df = resolve_subject(spark, s)
         if df is not None:
@@ -261,10 +267,12 @@ def profile_dbt_state(
             # other — the collision loser keys by its qualified name
             key = s.name if s.name not in tables else s.qualified_name()
             tables[key] = df
+            if s.unique_id:
+                key_by_id[s.unique_id] = key
     report = build_run_report(
         tables, datasource_name="dbt", config=config, created_at=created_at
     )
-    append_descriptions(report, manifest)
+    append_descriptions(report, manifest, key_map=key_by_id)
     report["tests"] = dbt_test_results(manifest, load_run_results(dbt_state_dir))
     if with_metrics:
         report["metrics"] = query_dbt_metrics(
@@ -336,6 +344,8 @@ def dbt_state_metrics(
             label=metric.get("label"),
             description=metric.get("description"),
             ref_id=metric.get("unique_id"),
+            numerator=metric.get("numerator"),
+            denominator=metric.get("denominator"),
         )
         metric_map[key] = m
         if resources is not None:
@@ -350,7 +360,11 @@ def dbt_state_metrics(
             chosen_keys.append(key)
             out.append(m)
     for key, m in metric_map.items():
-        if m.calculation_method == "derived":
+        # ratio metrics recurse into their parents exactly like derived
+        # ones (review finding: ratio never parsed numerator/denominator
+        # and never wired ref_metrics, so evaluation built 'None/None'
+        # over an empty parents dict and crashed)
+        if m.calculation_method in ("derived", "ratio"):
             for dep in (
                 (manifest.get("metrics") or {}).get(key, {})
                 .get("depends_on", {})
@@ -402,6 +416,11 @@ def evaluate_dbt_metric(
             p.name: evaluate_dbt_metric(spark, p, grain, start, end)
             for p in metric.ref_metrics
         }
+        if not parents:
+            raise ValueError(
+                f"metric {metric.name!r} ({metric.calculation_method}): no "
+                "resolvable parent metrics — check depends_on in the manifest"
+            )
         return derived_metric(parents, guard_division(expression))
     subject = DbtSubject(
         name=metric.table,
@@ -443,20 +462,12 @@ def _compose_query_name(grain: str, label: bool = False) -> str:
 
 
 def _trunc_date(d, grain: str):
-    """Pure-python date_trunc for the query window bounds."""
-    from datetime import date as _date, timedelta
+    """Pure-python date_trunc for the query window bounds — delegates to
+    the metrics engine's driver-side twin (one source for the grain rules;
+    review finding: two verbatim copies)."""
+    from piperider_spark.operators.metrics_engine import _trunc_date as _t
 
-    if grain == "day":
-        return d
-    if grain == "week":  # Monday, matching Spark/dbt date_trunc('week')
-        return d - timedelta(days=d.weekday())
-    if grain == "month":
-        return _date(d.year, d.month, 1)
-    if grain == "quarter":
-        return _date(d.year, 3 * ((d.month - 1) // 3) + 1, 1)
-    if grain == "year":
-        return _date(d.year, 1, 1)
-    raise ValueError(f"unknown grain {grain!r}")
+    return _t(d, grain)
 
 
 def _shift_grains(d, grain: str, n: int):
@@ -506,10 +517,21 @@ def query_dbt_metrics(
 ) -> list[dict]:
     """All metrics × their supported grains (unknown grains skipped, like
     the reference's _get_query_param, metrics.py:95-101)."""
+    import logging
+
     out = []
     for m in metrics:
         for grain in m.time_grains or []:
             if grain not in GRAIN_SLOTS:
                 continue
-            out.append(query_dbt_metric(spark, m, grain, today=today))
+            try:
+                out.append(query_dbt_metric(spark, m, grain, today=today))
+            except ValueError as exc:
+                # a derived metric whose parent lacks this grain (or with
+                # unresolvable parents) skips THAT series, like the
+                # reference's _get_query_param skip semantics — one broken
+                # metric must not abort the whole report (review finding)
+                logging.getLogger(__name__).warning(
+                    "skipping metric %s @ %s: %s", m.name, grain, exc
+                )
     return out

@@ -592,3 +592,73 @@ def test_cli_profile_dbt_state(spark, tmp_path):
     }
     # neither --source nor --dbt-state -> usage error
     assert main(["profile", "--output", str(out)]) == 2
+
+
+def test_dbt_ratio_metric_evaluates_and_bad_grain_skips(spark, tmp_path):
+    """Review findings: (1) ratio metrics never parsed numerator/
+    denominator nor wired ref_metrics — evaluation built 'None/None' over
+    an empty parents dict and crashed with AttributeError; (2) a derived
+    metric whose parent lacks a grain raised out of query_dbt_metrics and
+    killed the whole metrics pass — it must skip that series only."""
+    import json
+
+    from piperider_spark.sources.dbt import (
+        dbt_state_metrics,
+        load_manifest,
+        query_dbt_metrics,
+    )
+
+    spark.createDataFrame(
+        [("2026-01-03", 10.0, 2.0), ("2026-01-04", 20.0, 4.0)],
+        "d string, rev double, cost double",
+    ).selectExpr("cast(d as timestamp) ts", "rev", "cost").createOrReplaceTempView(
+        "facts"
+    )
+    manifest = {
+        "nodes": {
+            "model.p.facts": {
+                "name": "facts",
+                "resource_type": "model",
+                "schema": "main",
+                "database": None,
+                "unique_id": "model.p.facts",
+            }
+        },
+        "metrics": {
+            "metric.p.rev": {
+                "name": "rev_sum",
+                "model": "ref('facts')",
+                "expression": "rev",
+                "timestamp": "ts",
+                "calculation_method": "sum",
+                "time_grains": ["day"],
+                "depends_on": {"nodes": ["model.p.facts"]},
+            },
+            "metric.p.cost": {
+                "name": "cost_sum",
+                "model": "ref('facts')",
+                "expression": "cost",
+                "timestamp": "ts",
+                "calculation_method": "sum",
+                "time_grains": ["day"],
+                "depends_on": {"nodes": ["model.p.facts"]},
+            },
+            "metric.p.margin": {
+                "name": "margin",
+                "calculation_method": "ratio",
+                "numerator": "rev_sum",
+                "denominator": "cost_sum",
+                # 'month' is NOT supported by the parents -> that series
+                # must be skipped, not crash the pass
+                "time_grains": ["day", "month"],
+                "depends_on": {"nodes": ["metric.p.rev", "metric.p.cost"]},
+            },
+        },
+    }
+    mpath = tmp_path / "manifest.json"
+    mpath.write_text(json.dumps(manifest))
+    metrics = dbt_state_metrics(load_manifest(str(tmp_path)))
+    out = query_dbt_metrics(spark, [m for m in metrics if m.name == "margin"])
+    assert len(out) == 1  # day evaluated, month skipped
+    series = out[0]
+    assert series["grain"] == "day"
